@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Mirrors the reference's cluster configuration intent (AQE + partition
+  * coalescing enabled, cf. reference terraform/main.tf:138-139) but sized for
+  * `local[N]`: shuffle partitions ≈ cores, not the 200 default. On a real
+  * cluster the same builder is used minus `master`, and shuffle partitions are
+  * sized to ~2-3× total executor cores (AQE coalesces the excess at runtime).
+  */
+object Sessions {
+
+  /** Local session tuned for the bench/test environment. */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine defaults to an externally-built session (driver-owned
+    * sessions in Verify/Bench): timezone must be UTC for oracle parity.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+}
