@@ -14,7 +14,8 @@ import graft.core.{QueryDef, Sessions, Tables}
 object SparkEntry {
 
   private def modules: Seq[Map[String, QueryDef]] = Seq(
-    graft.queries.Relational.defs)
+    graft.queries.Relational.defs,
+    graft.queries.Quality.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

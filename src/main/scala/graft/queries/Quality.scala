@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.quality._
+
+/** Data-quality rule surface (SURVEY.md §2.6 Q1-Q10) exercised through the
+  * graft.quality DSL over the star-schema tables, so the correctness gate
+  * verifies the DSL itself, not hand-inlined predicates.
+  */
+object Quality {
+
+  /** Q1/Q3/Q4/Q5 via RuleSet.failures: dbt-style stored failures — one row
+    * per (rule, violating row). Single scan for all predicate rules.
+    */
+  private val ruleFailures = QueryDef(
+    (s, dir) => {
+      val rules = RuleSet("orders", Seq(
+        AcceptedValues("o_orderstatus", Seq("O", "F")),
+        InRange("o_totalprice", 0, 450000),
+        Pattern("o_orderpriority", "^[1-3]-"),
+        NotNull("o_custkey")))
+      rules.failures(Tables.orders(s, dir))
+        .select("rule", "o_orderkey")
+        .orderBy("rule", "o_orderkey")
+    },
+    """SELECT rule, o_orderkey FROM (
+      |  SELECT 'accepted_values_o_orderstatus' AS rule, o_orderkey FROM orders
+      |    WHERE (o_orderstatus IN ('O','F')) IS NOT TRUE
+      |  UNION ALL
+      |  SELECT 'range_o_totalprice', o_orderkey FROM orders
+      |    WHERE (o_totalprice BETWEEN 0 AND 450000) IS NOT TRUE
+      |  UNION ALL
+      |  SELECT 'pattern_o_orderpriority', o_orderkey FROM orders
+      |    WHERE regexp_matches(o_orderpriority, '^[1-3]-') IS NOT TRUE
+      |  UNION ALL
+      |  SELECT 'not_null_o_custkey', o_orderkey FROM orders
+      |    WHERE o_custkey IS NULL
+      |) ORDER BY rule, o_orderkey""".stripMargin)
+
+  /** Q2 unique rule: full violating rows for a non-unique key. */
+  private val uniqueViolations = QueryDef(
+    (s, dir) =>
+      Unique(Seq("user_id")).violations(Tables.events(s, dir))
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id"),
+    """SELECT user_id, event_id FROM events
+      |WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 1)
+      |ORDER BY user_id, event_id""".stripMargin)
+
+  /** Q10 quality report: completeness + uniqueness + validity scores in one
+    * wide single-pass aggregation.
+    */
+  private val qualityProfile = QueryDef(
+    (s, dir) =>
+      QualityReport.profile(
+        Tables.events(s, dir),
+        completenessCols = Seq("value", "props"),
+        uniquenessCols = Seq("event_id", "user_id"),
+        validity = Map(
+          "positive_value" -> (col("value") > 0),
+          "known_type" -> col("event_type").isin("view", "click", "purchase", "signup", "error"))),
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(COUNT(value) AS DOUBLE) / COUNT(*) AS completeness_value,
+      |  CAST(COUNT(props) AS DOUBLE) / COUNT(*) AS completeness_props,
+      |  CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(event_id) AS uniqueness_event_id,
+      |  CAST(COUNT(DISTINCT user_id) AS DOUBLE) / COUNT(user_id) AS uniqueness_user_id,
+      |  AVG(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 1.0 ELSE 0.0 END) AS validity_known_type,
+      |  AVG(CASE WHEN value > 0 THEN 1.0 ELSE 0.0 END) AS validity_positive_value
+      |FROM events""".stripMargin)
+
+  /** Q9 dataset-level thresholds with alert severities (ok/warning/critical
+    * at the 90%-of-threshold boundary).
+    */
+  private val datasetChecks = QueryDef(
+    (s, dir) =>
+      QualityReport.datasetChecks(
+        Tables.events(s, dir), keyCol = "event_id", nullCheckedCol = "value"),
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) AS null_pct,
+      |  CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*) AS dup_pct,
+      |  CASE WHEN CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) > 0.05 THEN 'critical'
+      |       WHEN CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) >= 0.045 THEN 'warning'
+      |       ELSE 'ok' END AS null_severity,
+      |  CASE WHEN CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*) > 0.01 THEN 'critical'
+      |       WHEN CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*) >= 0.009 THEN 'warning'
+      |       ELSE 'ok' END AS dup_severity,
+      |  CASE WHEN COUNT(*) < 100 THEN 'critical' ELSE 'ok' END AS row_count_severity
+      |FROM events""".stripMargin)
+
+  /** Q8 conditional business rule: open orders must be recent — violations
+    * are 'O' orders dated before 1998.
+    */
+  private val conditionalRule = QueryDef(
+    (s, dir) =>
+      Conditional("open_orders_recent",
+        col("o_orderstatus") === "O",
+        col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .violations(Tables.orders(s, dir))
+        .select("o_orderkey", "o_orderstatus", "o_orderdate")
+        .orderBy("o_orderkey"),
+    """SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders
+      |WHERE o_orderstatus = 'O' AND (o_orderdate >= TIMESTAMP '1998-01-01') IS NOT TRUE
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q20_rule_failures" -> ruleFailures,
+    "q21_unique_violations" -> uniqueViolations,
+    "q22_quality_profile" -> qualityProfile,
+    "q23_dataset_checks" -> datasetChecks,
+    "q24_conditional_rule" -> conditionalRule)
+}
