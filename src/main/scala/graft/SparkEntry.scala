@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     graft.queries.Relational.defs,
-    graft.queries.Quality.defs)
+    graft.queries.Quality.defs,
+    graft.queries.Text.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

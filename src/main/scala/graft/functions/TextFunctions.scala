@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * tokenization, counting, stopword/quality scoring, language-ID heuristics,
+  * normalization and fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — whole-stage-codegen friendly, no UDFs,
+  * so a scan over 100 TB of documents stays a single fused projection.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: alphanumeric runs + individual punctuation,
+    * approximating how byte-pair tokenizers split mixed text.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= " " && t =!= ""))
+
+  /** Mean token length in characters: non-space chars / tokens. */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t))).cast("double") /
+      tokenCount(text)
+  }
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+      length(text)
+
+  /** Per-language stopword hit counts; the language with the highest count
+    * wins (ties broken by the order of `profiles`). An n-gram-free heuristic
+    * language ID: cheap, codegen'd, and good enough to route documents into
+    * per-language pipelines.
+    */
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, stops) =>
+      val arr = array(stops.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: mean of clamped component scores
+    * (length in range, stopword presence, word-length sanity). The weights
+    * mirror common pretraining-data filters (length / stopword / word-shape
+    * heuristics).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String],
+      minChars: Int = 50, maxChars: Int = 5000): Column = {
+    val lenOk = when(length(text).between(minChars, maxChars), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text, stopwords) > 0.0, 1.0).otherwise(0.0)
+    val wordOk = when(avgWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk + stopOk + wordOk) / 3.0
+  }
+
+  /** Canonical form for exact-duplicate detection: lowercase, punctuation
+    * stripped, whitespace collapsed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — stable across
+    * engines (used as the exact-dedup key and the oracle-comparable stand-in
+    * for a rolling hash).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Word n-gram shingles as an array column (empty when fewer than n
+    * tokens). Built from sequence+transform+slice: stays inside codegen.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

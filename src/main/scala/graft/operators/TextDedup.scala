@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for pretraining-scale corpora: exact
+  * (hash-groupBy), near-dup via n-gram Jaccard (exact ground truth), and the
+  * scale paths — MinHash+LSH banding and SimHash.
+  *
+  * Scale design notes:
+  * - Exact dedup is one shuffle on a 16-byte fingerprint — the cheapest
+  *   possible at 100 TB since only (fingerprint, doc_id) shuffles, not text.
+  * - Exact pairwise Jaccard is ground truth for calibration only; its cost is
+  *   quadratic in the worst case, so production near-dedup goes through
+  *   [[minHashSignatures]]/[[lshCandidatePairs]]: O(docs × shingles) to
+  *   sketch, shuffle on (band, bucket), pairs only within buckets.
+  * - SimHash reduces each doc to one 64-bit signature in a single groupBy
+  *   with 64 codegen'd conditional sums — no row explosion by bit.
+  */
+object TextDedup {
+
+  /** Exact duplicates by normalized-text fingerprint: one row per distinct
+    * content, keeping the lowest id as canonical plus the duplicate count.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Keep one row per distinct normalized content (lowest id wins),
+    * deterministic counterpart of dropDuplicates at any partitioning.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactDuplicateGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at least
+    * one shingle. `maxDocFreq` drops shingles present in more than that many
+    * documents (stop-shingles) — without it, a low-entropy corpus degenerates
+    * to the full cross product.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val docShingles = df
+      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sizes = docShingles.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val filtered = docShingles.join(
+      docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("sh"),
+      Seq("sh"), "left_semi")
+    val a = filtered.withColumnRenamed("doc", "doc_a")
+    val b = filtered.withColumnRenamed("doc", "doc_b")
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** MinHash signatures: k permutation-free min-hashes per document over its
+    * distinct shingles, using xxhash64 with k seeds. One explode + one
+    * groupBy; signature is an array<bigint> of length k.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val docShingles = df
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    docShingles.groupBy("doc")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding over MinHash signatures: split the k-length signature into
+    * `bands` bands, hash each band, and emit candidate pairs that collide in
+    * at least one band. Shuffles on (band, bucket) — never all-pairs.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
+    val buckets = signatures
+      .select(col("doc"), posexplode(slices(col("signature"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col")))
+      .select("doc", "band", "bucket")
+    val a = buckets.withColumnRenamed("doc", "doc_a")
+    val b = buckets.withColumnRenamed("doc", "doc_b")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Split an array into `bands` contiguous sub-arrays (as an array of
+    * arrays) — pure expression, no UDF.
+    */
+  private def slices(arr: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => slice(arr, b * (size(arr) / bands) + 1, size(arr) / bands))
+
+  /** Estimated Jaccard from MinHash signatures for candidate pairs:
+    * fraction of agreeing signature positions.
+    */
+  def minHashVerify(candidates: DataFrame, signatures: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sa = signatures.select(col("doc").as("doc_a"), col("signature").as("sig_a"))
+    val sb = signatures.select(col("doc").as("doc_b"), col("signature").as("sig_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash 64-bit signature per document: sign of the per-bit sum of
+    * token-hash bits. Single groupBy with 64 conditional sums — codegen'd,
+    * no per-bit row explosion.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTokens = df.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    docTokens.groupBy("doc")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates via 4-band exact-match blocking
+    * (16 bits per band — a pair within Hamming distance 3 must agree on at
+    * least one band), verified by exact Hamming distance ≤ `maxHamming`.
+    */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("doc").as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc").as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

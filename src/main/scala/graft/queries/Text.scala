@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.TextDedup
+
+/** Text-analysis and document-dedup surface (north-star extensions): token
+  * stats, language profiling, quality filtering, fingerprint dedup, exact
+  * n-gram Jaccard, and the sketch-based scale paths (MinHash+LSH, SimHash —
+  * rows-only checks, sketches aren't SQL-reproducible in DuckDB).
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "and", "data")
+
+  /** Per-document token statistics — one codegen'd projection, no UDFs. */
+  private val tokenStats = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          avgWordLen(col("text")).as("avg_word_len"))
+        .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  len(string_split(trim(text), ' ')) AS n_tokens,
+      |  length(text) AS n_chars,
+      |  CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len(string_split(trim(text), ' ')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Corpus profile per language tag: volume, mean length, stopword mass. */
+  private val langStats = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(size(filter(tokens(col("text")),
+            t => array_contains(array(stopwords.map(lit): _*), t)))).as("stopword_hits"))
+        .orderBy("lang"),
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(trim(text), ' '))) AS total_tokens,
+      |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  SUM(len(list_filter(string_split(trim(text), ' '),
+      |      t -> t IN ('the','a','of','and','data')))) AS stopword_hits
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** Quality filter: keep documents whose composite score clears 2/3 —
+    * the length/stopword/word-shape filter of a pretraining pipeline.
+    */
+  private val qualityFilter = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("stopword_ratio", stopwordRatio(col("text"), stopwords))
+        .withColumn("quality", qualityScore(col("text"), stopwords))
+        .filter(col("quality") >= 2.0 / 3.0)
+        .select("doc_id", "stopword_ratio", "quality")
+        .orderBy("doc_id"),
+    """SELECT doc_id, stopword_ratio, quality FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(trim(text), ' '),
+      |         t -> t IN ('the','a','of','and','data'))) AS DOUBLE)
+      |      / len(string_split(trim(text), ' ')) AS stopword_ratio,
+      |    ((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+      |     + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+      |             t -> t IN ('the','a','of','and','data'))) AS DOUBLE)
+      |             / len(string_split(trim(text), ' ')) > 0.0 THEN 1.0 ELSE 0.0 END)
+      |     + (CASE WHEN CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+      |             / len(string_split(trim(text), ' ')) BETWEEN 2.0 AND 12.0
+      |        THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      |  FROM documents)
+      |WHERE quality >= 2.0/3.0 ORDER BY doc_id""".stripMargin)
+
+  /** Exact-dedup groups by content fingerprint (md5 of normalized text). */
+  private val fingerprintDedup = QueryDef(
+    (s, dir) =>
+      TextDedup.exactDuplicateGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fingerprint"),
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)
+
+  /** Exact word-trigram Jaccard near-dup pairs (ground truth for the sketch
+    * paths). Stop-shingle cutoff keeps the shingle join linear-ish; the
+    * documents table tops out at 5k rows so the full pairing is bench-safe.
+    */
+  private val ngramJaccard = QueryDef(
+    (s, dir) =>
+      TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 100000L)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+      |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, x.sz AS sz_a, y.sz AS sz_b,
+      |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+      |FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** MinHash(128) + LSH(32 bands) candidate pairs verified at est-Jaccard
+    * ≥ 0.5. Sketch values depend on xxhash64 → rows-only driver check; the
+    * ScalaTest suite asserts recall against q41's exact pairs instead.
+    */
+  private val minhashLsh = QueryDef(
+    (s, dir) => {
+      val sigs = TextDedup.minHashSignatures(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, k = 128)
+      TextDedup.minHashVerify(
+        TextDedup.lshCandidatePairs(sigs, bands = 32), sigs, minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** SimHash near-dup pairs at Hamming ≤ 3 via 16-bit band blocking —
+    * rows-only driver check (hash-dependent), recall asserted in tests.
+    */
+  private val simhashPairs = QueryDef(
+    (s, dir) =>
+      TextDedup.simHashPairs(
+        TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("doc_a", "doc_b"),
+    None)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q37_token_stats" -> tokenStats,
+    "q38_lang_stats" -> langStats,
+    "q39_quality_filter" -> qualityFilter,
+    "q40_fingerprint_dedup" -> fingerprintDedup,
+    "q41_ngram_jaccard" -> ngramJaccard,
+    "q42_minhash_lsh" -> minhashLsh,
+    "q43_simhash_pairs" -> simhashPairs)
+}
