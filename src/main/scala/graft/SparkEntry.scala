@@ -16,7 +16,8 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     graft.queries.Relational.defs,
     graft.queries.Quality.defs,
-    graft.queries.Text.defs)
+    graft.queries.Text.defs,
+    graft.queries.Vector.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

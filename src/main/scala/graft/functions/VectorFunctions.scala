@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (zip_with/aggregate/transform — codegen'd, no UDFs).
+  *
+  * Determinism: every reduction here is a *sequential left fold* in double
+  * precision (`aggregate` folds element-by-element). float→double widening is
+  * exact and IEEE double ops are deterministic, so results are bit-identical
+  * to any engine that folds the same way — DuckDB's list_sum does (verified),
+  * which is what makes the cosine queries oracle-comparable without resorting
+  * to decimal arithmetic. Per-row folds don't depend on partitioning, so
+  * results are also stable across cluster layouts.
+  */
+object VectorFunctions {
+
+  /** Dot product: sequential double fold over zipped elements. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Random-hyperplane LSH bucket: `bits` sign bits of dot products with
+    * pseudo-random ±1 hyperplanes derived from xxhash64(bit, dim) — fully
+    * deterministic, no trained state to ship to executors.
+    */
+  def hyperplaneBucket(vec: Column, bits: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val signedDot = (j: Int) =>
+      aggregate(
+        zip_with(vec, dims, (x, d) =>
+          when(xxhash64(lit(j), d).bitwiseAND(1) === 1, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    (0 until bits)
+      .map(j => when(signedDot(j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  // DuckDB oracle fragments mirroring dot/normSq/cosine: list_sum over a
+  // double-cast comprehension is the same sequential fold (verified
+  // bit-identical against Spark's aggregate()).
+  def sqlDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])"
+  def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns.
+  *
+  * Scale design: brute-force top-k is the correctness baseline — it
+  * broadcasts the (small) query set against the corpus, so the corpus side
+  * never shuffles and cost is linear in corpus size per query. The scale
+  * paths cut the scanned fraction: random-hyperplane LSH buckets candidates
+  * by signature; IVF partitions the corpus by nearest coarse centroid and
+  * probes only the closest cells. Both reduce to broadcast-join + partial
+  * top-k — no all-pairs stage anywhere.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. Queries are
+    * broadcast; per-query ranking is a window over the candidate set.
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val cos: Column = cosine(col("q_emb"), col("embedding"))
+    val scored = corpus
+      .join(q, col("query_id") =!= col("vec_id")) // all query-candidate pairs, self excluded
+      .withColumn("cos_sim", cos)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** All pairs with cosine ≥ threshold, blocked by a partition column (e.g.
+    * a label, a shard key, or an LSH bucket): pairs are only formed within a
+    * block, so cost is Σ block² instead of corpus².
+    */
+  def similarPairsBlocked(corpus: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(blockCol), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = corpus.select(col(blockCol), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val cos: Column = cosine(col("emb_a"), col("emb_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cos)
+      .filter(col("cos_sim") >= threshold)
+      .select(col(blockCol), col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Approximate neighbors via random-hyperplane LSH: bucket every vector by
+    * `bits` sign bits, search each query only within its bucket, rank by
+    * exact cosine. Trades recall for a ~2^bits reduction in scanned rows.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", hyperplaneBucket(col("q_emb"), bits)))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    bucketed.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** IVF coarse quantizer: centroids are the per-cell mean vector. Here the
+    * cells are seeded from an existing column (`cellCol`); a production build
+    * would k-means-iterate this same structure. Returns (cell, centroid).
+    */
+  def ivfCentroids(corpus: DataFrame, cellCol: String): DataFrame = {
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
+    corpus.groupBy(col(cellCol).as("cell"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("cell"),
+        array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
+          .as("centroid"))
+  }
+
+  /** IVF probe: assign each query to its nearest `nprobe` centroids
+    * (broadcast — centroid count is tiny), then exact-rank only within the
+    * probed cells.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, cellCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(ivfCentroids(corpus, cellCol))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("cent_sim"), asc("cell"))
+    val probed = broadcast(
+      q.crossJoin(cents)
+        .withColumn("cent_sim", cosine(col("q_emb"), col("centroid")))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= nprobe)
+        .select(col("query_id"), col("q_emb"), col("cell")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    corpus
+      .join(probed, corpus(cellCol) === probed("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+}

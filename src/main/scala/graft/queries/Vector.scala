@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Embedding similarity surface (north-star extensions): norms, brute-force
+  * cosine top-k (oracle-matched via identical sequential double folds), and
+  * the approximate scale paths (hyperplane LSH, IVF — rows-only checks;
+  * their recall is asserted against the exact baseline in ScalaTest).
+  */
+object Vector {
+
+  /** Per-vector L2 norm. */
+  private val vectorNorms = QueryDef(
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          sqrt(normSq(col("embedding"))).as("l2_norm"))
+        .orderBy("vec_id"),
+    s"""SELECT vec_id, label, ${sqlNorm("embedding")} AS l2_norm
+       |FROM embeddings ORDER BY vec_id""".stripMargin)
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors as queries:
+    * broadcast queries × linear corpus scan, per-query window rank.
+    */
+  private val knnExact = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(
+        corpus, corpus.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    s"""SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    ${sqlCosine("q.embedding", "c.embedding")} AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** Similar pairs within a block (label): Σ block² cost instead of corpus². */
+  private val similarPairs = QueryDef(
+    (s, dir) =>
+      Similarity.similarPairsBlocked(
+        Tables.embeddings(s, dir), "label", threshold = 0.3)
+        .orderBy("vec_a", "vec_b"),
+    s"""SELECT label, vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${sqlCosine("a.embedding", "b.embedding")} AS cos_sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Hyperplane-LSH approximate top-5 — rows-only check (bucket hashes are
+    * engine-specific); recall vs q51 asserted in ScalaTest.
+    */
+  private val knnLsh = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      Similarity.knnLsh(corpus, corpus.filter(col("vec_id") < 10), k = 5, bits = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** IVF(nprobe=2) approximate top-5 with label-seeded cells — rows-only. */
+  private val knnIvf = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      Similarity.knnIvf(corpus, corpus.filter(col("vec_id") < 10), "label",
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q50_vector_norms" -> vectorNorms,
+    "q51_knn_exact" -> knnExact,
+    "q52_similar_pairs" -> similarPairs,
+    "q53_knn_lsh" -> knnLsh,
+    "q54_knn_ivf" -> knnIvf)
+}
