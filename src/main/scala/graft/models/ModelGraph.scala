@@ -1,0 +1,81 @@
+package graft.models
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.quality.RuleSet
+import graft.sources.TableFormat
+
+/** One materialized model: the Spark-native equivalent of a dbt model
+  * (reference dbt/models/bronze/bronze_claims.sql + dbt_project.yml:29-46) —
+  * a named build function, its dependencies, and attached quality rules
+  * whose failures are stored dbt-style (`store_failures`,
+  * dbt_project.yml:61-63).
+  */
+final case class Model(
+    name: String,
+    targetTable: String,
+    deps: Seq[String] = Nil,
+    build: SparkSession => DataFrame,
+    rules: Option[RuleSet] = None)
+
+final case class ModelRun(
+    name: String, ok: Boolean, rows: Long, testViolations: Long,
+    error: Option[String] = None)
+
+/** Dependency-ordered model executor — the in-session replacement for
+  * dbt-over-HTTP (reference orchestrator.py:60-78 + profiles.yml:4-13;
+  * SURVEY §3 E3): topological order, fail-fast on build errors, test
+  * failures tolerated but counted (orchestrator.py:84-85 semantics).
+  */
+final class ModelGraph(models: Seq[Model], format: TableFormat,
+    failuresTable: Option[String] = None) {
+
+  private val byName = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+  models.foreach(m => m.deps.foreach(d =>
+    require(byName.contains(d), s"${m.name}: unknown dep $d")))
+
+  /** Deterministic topological order (stable within a rank). */
+  val order: Seq[Model] = {
+    val ranked = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def rank(n: String, seen: Set[String]): Int = {
+      require(!seen(n), s"dependency cycle at $n")
+      ranked.getOrElseUpdate(n,
+        byName(n).deps.map(d => rank(d, seen + n) + 1).maxOption.getOrElse(0))
+    }
+    models.foreach(m => rank(m.name, Set.empty))
+    models.sortBy(m => (ranked(m.name), m.name))
+  }
+
+  /** Run all models in order. Build failure aborts downstream dependents but
+    * not independent branches; rule violations are stored and counted, never
+    * fatal.
+    */
+  def run(spark: SparkSession): Seq[ModelRun] = {
+    val failed = scala.collection.mutable.Set[String]()
+    order.map { m =>
+      if (m.deps.exists(failed)) {
+        failed += m.name
+        ModelRun(m.name, ok = false, 0, 0, Some("skipped: upstream failure"))
+      } else Try {
+        val df = m.build(spark)
+        format.overwrite(spark, df, m.targetTable)
+        val materialized = spark.table(m.targetTable)
+        val violations = m.rules.map { rs =>
+          val fails = rs.failures(materialized)
+          failuresTable.foreach(t => format.appendMergeSchema(
+            spark, fails.select("table_name", "rule"), t))
+          fails.count()
+        }.getOrElse(0L)
+        ModelRun(m.name, ok = true, materialized.count(), violations)
+      } match {
+        case Success(r) => r
+        case Failure(e) =>
+          failed += m.name
+          ModelRun(m.name, ok = false, 0, 0, Some(e.toString))
+      }
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{AppConfig, Layer}
+import graft.ingest.{IngestResult, Ingestor, IngestSpec}
+import graft.models.{Model, ModelGraph, ModelRun}
+import graft.sources.TableFormat
+
+/** Pipeline step results, mirroring the reference orchestrator's 3-step DAG
+  * (reference scripts/orchestrator.py:141-179: ingestion → transformations →
+  * quality checks, fail-fast between steps, test failures tolerated
+  * :84-85).
+  */
+final case class StepResult(step: String, ok: Boolean, detail: String,
+    durationMs: Long)
+
+final case class PipelineReport(
+    steps: Seq[StepResult],
+    ingests: Seq[IngestResult],
+    models: Seq[ModelRun]) {
+  def ok: Boolean = steps.forall(_.ok)
+  def exitCode: Int = if (ok) 0 else 1
+
+  /** Boxed text report (reference orchestrator.py:118-139). */
+  def render: String = {
+    val line = "=" * 60
+    val rows = steps.map(s =>
+      f"  ${if (s.ok) "PASS" else "FAIL"}%-6s ${s.step}%-24s ${s.durationMs}%6d ms  ${s.detail}")
+    val ing = ingests.map(i =>
+      f"  ${i.name}%-12s read=${i.rowsRead}%-8d written=${i.rowsWritten}%-8d dups=${i.duplicatesRemoved}")
+    val mdl = models.map(m =>
+      f"  ${m.name}%-24s rows=${m.rows}%-8d violations=${m.testViolations}")
+    (Seq(line, "PIPELINE EXECUTION REPORT", line) ++ rows ++
+      Seq("-" * 60) ++ ing ++ mdl ++
+      Seq(line, s"RESULT: ${if (ok) "SUCCESS" else "FAILURE"}", line))
+      .mkString("\n")
+  }
+}
+
+/** Single-JVM orchestrator: the subprocess DAG of the reference collapses to
+  * in-session steps (SURVEY §3 E1 redesign) — no Py4J, no dbt-over-HTTP hop.
+  * Fail-fast between steps; per-step retry with backoff replaces the
+  * reference's subprocess retry policy (config.py:58-59).
+  */
+final class Orchestrator(cfg: AppConfig, format: TableFormat,
+    retrySleepMs: Long = 0L) {
+
+  private def timed[A](step: String)(body: => A): (Try[A], StepResult) = {
+    val t0 = System.nanoTime()
+    def attempt(remaining: Int): Try[A] = Try(body) match {
+      case f @ Failure(_) if remaining > 0 =>
+        if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
+        attempt(remaining - 1)
+      case other => other
+    }
+    val res = attempt(cfg.maxRetries)
+    val ms = (System.nanoTime() - t0) / 1000000
+    res match {
+      case Success(_) => (res, StepResult(step, ok = true, "", ms))
+      case Failure(e) => (res, StepResult(step, ok = false, e.toString, ms))
+    }
+  }
+
+  /** Bootstrap the medallion databases (reference dbt_project.yml:89-93). */
+  def bootstrap(spark: SparkSession): Unit =
+    Layer.all.foreach(l => format.ensureDatabase(spark, cfg.database(l)))
+
+  def run(spark: SparkSession, specs: Seq[IngestSpec], models: Seq[Model]): PipelineReport = {
+    bootstrap(spark)
+    val batchId = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+    // step 1: ingestion (fail-fast if ANY entity failed — orchestrator.py:157-160)
+    val (ingTry, ingStep) = timed("ingestion") {
+      val rs = new Ingestor(format, batchId).ingestAll(spark, specs)
+      if (!rs.forall(_.ok))
+        throw new RuntimeException(
+          rs.filterNot(_.ok).flatMap(_.error).mkString("; "))
+      rs
+    }
+    val ingests = ingTry.getOrElse(Nil)
+    if (!ingStep.ok) return PipelineReport(Seq(ingStep), ingests, Nil)
+
+    // step 2: transformations (model builds fail-fast; orchestrator.py:66-74)
+    val (mdlTry, mdlStep0) = timed("transformations") {
+      val runs = new ModelGraph(models, format,
+        failuresTable = Some(cfg.tableName(Layer.Gold, "test_failures"))).run(spark)
+      if (!runs.forall(_.ok))
+        throw new RuntimeException(
+          runs.filterNot(_.ok).flatMap(_.error).mkString("; "))
+      runs
+    }
+    val modelRuns = mdlTry.getOrElse(Nil)
+    if (!mdlStep0.ok) return PipelineReport(Seq(ingStep, mdlStep0), ingests, modelRuns)
+
+    // step 3: quality — violations are tolerated but reported
+    // (orchestrator.py:84-85: test failures don't fail the pipeline)
+    val totalViolations = modelRuns.map(_.testViolations).sum
+    val qStep = StepResult("quality_checks", ok = true,
+      s"$totalViolations stored violations", 0L)
+
+    PipelineReport(Seq(ingStep, mdlStep0, qStep), ingests, modelRuns)
+  }
+}

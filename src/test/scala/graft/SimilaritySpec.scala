@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Vector similarity semantics: brute-force KNN against a driver-side
+  * recomputation, plus structural checks on the approximate paths.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, SparkTestSession.sfDir).cache()
+
+  test("cosine matches a driver-side computation") {
+    val two = emb.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1).map(_._2)
+    val expected = {
+      val dot = two(0).zip(two(1)).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(two(0).map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(two(1).map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = emb.filter(col("vec_id") === 0).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("b")))
+      .select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("brute-force KNN returns k ranked neighbors per query, best first") {
+    val knn = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 3), k = 5)
+    val rows = knn.collect()
+    assert(rows.length == 15)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { g =>
+      val sims = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // no self-matches
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("LSH buckets partition the corpus deterministically") {
+    val b1 = emb.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(col("embedding"), 4))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = emb.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(col("embedding"), 4))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1) // actually splits
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("IVF centroids are per-cell means and probing returns k per query") {
+    val cents = Similarity.ivfCentroids(emb, "label")
+    assert(cents.count() == emb.select("label").distinct().count())
+    val knn = Similarity.knnIvf(emb, emb.filter(col("vec_id") < 2), "label",
+      k = 5, nprobe = 2)
+    val counts = knn.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5))
+  }
+
+  test("LSH KNN results are true cosines, verifiable against brute force") {
+    val exact = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    val lsh = Similarity.knnLsh(emb, emb.filter(col("vec_id") < 5), k = 5, bits = 4)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    // every LSH result that's also in the exact set reports the same cosine
+    lsh.foreach { case (q, n, s) =>
+      exact.get((q, n)).foreach(es => assert(math.abs(es - s) < 1e-12))
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.TextDedup
+
+/** Sketch-based dedup quality against exact ground truth on the sf0.001
+  * documents corpus (500 docs with planted near-duplicates).
+  */
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, SparkTestSession.sfDir).cache()
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    TextDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.5, maxDocFreq = 100000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  test("exact trigram Jaccard finds the planted near-duplicates") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash+LSH(128,32) recovers ≥90% of exact pairs, no wild precision loss") {
+    val sigs = TextDedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 128)
+    val got = TextDedup.minHashVerify(
+      TextDedup.lshCandidatePairs(sigs, bands = 32), sigs, minJaccard = 0.45)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exactPairs.count(got).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} pairs")
+    // candidates that verify are plausible near-dups: bounded blowup
+    assert(got.size <= exactPairs.size * 3)
+  }
+
+  test("SimHash pairs at Hamming ≤ 3 are a subset-quality signal") {
+    val pairs = TextDedup.simHashPairs(
+      TextDedup.simHash(docs, "doc_id", "text"), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // SimHash near-dups should mostly be real near-dups (precision vs exact)
+    val precision = pairs.count(exactPairs).toDouble / pairs.size
+    assert(precision >= 0.5, s"precision $precision")
+  }
+
+  test("exact dedup keeps one canonical doc per normalized content") {
+    val withDup = docs.select("doc_id", "text").union(
+      docs.select(col("doc_id") + 100000, upper(col("text"))).limit(5))
+    val deduped = TextDedup.dropExactDuplicates(withDup, "doc_id", "text")
+    assert(deduped.count() == docs.count()) // case-variants collapse
+    assert(deduped.filter(col("doc_id") >= 100000).count() == 0) // lowest id wins
+  }
+}
