@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.defs,
     graft.queries.Quality.defs,
     graft.queries.Text.defs,
-    graft.queries.Vector.defs)
+    graft.queries.Vector.defs,
+    graft.queries.Stream.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.core.{QueryDef, Tables}
+import graft.multimodal.{MultimodalOps, StubDecoder}
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.functions._
+
+/** Batch-checkable faces of the streaming + multimodal surface: the same
+  * transform functions run under readStream (see EventStreamsSpec); here the
+  * finite-input results go through the correctness gate.
+  */
+object Stream {
+
+  /** Gap sessionization (30 min) over events — lag-gap-cumsum batch twin of
+    * the stateful streaming operator.
+    */
+  private val sessions = QueryDef(
+    (s, dir) =>
+      EventStreams.sessionizeBatch(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_start"),
+    """WITH t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM t)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin)
+
+  /** Binary media metadata: byte length + content hash over the opaque
+    * binary column (documents bytes standing in for media bytes).
+    */
+  private val binaryMeta = QueryDef(
+    (s, dir) =>
+      MultimodalOps.textAsMedia(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          octet_length(col("content")).as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("media_id"),
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY media_id""".stripMargin)
+
+  /** Stub decode + resize plumbing — rows-only (decoder features are
+    * engine-side); asserted value-wise in MultimodalSpec.
+    */
+  private val decodedMedia = QueryDef(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = MultimodalOps.textAsMedia(Tables.documents(s, dir), "doc_id", "text")
+        .as[graft.multimodal.MediaRecord]
+      MultimodalOps.resizeMeta(
+        MultimodalOps.decodeAll(media, StubDecoder).toDF(), maxEdge = 256)
+        .select("media_id", "kind", "byte_len", "width", "height",
+          "out_width", "out_height", "n_frames")
+        .orderBy("media_id")
+    },
+    None)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q55_sessions" -> sessions,
+    "q60_binary_meta" -> binaryMeta,
+    "q61_decoded_media" -> decodedMedia)
+}

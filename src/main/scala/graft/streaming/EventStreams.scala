@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mutable session accumulator carried in streaming state (top-level so the
+  * state encoder's generated code can construct it).
+  */
+final case class SessionState(start: Long, end: Long, n: Long)
+
+/** Structured Streaming operators over the events stream (north-star
+  * extension; the reference is batch-only — its freshness/append semantics
+  * map onto watermarks + dropDuplicatesWithinWatermark, SURVEY §2.8).
+  *
+  * Every transform here is a plain DataFrame→DataFrame function, so the same
+  * logic runs in batch (driver correctness gate) and under `readStream`
+  * (tested with file source + memory sink). State size is bounded by
+  * watermarks everywhere — unbounded state is the streaming equivalent of an
+  * unpartitioned shuffle at 100 TB.
+  */
+object EventStreams {
+
+  /** File-source stream over a *directory* of event parquet files (the file
+    * source tails directories — new files are new micro-batches), with the
+    * same nanos→micros ts handling as graft.core.Tables.events.
+    */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type; late data bounded by the
+    * watermark (append-mode compatible).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window rates (1h window, 15m slide). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming dedup on event_id with watermark-bounded state — the
+    * streaming twin of the reference's ingest dedup (D1).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  // state timestamps carried as epoch MICROS — getTime() alone would
+  // truncate to ms and disagree with the batch twin's unix_micros gaps
+  private def toMicros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  private def fromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of inactivity (event-time timeout). Custom state is the
+    * (c) tier of the custom-operator ladder — used here because no built-in
+    * operator expresses gap sessions.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId,
+              fromMicros(s.start), fromMicros(s.end), s.n))
+          } else {
+            val times = batch.map(e => toMicros(e.ts)).toSeq.sorted
+            // merge into existing or open sessions; emit every closed one
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += UserSession(userId,
+                    fromMicros(s.start), fromMicros(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin of sessionization (lag-gap-cumsum): same output for the
+    * finite case; used by tests to cross-check the stateful path and by the
+    * correctness gate as an oracle-friendly formulation.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_no")
+  }
+}

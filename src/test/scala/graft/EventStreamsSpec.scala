@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Streaming transforms driven end-to-end under readStream (file source →
+  * memory sink, processAllAvailable), cross-checked against their batch
+  * twins on the same finite input.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** The file stream source tails a directory; stage the single events
+    * parquet into one.
+    */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling-window counts under readStream match the batch computation") {
+    val streamed = runToMemory(
+      EventStreams.tumblingCounts(
+        EventStreams.readEvents(spark, eventsDir)),
+      "tumbling_out", mode = "complete") // complete: finite input, all windows
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a replayed stream") {
+    val deduped = runToMemory(
+      EventStreams.dedupWithinWatermark(
+        EventStreams.readEvents(spark, eventsDir)
+          .unionAll(EventStreams.readEvents(spark, eventsDir))),
+      "dedup_out")
+    val expected = Tables.events(spark, SparkTestSession.sfDir).count()
+    assert(deduped.count() == expected)
+  }
+
+  test("stateful sessionization emits the same sessions as the batch twin") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStreams.SessionEvent]
+    val streamed = runToMemory(
+      EventStreams.sessionize(events, gapMs = 30 * 60 * 1000L).toDF(), "sessions_out")
+    val batch = EventStreams.sessionizeBatch(
+      Tables.events(spark, SparkTestSession.sfDir), gapMs = 30 * 60 * 1000L)
+    // append-mode streaming only emits sessions closed by the watermark; on a
+    // finite input the final open session per user stays in state. Everything
+    // emitted must be a real session, and most sessions must have closed.
+    val streamedSet = streamed
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSet
+    val batchSet = batch
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSet
+    assert(streamedSet.subsetOf(batchSet))
+    assert(streamedSet.size >= batchSet.size - 150) // ≤1 open session per user
+    assert(streamedSet.nonEmpty)
+  }
+}
