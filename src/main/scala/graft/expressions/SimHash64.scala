@@ -1,0 +1,59 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of a text column in one pass: FNV-1a hash per whitespace
+  * token, ±1 vote per bit, sign of the per-bit sum.
+  *
+  * Replaces the explode-tokens → 64-conditional-sums groupBy formulation:
+  * same signature structure with zero shuffle and no token-row explosion —
+  * per document the whole computation is this single loop.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val votes = new Array[Int](64)
+    var h = 0xCBF29CE484222325L
+    var inToken = false
+
+    def vote(tok: Long): Unit = {
+      var b = 0
+      while (b < 64) {
+        if (((tok >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i)
+      val isSpace = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      if (isSpace) {
+        if (inToken) { vote(h); h = 0xCBF29CE484222325L; inToken = false }
+      } else {
+        h = (h ^ (c & 0xFFL)) * 0x100000001B3L
+        inToken = true
+      }
+      i += 1
+    }
+    if (inToken) vote(h)
+
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

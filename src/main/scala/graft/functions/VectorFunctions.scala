@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product: sequential double fold over zipped elements. */
+  /** Dot product: sequential double fold, as a native codegen'd expression
+    * (graft.expressions.FloatVecDot). The higher-order formulation
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` computes the same value but
+    * interpreted — ~an order of magnitude slower in pair-heavy plans.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.FloatVecDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)

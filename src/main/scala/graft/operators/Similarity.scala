@@ -15,19 +15,28 @@ import graft.functions.VectorFunctions._
   * by signature; IVF partitions the corpus by nearest coarse centroid and
   * probes only the closest cells. Both reduce to broadcast-join + partial
   * top-k — no all-pairs stage anywhere.
+  *
+  * Norms are projected ONCE per vector before any pairing (`withNorm`), so a
+  * pair evaluation is a single dot product — per-pair norm recomputation
+  * would multiply the flop count by 3 for identical results.
   */
 object Similarity {
+
+  private def withNorm(df: DataFrame, embCol: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(normSq(col(embCol))))
 
   /** Exact top-k cosine neighbors for each query vector. Queries are
     * broadcast; per-query ranking is a window over the candidate set.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val cos: Column = cosine(col("q_emb"), col("embedding"))
-    val scored = corpus
+    val q = broadcast(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_norm"))
+    val c = withNorm(corpus.select(col("vec_id"), col("embedding")), "embedding", "c_norm")
+    val scored = c
       .join(q, col("query_id") =!= col("vec_id")) // all query-candidate pairs, self excluded
-      .withColumn("cos_sim", cos)
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -41,14 +50,17 @@ object Similarity {
     */
   def similarPairsBlocked(corpus: DataFrame, blockCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(blockCol), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = corpus.select(col(blockCol), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    val cos: Column = cosine(col("emb_a"), col("emb_b"))
+    val normed = withNorm(
+      corpus.select(col(blockCol), col("vec_id"), col("embedding")),
+      "embedding", "nrm")
+    val a = normed.select(col(blockCol), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = normed.select(col(blockCol), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, Seq(blockCol))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", cos)
+      .withColumn("cos_sim",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col(blockCol), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
@@ -58,14 +70,17 @@ object Similarity {
     * exact cosine. Trades recall for a ~2^bits reduction in scanned rows.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val bucketed = withNorm(corpus, "embedding", "c_norm")
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), bits))
+    val q = broadcast(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_norm")
       .withColumn("bucket", hyperplaneBucket(col("q_emb"), bits)))
     val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
     bucketed.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
@@ -93,19 +108,23 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, cellCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val cents = broadcast(ivfCentroids(corpus, cellCol))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_norm")
     val wProbe = Window.partitionBy("query_id").orderBy(desc("cent_sim"), asc("cell"))
     val probed = broadcast(
       q.crossJoin(cents)
         .withColumn("cent_sim", cosine(col("q_emb"), col("centroid")))
         .withColumn("probe_rank", row_number().over(wProbe))
         .filter(col("probe_rank") <= nprobe)
-        .select(col("query_id"), col("q_emb"), col("cell")))
+        .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell")))
+    val c = withNorm(corpus, "embedding", "c_norm")
     val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-    corpus
-      .join(probed, corpus(cellCol) === probed("cell"))
+    c
+      .join(probed, c(cellCol) === probed("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))

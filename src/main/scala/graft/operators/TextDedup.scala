@@ -45,8 +45,17 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Pairs join on 64-bit shingle HASHES (one-pass ShingleHashes), not the
+    // shingle strings: identical distinct/intersection counts (collisions at
+    // 2^-64 are noise) with a fixed-8-byte shuffle key instead of a string.
+    // The expansion feeds four plan branches (sizes, doc-freq filter, both
+    // join sides) — persist it once instead of re-exploding per branch.
     val docShingles = df
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .select(col(idCol).as("doc"),
+        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), n))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docShingles.groupBy("doc").agg(count(lit(1)).as("sz"))
     val filtered = docShingles.join(
       docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -67,19 +76,45 @@ object TextDedup {
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
-  /** MinHash signatures: k permutation-free min-hashes per document over its
-    * distinct shingles, using xxhash64 with k seeds. One explode + one
-    * groupBy; signature is an array<bigint> of length k.
+  /** Deterministic splitmix64 finalizer — mixes an index into a
+    * pseudo-random 64-bit constant for the universal hash family.
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signatures: k min-hashes per document over its distinct
+    * shingles. One xxhash64 per shingle gives the base hash; the k values
+    * come from a universal family h_i = a_i·h + b_i (64-bit wraparound,
+    * constants from splitmix64) — k multiply-adds instead of k full string
+    * hashes, which is what makes the sketch CPU-bound on arithmetic rather
+    * than hashing at corpus scale. One explode + one groupBy; signature is
+    * an array<bigint> of length k.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // one-pass shingle hashing (no shingle strings — see ShingleHashes)
     val docShingles = df
       .select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), n))).as("h"))
+    val mins = (0 until k).map { i =>
+      val a = splitmix64(2L * i) | 1L // odd multiplier
+      val b = splitmix64(2L * i + 1)
+      min(ColumnBridge.column(graft.expressions.WrapMulAdd(
+        ColumnBridge.expression(col("h")), a, b))).as(s"h$i")
+    }
     docShingles.groupBy("doc")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+      // signatures feed banding AND pair verification (3 plan branches);
+      // persist — at cluster scale this would be a checkpoint to shuffle-safe
+      // storage instead
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** LSH banding over MinHash signatures: split the k-length signature into
@@ -114,31 +149,25 @@ object TextDedup {
       minJaccard: Double): DataFrame = {
     val sa = signatures.select(col("doc").as("doc_a"), col("signature").as("sig_a"))
     val sb = signatures.select(col("doc").as("doc_b"), col("signature").as("sig_b"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / size(col("sig_a")))
+        ColumnBridge.column(graft.expressions.LongArrayMatchFrac(
+          ColumnBridge.expression(col("sig_a")),
+          ColumnBridge.expression(col("sig_b")))))
       .filter(col("est_jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
   /** SimHash 64-bit signature per document: sign of the per-bit sum of
-    * token-hash bits. Single groupBy with 64 conditional sums — codegen'd,
-    * no per-bit row explosion.
+    * token-hash bits, computed in one pass per document by the SimHash64
+    * expression — a pure projection, zero shuffle.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docTokens = df.select(col(idCol).as("doc"),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    docTokens.groupBy("doc")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.expressions.SimHash64(
+        ColumnBridge.expression(col(textCol)))).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: candidates via 4-band exact-match blocking

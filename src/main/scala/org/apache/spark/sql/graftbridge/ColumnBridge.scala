@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column↔Expression conversion (Spark 4
+  * moved it behind the classic/connect split). Lives in the
+  * org.apache.spark.sql namespace solely to satisfy the access modifier —
+  * the one sanctioned way for third-party Catalyst expressions to surface as
+  * Columns without a SessionExtensions registration round-trip.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
