@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Quality.defs,
     graft.queries.Text.defs,
     graft.queries.Vector.defs,
-    graft.queries.Stream.defs)
+    graft.queries.Stream.defs,
+    graft.queries.Extra.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

@@ -1,0 +1,91 @@
+package graft.observe
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Execution metrics + alerting, re-expressing the reference's monitoring
+  * surface (reference scripts/monitoring/pipeline_monitor.py:35-48 metric
+  * collection, :280-285 thresholds; scripts/utils/logger.py:141-168
+  * quality-rate and throughput metrics) on Spark-native sources: a
+  * SparkListener for task/bytes/time, wall-clock timers for throughput.
+  */
+final case class MetricsSnapshot(
+    recordsRead: Long, bytesRead: Long, shuffleBytesWritten: Long,
+    taskTimeMs: Long, failedTasks: Long)
+
+final class PipelineMetrics extends SparkListener {
+  private val records = new java.util.concurrent.atomic.AtomicLong
+  private val bytes = new java.util.concurrent.atomic.AtomicLong
+  private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  private val taskTime = new java.util.concurrent.atomic.AtomicLong
+  private val failed = new java.util.concurrent.atomic.AtomicLong
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      records.addAndGet(m.inputMetrics.recordsRead)
+      bytes.addAndGet(m.inputMetrics.bytesRead)
+      shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      taskTime.addAndGet(m.executorRunTime)
+    }
+    if (taskEnd.reason != org.apache.spark.Success) failed.incrementAndGet()
+  }
+
+  def snapshot: MetricsSnapshot = MetricsSnapshot(
+    records.get, bytes.get, shuffleBytes.get, taskTime.get, failed.get)
+
+  def attach(spark: SparkSession): this.type = {
+    spark.sparkContext.addSparkListener(this); this
+  }
+  def detach(spark: SparkSession): Unit =
+    spark.sparkContext.removeSparkListener(this)
+}
+
+/** Threshold alerting (reference pipeline_monitor.py:280-312): pipeline
+  * duration > 60 min → warning; error rate > 5% → critical.
+  */
+final case class Alert(name: String, severity: String, detail: String)
+
+object AlertManager {
+  def evaluate(
+      durationMs: Long,
+      processed: Long,
+      errors: Long,
+      maxDurationMs: Long = 60 * 60 * 1000L,
+      maxErrorRate: Double = 0.05): Seq[Alert] = {
+    val durationAlert =
+      if (durationMs > maxDurationMs)
+        Some(Alert("pipeline_duration", "warning",
+          s"${durationMs / 60000} min exceeds ${maxDurationMs / 60000} min"))
+      else None
+    val errRate = if (processed == 0) 0.0 else errors.toDouble / processed
+    val errorAlert =
+      if (errRate > maxErrorRate)
+        Some(Alert("error_rate", "critical",
+          f"$errRate%.3f exceeds $maxErrorRate%.2f"))
+      else None
+    (durationAlert ++ errorAlert).toSeq
+  }
+
+  /** records/sec throughput metric (reference logger.py:156-168). */
+  def throughput(processed: Long, durationMs: Long): Double =
+    if (durationMs == 0) 0.0 else processed * 1000.0 / durationMs
+}
+
+/** Data-freshness classification (reference
+  * scripts/monitoring/health_check.py:318-387: fresh ≤12 h, aging ≤24 h,
+  * stale >24 h) from the max event-time of a table — a single max()
+  * aggregate, pushdown-friendly.
+  */
+object Freshness {
+  def check(df: DataFrame, tsCol: String, nowEpochSec: Long,
+      freshHours: Int = 12, agingHours: Int = 24): DataFrame =
+    df.agg(max(col(tsCol)).as("latest"))
+      .withColumn("age_hours",
+        (lit(nowEpochSec) - unix_timestamp(col("latest"))) / 3600.0)
+      .withColumn("status",
+        when(col("age_hours") <= freshHours, "fresh")
+          .when(col("age_hours") <= agingHours, "aging")
+          .otherwise("stale"))
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Scd2
+
+/** Remaining SURVEY §2 inventory entries exposed through the correctness
+  * gate: SCD2 snapshots (S8), the rolling trend-compliance check (§2.8
+  * window), and heuristic language-ID (north-star text op).
+  */
+object Extra {
+
+  /** SCD2 validity intervals over per-user event versions (S8). */
+  private val scd2Snapshot = QueryDef(
+    (s, dir) =>
+      Scd2.buildSnapshot(
+        Tables.events(s, dir).select("user_id", "event_id", "ts", "event_type"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieBreak = Seq("event_id"))
+        .select("user_id", "event_id", "version", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version"),
+    """SELECT user_id, event_id,
+      |  ROW_NUMBER() OVER w AS version,
+      |  ts AS valid_from,
+      |  LEAD(ts, 1) OVER w AS valid_to,
+      |  LEAD(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin)
+
+  /** Rolling trend compliance (reference
+    * test_insurance_data_quality.py:269-289): fraction of consecutive
+    * per-customer orders whose price holds ≥80% of the previous one.
+    */
+  private val rollingTrend = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("prev_price").isNotNull)
+        .agg(
+          avg(when(col("o_totalprice") >= col("prev_price") * 0.8, 1.0).otherwise(0.0))
+            .as("compliance"),
+          count(lit(1)).as("n_pairs"))
+    },
+    """SELECT AVG(CASE WHEN o_totalprice >= prev_price * 0.8 THEN 1.0 ELSE 0.0 END) AS compliance,
+      |  COUNT(*) AS n_pairs
+      |FROM (SELECT o_totalprice,
+      |        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+      |      FROM orders)
+      |WHERE prev_price IS NOT NULL""".stripMargin)
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(list_filter(string_split(trim(text), ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(",")})))"
+
+  /** Heuristic language-ID: argmax of per-language stopword hits (first
+    * profile wins ties; 'und' when nothing matches), tallied per tag.
+    */
+  private val langId = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("lang_guess",
+          TextFunctions.languageId(col("text"), langProfiles))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_guess"),
+    s"""WITH scored AS (
+       |  SELECT lang, ${langProfiles.map { case (l, st) => s"${sqlHits(st)} AS hits_$l" }.mkString(", ")}
+       |  FROM documents),
+       |guessed AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(${langProfiles.map("hits_" + _._1).mkString(", ")}) = 0 THEN 'und'
+       |         ${langProfiles.map { case (l, _) =>
+                   s"WHEN hits_$l = greatest(${langProfiles.map("hits_" + _._1).mkString(", ")}) THEN '$l'"
+                 }.mkString(" ")}
+       |    END AS lang_guess
+       |  FROM scored)
+       |SELECT lang, lang_guess, COUNT(*) AS n_docs
+       |FROM guessed GROUP BY lang, lang_guess
+       |ORDER BY lang, lang_guess""".stripMargin)
+
+  val defs: Map[String, QueryDef] = Map(
+    "q19_scd2" -> scd2Snapshot,
+    "q25_rolling_trend" -> rollingTrend,
+    "q44_lang_id" -> langId)
+}
