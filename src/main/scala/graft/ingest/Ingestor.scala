@@ -20,6 +20,9 @@ import graft.sources.TableFormat
   *                    highest value; reference dropDuplicates keeps an
   *                    arbitrary row — SURVEY §7.4)
   * @param format      csv | parquet | json
+  * @param partitionBy partition columns for the bronze table (e.g. an
+  *                    ingestion-date column) — at scale this is what makes
+  *                    downstream date-bounded reads prune instead of scan
   */
 final case class IngestSpec(
     name: String,
@@ -28,7 +31,8 @@ final case class IngestSpec(
     schema: Option[StructType] = None,
     dedupKeys: Seq[String] = Nil,
     orderCol: Option[String] = None,
-    format: String = "csv")
+    format: String = "csv",
+    partitionBy: Seq[String] = Nil)
 
 /** @param rowsRead rows scanned from source (pre-dedup)
   * @param rowsWritten rows appended to the bronze table
@@ -75,7 +79,7 @@ final class Ingestor(format: TableFormat, batchId: String) {
       // metrics arrive)
       val obs = new org.apache.spark.sql.Observation(s"ingest_${spec.name}")
       val observed = deduped.observe(obs, count(lit(1)).as("rows_written"))
-      format.appendMergeSchema(spark, observed, spec.targetTable)
+      format.appendMergeSchema(spark, observed, spec.targetTable, spec.partitionBy)
       val written = obs.get("rows_written").asInstanceOf[Long]
       val read =
         if (spec.dedupKeys.isEmpty) written

@@ -20,6 +20,15 @@ final case class Model(
     build: SparkSession => DataFrame,
     rules: Option[RuleSet] = None)
 
+object Model {
+  /** SQL-string model — the dbt SELECT ports verbatim through spark.sql
+    * (reference dbt/models/bronze/bronze_claims.sql shape).
+    */
+  def sql(name: String, targetTable: String, query: String,
+      deps: Seq[String] = Nil, rules: Option[RuleSet] = None): Model =
+    Model(name, targetTable, deps, s => s.sql(query), rules)
+}
+
 final case class ModelRun(
     name: String, ok: Boolean, rows: Long, testViolations: Long,
     error: Option[String] = None)
