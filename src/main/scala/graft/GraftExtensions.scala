@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.expressions.{FloatVecDot, LongArrayMatchFrac, ShingleHashes, SimHash64}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so the `spark.sql` surface (and dbt-style SQL-string models)
+  * can call them directly:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Covers: vec_dot(array<float>, array<float>) → double,
+  * shingle_hashes(text, n) → array<bigint>, simhash64(text) → bigint,
+  * minhash_match_frac(array<bigint>, array<bigint>) → double.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float arrays",
+      args => FloatVecDot(args(0), args(1))),
+    ("simhash64", "simhash64(text) - 64-bit SimHash signature",
+      args => SimHash64(args.head)),
+    ("shingle_hashes", "shingle_hashes(text, n) - distinct word n-gram hashes",
+      args => ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])),
+    ("minhash_match_frac",
+      "minhash_match_frac(a, b) - fraction of agreeing signature positions",
+      args => LongArrayMatchFrac(args(0), args(1))))
+
+  /** Register the same functions on an already-built session (temp-function
+    * scope) — for sessions the caller doesn't construct.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.Scd2
+import graft.operators.{AsOfJoin, Scd2}
 
 /** Remaining SURVEY §2 inventory entries exposed through the correctness
   * gate: SCD2 snapshots (S8), the rolling trend-compliance check (§2.8
@@ -87,8 +87,35 @@ object Extra {
        |FROM guessed GROUP BY lang, lang_guess
        |ORDER BY lang, lang_guess""".stripMargin)
 
+  /** As-of join: each purchase event matched to the user's most recent
+    * prior view (right side pre-deduped per (user, ts) so ties are
+    * deterministic on both engines).
+    */
+  private val asofJoin = QueryDef(
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+      AsOfJoin.joinAsOf(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightValueCols = Seq("v_value"))
+        .withColumnRenamed("asof_ts", "view_ts")
+        .withColumnRenamed("asof_v_value", "view_value")
+        .orderBy("event_id")
+    },
+    """WITH views AS (SELECT user_id, ts, max(value) AS v_value FROM events
+      |               WHERE event_type = 'view' GROUP BY 1, 2),
+      |purchases AS (SELECT event_id, user_id, ts FROM events
+      |              WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.v_value AS view_value
+      |FROM purchases p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q25_rolling_trend" -> rollingTrend,
+    "q26_asof_join" -> asofJoin,
     "q44_lang_id" -> langId)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom expressions surfaced as SQL functions, both via
+  * SparkSessionExtensions (session build time) and GraftExtensions.register
+  * (existing session).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("vec_dot is callable from SQL and matches the fold") {
+    val got = spark.sql(
+      "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(0.5 as float))) AS d")
+      .head.getDouble(0)
+    assert(got == 1.5 * 2.0 + 2.0 * 0.5)
+  }
+
+  test("simhash64 and shingle_hashes run from SQL") {
+    val row = spark.sql(
+      "SELECT simhash64('spark native engine') AS sh, " +
+        "size(shingle_hashes('a b c d', 3)) AS n").head
+    assert(row.getLong(0) != 0L)
+    assert(row.getInt(1) == 2) // 'a b c', 'b c d'
+  }
+
+  test("minhash_match_frac computes agreement from SQL") {
+    val got = spark.sql(
+      "SELECT minhash_match_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 7L)) AS f")
+      .head.getDouble(0)
+    assert(got == 0.5)
+  }
+
+  test("withExtensions wires the same registry at session build time") {
+    // a fresh session (shared context) built with the extensions class;
+    // clear default/active so getOrCreate actually constructs one
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2.sql("SELECT vec_dot(array(cast(1.0 as float)), array(cast(3.0 as float)))")
+        .head.getDouble(0) == 3.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
