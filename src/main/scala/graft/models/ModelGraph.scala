@@ -39,7 +39,8 @@ final case class ModelRun(
   * failures tolerated but counted (orchestrator.py:84-85 semantics).
   */
 final class ModelGraph(models: Seq[Model], format: TableFormat,
-    failuresTable: Option[String] = None) {
+    failuresTable: Option[String] = None,
+    analyzeTables: Boolean = false) {
 
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
@@ -71,6 +72,11 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
       } else Try {
         val df = m.build(spark)
         format.overwrite(spark, df, m.targetTable)
+        // on-run-end statistics hook (reference dbt_project.yml:95-97
+        // ANALYZE TABLE ... COMPUTE STATISTICS) — feeds CBO broadcast and
+        // join-reorder decisions on the materialized tables
+        if (analyzeTables)
+          spark.sql(s"ANALYZE TABLE ${m.targetTable} COMPUTE STATISTICS")
         val materialized = spark.table(m.targetTable)
         val violations = m.rules.map { rs =>
           val fails = rs.failures(materialized)

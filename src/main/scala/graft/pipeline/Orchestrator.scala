@@ -46,11 +46,32 @@ final case class PipelineReport(
   * reference's subprocess retry policy (config.py:58-59).
   */
 final class Orchestrator(cfg: AppConfig, format: TableFormat,
-    retrySleepMs: Long = 0L) {
+    retrySleepMs: Long = 0L,
+    stepTimeouts: Map[String, Long] = Orchestrator.defaultTimeouts) {
 
-  private def timed[A](step: String)(body: => A): (Try[A], StepResult) = {
+  /** Run `body` with retries and a per-step wall-clock timeout. On timeout,
+    * jobs tagged with the step's job group are cancelled on the cluster —
+    * the in-session analogue of the reference's subprocess timeouts
+    * (orchestrator.py:35,70,78 — 1800 s ingest, 3600 s transform).
+    */
+  private def timed[A](step: String, spark: SparkSession)(body: => A): (Try[A], StepResult) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeoutMs = stepTimeouts.getOrElse(step, Long.MaxValue)
     val t0 = System.nanoTime()
-    def attempt(remaining: Int): Try[A] = Try(body) match {
+    def once: Try[A] = {
+      val fut = Future {
+        spark.sparkContext.setJobGroup(s"graft-$step", step, interruptOnCancel = true)
+        try body finally spark.sparkContext.clearJobGroup()
+      }
+      Try(Await.result(fut, timeoutMs.millis)).recoverWith {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"graft-$step")
+          Failure(new RuntimeException(s"step $step timed out after $timeoutMs ms"))
+      }
+    }
+    def attempt(remaining: Int): Try[A] = once match {
       case f @ Failure(_) if remaining > 0 =>
         if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
         attempt(remaining - 1)
@@ -74,7 +95,7 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
 
     // step 1: ingestion (fail-fast if ANY entity failed — orchestrator.py:157-160)
-    val (ingTry, ingStep) = timed("ingestion") {
+    val (ingTry, ingStep) = timed("ingestion", spark) {
       val rs = new Ingestor(format, batchId).ingestAll(spark, specs)
       if (!rs.forall(_.ok))
         throw new RuntimeException(
@@ -85,7 +106,7 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
     if (!ingStep.ok) return PipelineReport(Seq(ingStep), ingests, Nil)
 
     // step 2: transformations (model builds fail-fast; orchestrator.py:66-74)
-    val (mdlTry, mdlStep0) = timed("transformations") {
+    val (mdlTry, mdlStep0) = timed("transformations", spark) {
       val runs = new ModelGraph(models, format,
         failuresTable = Some(cfg.tableName(Layer.Gold, "test_failures"))).run(spark)
       if (!runs.forall(_.ok))
@@ -104,4 +125,13 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
 
     PipelineReport(Seq(ingStep, mdlStep0, qStep), ingests, modelRuns)
   }
+}
+
+object Orchestrator {
+  /** Reference step timeouts (orchestrator.py:35,70): 1800 s ingestion,
+    * 3600 s transformations.
+    */
+  val defaultTimeouts: Map[String, Long] = Map(
+    "ingestion" -> 1800000L,
+    "transformations" -> 3600000L)
 }

@@ -113,9 +113,56 @@ object Extra {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** CUBE aggregation (SURVEY §2.4 A9's second half): all grouping-set
+    * combinations of status × priority. SQL path for the same
+    * ambiguity-check reason as q11_rollup.
+    */
+  private val cubeAgg = QueryDef(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_cube")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping_id() AS INT) AS gid
+        |FROM graft_orders_cube
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+
+  /** Exact interpolated percentiles per group (median & quartiles) —
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * sort-and-interpolate definition.
+    */
+  private val percentiles = QueryDef(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
+    "q27_cube" -> cubeAgg,
+    "q28_percentiles" -> percentiles,
     "q44_lang_id" -> langId)
 }

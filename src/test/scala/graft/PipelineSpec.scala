@@ -97,6 +97,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.contains("claims"))
   }
 
+  test("a step exceeding its timeout aborts with a timeout error") {
+    val cfg = AppConfig(appName = "grafttimeout", maxRetries = 0)
+    val orch = new Orchestrator(cfg, ParquetTableFormat,
+      stepTimeouts = Map("ingestion" -> 50L))
+    val dir = Fixtures.tempDir()
+    val csv = Fixtures.writeCsv(dir, "claims.csv",
+      Fixtures.claimsHeader, Fixtures.claimsRows)
+    val slow = orch.run(spark,
+      specs = Seq(IngestSpec("slow", csv,
+        cfg.tableName(graft.core.Layer.Bronze, "claims"))),
+      models = Nil)
+    assert(!slow.ok)
+    assert(slow.steps.head.detail.contains("timed out"))
+  }
+
   test("a missing source fails fast with an isolated error") {
     val cfg = AppConfig(appName = "graftbad")
     val orch = new Orchestrator(cfg, ParquetTableFormat)
