@@ -66,24 +66,25 @@ final class Ingestor(format: TableFormat, batchId: String) {
       val raw = (if (spec.format == "csv") withSchema.option("header", "true")
         else withSchema).load(spec.path)
 
-      // metadata stamping (ingestion.py:77-80)
+      // metadata stamping (ingestion.py:77-80) + pre-dedup count observation:
+      // the reference runs count() before AND after dedup, re-scanning the
+      // source twice (ingestion.py:83-88); here BOTH counts ride the single
+      // write pass as Observations (pre-dedup node + post-dedup node), so
+      // the source is scanned exactly once
+      val obsRead = new org.apache.spark.sql.Observation(s"read_${spec.name}")
       val stamped = raw
         .withColumn("ingestion_timestamp", current_timestamp())
         .withColumn("source_file", lit(spec.path))
         .withColumn("ingestion_batch_id", lit(batchId))
+        .observe(obsRead, count(lit(1)).as("rows_read"))
 
       val deduped = dedup(stamped, spec)
 
-      // one pass: rows_written from an Observation riding the write action
-      // (no separate count job; Observation.get blocks until the write's
-      // metrics arrive)
-      val obs = new org.apache.spark.sql.Observation(s"ingest_${spec.name}")
-      val observed = deduped.observe(obs, count(lit(1)).as("rows_written"))
+      val obsWritten = new org.apache.spark.sql.Observation(s"write_${spec.name}")
+      val observed = deduped.observe(obsWritten, count(lit(1)).as("rows_written"))
       format.appendMergeSchema(spark, observed, spec.targetTable, spec.partitionBy)
-      val written = obs.get("rows_written").asInstanceOf[Long]
-      val read =
-        if (spec.dedupKeys.isEmpty) written
-        else stamped.count() // second scan only when dedup can drop rows
+      val written = obsWritten.get("rows_written").asInstanceOf[Long]
+      val read = obsRead.get("rows_read").asInstanceOf[Long]
       IngestResult(spec.name, ok = true, rowsRead = read, rowsWritten = written,
         duplicatesRemoved = read - written)
     } catch {

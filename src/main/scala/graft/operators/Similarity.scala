@@ -101,6 +101,48 @@ object Similarity {
           .as("centroid"))
   }
 
+  /** Distributed Lloyd k-means over embeddings: seed centroids from
+    * hash-partition means (vec_id mod k — deterministic, no RNG state),
+    * then iterate assign-to-nearest / recompute-means. Each iteration is
+    * one broadcast join + one 64-column groupBy — no all-pairs stage, and
+    * centroid count stays driver-side tiny. This is the trained form of
+    * [[ivfCentroids]]'s seeded cells.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seeded = corpus.withColumn("cell", pmod(col("vec_id"), lit(k)))
+    var cents = ivfCentroids(seeded, "cell")
+    var i = 0
+    while (i < iters) {
+      cents = ivfCentroids(assignCells(corpus, cents), "cell")
+      i += 1
+    }
+    cents
+  }
+
+  /** Assign every vector to its nearest centroid by cosine (deterministic
+    * tie-break on the lower cell id) — broadcast centroids, no shuffle of
+    * the corpus.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = withNorm(corpus.select("vec_id", "embedding"), "embedding", "__v_norm")
+    val cents = broadcast(withNorm(centroids, "centroid", "__c_norm"))
+    val best = c.crossJoin(cents)
+      .withColumn("__sim",
+        dot(col("embedding"), col("centroid")) / (col("__v_norm") * col("__c_norm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("__sim"), (-col("cell")).as("cell"))).as("__best"))
+      .select(col("vec_id"), (-col("__best").getField("cell")).as("cell"))
+    corpus.drop("cell").join(best, "vec_id")
+  }
+
+  /** IVF with trained (k-means) cells: train, assign, probe. */
+  def knnIvfTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, kCells: Int, iters: Int = 3): DataFrame = {
+    val assigned = assignCells(corpus, kmeansCentroids(corpus, kCells, iters))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    knnIvf(assigned, queries, "cell", k, nprobe)
+  }
+
   /** IVF probe: assign each query to its nearest `nprobe` centroids
     * (broadcast — centroid count is tiny), then exact-rank only within the
     * probed cells.

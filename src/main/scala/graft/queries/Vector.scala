@@ -65,12 +65,14 @@ object Vector {
     },
     None)
 
-  /** IVF(nprobe=2) approximate top-5 with label-seeded cells — rows-only. */
+  /** IVF approximate top-5 with k-means-trained cells (8 cells, 3 Lloyd
+    * iterations, nprobe=3) — rows-only; recall floor asserted in ScalaTest.
+    */
   private val knnIvf = QueryDef(
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      Similarity.knnIvf(corpus, corpus.filter(col("vec_id") < 10), "label",
-        k = 5, nprobe = 2)
+      Similarity.knnIvfTrained(corpus, corpus.filter(col("vec_id") < 10),
+        k = 5, nprobe = 3, kCells = 8, iters = 3)
         .orderBy("query_id", "rank")
     },
     None)

@@ -120,6 +120,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest into a medallion table: each micro-batch appends
+    * through the TableFormat seam (schema evolution included) — the
+    * streaming twin of graft.ingest.Ingestor. Caller starts/stops the query.
+    */
+  def sinkToTable(stream: DataFrame, format: graft.sources.TableFormat,
+      table: String, checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        format.appendMergeSchema(batch.sparkSession, batch, table)
+      }
+
   /** Batch twin of sessionization (lag-gap-cumsum): same output for the
     * finite case; used by tests to cross-check the stateful path and by the
     * correctness gate as an oracle-friendly formulation.

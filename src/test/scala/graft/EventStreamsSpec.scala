@@ -57,6 +57,19 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(deduped.count() == expected)
   }
 
+  test("streaming ingest sinks micro-batches into a medallion table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_test")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventStreams.sinkToTable(
+      EventStreams.readEvents(spark, eventsDir),
+      graft.sources.ParquetTableFormat,
+      "stream_test.events_bronze", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("stream_test.events_bronze").count() ==
+      Tables.events(spark, SparkTestSession.sfDir).count())
+  }
+
   test("stateful sessionization emits the same sessions as the batch twin") {
     val events = EventStreams.readEvents(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("event_type"))

@@ -66,6 +66,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.values.forall(_ == 5))
   }
 
+  test("k-means IVF: k cells, deterministic assignment, sane recall") {
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    assert(cents.count() == 8)
+    val assigned = Similarity.assignCells(emb, cents)
+    assert(assigned.count() == emb.count())
+    val again = Similarity.assignCells(emb, cents)
+    assert(assigned.select("vec_id", "cell")
+      .exceptAll(again.select("vec_id", "cell")).count() == 0)
+    // trained IVF with nprobe=3/8 must find a nontrivial share of the true
+    // top-5 (Voronoi cells correlate with cosine proximity)
+    val exact = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvfTrained(emb, emb.filter(col("vec_id") < 10),
+      k = 5, nprobe = 3, kCells = 8, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf).toDouble / exact.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("LSH KNN results are true cosines, verifiable against brute force") {
     val exact = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), k = 5)
       .select("query_id", "neighbor_id", "cos_sim")
