@@ -18,6 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Native whole-operator form (graft.plans.AsOfJoinPlan): per-side shuffle
+    * + in-partition sort + single streaming merge. Column names must be
+    * disjoint between `left` and `right` (rename the right side first).
+    * Right columns come back null-extended where no prior row exists.
+    */
+  def joinAsOfNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = ColumnBridge.analyzedPlan(left)
+    val rp = ColumnBridge.analyzedPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(lp, rp,
+      attr(lp, key), attr(lp, leftTs), attr(rp, rightKey), attr(rp, rightTs)))
+  }
+
   def joinAsOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,

@@ -110,13 +110,29 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val seeded = corpus.withColumn("cell", pmod(col("vec_id"), lit(k)))
-    var cents = ivfCentroids(seeded, "cell")
+    var cents = materializeCentroids(ivfCentroids(seeded, "cell"))
     var i = 0
     while (i < iters) {
-      cents = ivfCentroids(assignCells(corpus, cents), "cell")
+      cents = materializeCentroids(ivfCentroids(assignCells(corpus, cents), "cell"))
       i += 1
     }
     cents
+  }
+
+  /** Centroids are driver-state (k × dim floats): collect and rebuild as a
+    * local DataFrame so each Lloyd iteration starts from data, not from the
+    * whole previous iteration's lineage (which would re-execute
+    * multiplicatively).
+    */
+  private def materializeCentroids(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    val rows: Seq[(Int, Seq[Float])] = cents
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    rows.toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>"))
   }
 
   /** Assign every vector to its nearest centroid by cosine (deterministic

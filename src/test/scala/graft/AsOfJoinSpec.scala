@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+
+/** As-of join: composed (union+window) and native (custom SparkPlan) forms
+  * must agree exactly; the native plan must shuffle-sort-merge.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val events = Tables.events(spark, SparkTestSession.sfDir).cache()
+  lazy val purchases = events.filter(col("event_type") === "purchase")
+    .select("event_id", "user_id", "ts")
+  lazy val views = events.filter(col("event_type") === "view")
+    .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    .agg(max("value").as("v_value"))
+
+  lazy val composed = AsOfJoin.joinAsOf(
+    purchases,
+    views.select(col("v_user").as("user_id"), col("v_ts").as("ts"), col("v_value")),
+    key = "user_id", leftTs = "ts", rightTs = "ts",
+    rightValueCols = Seq("v_value"))
+    .select(col("event_id"), col("asof_ts").as("v_ts"), col("asof_v_value").as("v_value"))
+
+  lazy val native = AsOfJoin.joinAsOfNative(
+    purchases, views, key = "user_id", leftTs = "ts",
+    rightKey = "v_user", rightTs = "v_ts")
+    .select("event_id", "v_ts", "v_value")
+
+  test("native custom-plan as-of join equals the composed form") {
+    assert(native.count() == purchases.count())
+    assert(composed.exceptAll(native).count() == 0)
+    assert(native.exceptAll(composed).count() == 0)
+  }
+
+  test("native plan is the custom exec with shuffle + sort children") {
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  test("left rows with no prior right row are null-extended") {
+    val firstPurchase = native.orderBy("event_id").head
+    // event 2 (user 12) precedes any view for that user in this dataset
+    assert(firstPurchase.isNullAt(1) && firstPurchase.isNullAt(2))
+  }
+}
