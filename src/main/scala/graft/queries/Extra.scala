@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
+import graft.core.OracleArith._
 import graft.functions.TextFunctions
 import graft.operators.{AsOfJoin, Scd2}
 
@@ -158,8 +159,53 @@ object Extra {
       |FROM orders GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin)
 
+  /** Salted two-phase aggregation (hot-key mitigation): the oracle is the
+    * plain GROUP BY it must be indistinguishable from.
+    */
+  private val saltedAgg = QueryDef(
+    (s, dir) =>
+      graft.operators.Skew.saltedAggregate(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), buckets = 16,
+        partialAggs = Seq(
+          sum(dec2(col("l_quantity"))).as("pq"),
+          count(lit(1)).as("pn")),
+        finalAggs = Seq(
+          sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n")))
+        .orderBy("l_returnflag"),
+    s"""SELECT l_returnflag, ${sqlSumDec("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Binned range join: orders matched to uneven price bands via the
+    * bin-explode equi-join (hash join, not nested loop), aggregated per
+    * band. Oracle is DuckDB's native interval join over the same VALUES.
+    */
+  private val rangeJoin = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("micro", 0.0, 2000.0), ("small", 2000.0, 10000.0),
+        ("mid", 10000.0, 50000.0), ("large", 50000.0, 150000.0),
+        ("jumbo", 150000.0, 500000.0)).toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.binnedPointInInterval(
+        Tables.orders(s, dir), "o_totalprice", bands, "lo", "hi",
+        binWidth = 10000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy("band")
+    },
+    s"""SELECT band, COUNT(*) AS n, ${sqlSumDec("o_totalprice")} AS total
+       |FROM orders
+       |JOIN (VALUES ('micro', 0.0, 2000.0), ('small', 2000.0, 10000.0),
+       |             ('mid', 10000.0, 50000.0), ('large', 50000.0, 150000.0),
+       |             ('jumbo', 150000.0, 500000.0)) AS bands(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
+    "q29_salted_agg" -> saltedAgg,
+    "q30_range_join" -> rangeJoin,
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
     "q27_cube" -> cubeAgg,
