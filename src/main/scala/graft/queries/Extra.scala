@@ -202,10 +202,89 @@ object Extra {
        |  ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band ORDER BY band""".stripMargin)
 
+  /** Pivot: order counts and totals per priority, statuses as columns
+    * (explicit value list keeps the output schema static — the only sane
+    * pivot at scale).
+    */
+  private val pivotAgg = QueryDef(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("O" -> "n_o", "F" -> "n_f", "P" -> "n_p"))
+        .orderBy("o_orderpriority"),
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** Unpivot/melt: part attributes to (p_partkey, attr, value) long form. */
+  private val unpivotMelt = QueryDef(
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attr", "value")
+        .orderBy("p_partkey", "attr"),
+    """SELECT p_partkey, attr, value FROM (
+      |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+      |ORDER BY p_partkey, attr""".stripMargin)
+
+  /** Composed pretraining-corpus pipeline: exact-dedup → quality filter →
+    * language stats — the end-to-end document flow as one declarative plan
+    * (each stage is the same library op the standalone queries use).
+    */
+  private val corpusPipeline = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val deduped = graft.operators.TextDedup.dropExactDuplicates(docs, "doc_id", "text")
+      val kept = deduped.filter(
+        TextFunctions.qualityScore(col("text"), Seq("the", "a", "of", "and", "data")) >= 2.0 / 3.0)
+      kept
+        .withColumn("lang_guess", TextFunctions.languageId(col("text"), langProfiles))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang_guess")
+    },
+    s"""WITH deduped AS (
+       |  SELECT * FROM documents WHERE doc_id IN (
+       |    SELECT MIN(doc_id) FROM documents
+       |    GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))))),
+       |kept AS (
+       |  SELECT * FROM deduped WHERE
+       |    ((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+       |             t -> t IN ('the','a','of','and','data'))) AS DOUBLE)
+       |             / len(string_split(trim(text), ' ')) > 0.0 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+       |             / len(string_split(trim(text), ' ')) BETWEEN 2.0 AND 12.0
+       |        THEN 1.0 ELSE 0.0 END)) / 3.0 >= 2.0/3.0),
+       |guessed AS (
+       |  SELECT text,
+       |    CASE WHEN greatest(${langProfiles.map(p => sqlHits(p._2)).mkString(", ")}) = 0 THEN 'und'
+       |         ${langProfiles.map { case (l, st) =>
+                   s"WHEN ${sqlHits(st)} = greatest(${langProfiles.map(p => sqlHits(p._2)).mkString(", ")}) THEN '$l'"
+                 }.mkString(" ")}
+       |    END AS lang_guess
+       |  FROM kept)
+       |SELECT lang_guess, COUNT(*) AS n_docs,
+       |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
+       |FROM guessed GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q29_salted_agg" -> saltedAgg,
     "q30_range_join" -> rangeJoin,
+    "q31_pivot" -> pivotAgg,
+    "q32_unpivot" -> unpivotMelt,
+    "q45_corpus_pipeline" -> corpusPipeline,
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
     "q27_cube" -> cubeAgg,
