@@ -120,6 +120,27 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream join: purchases joined to the same user's
+    * views within `withinMs` BEFORE the purchase. Both sides watermarked so
+    * state stays bounded: Spark drops view state older than the watermark
+    * plus the interval bound.
+    */
+  def purchaseViewJoin(events: DataFrame, withinMs: Long): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    purchases.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   /** Streaming ingest into a medallion table: each micro-batch appends
     * through the TableFormat seam (schema evolution included) — the
     * streaming twin of graft.ingest.Ingestor. Caller starts/stops the query.

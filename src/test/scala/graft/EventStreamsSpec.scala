@@ -70,6 +70,25 @@ class EventStreamsSpec extends AnyFunSuite {
       Tables.events(spark, SparkTestSession.sfDir).count())
   }
 
+  test("stream-stream purchase-view join matches the batch join") {
+    val streamed = runToMemory(
+      EventStreams.purchaseViewJoin(
+        EventStreams.readEvents(spark, eventsDir), withinMs = 60 * 60 * 1000L),
+      "ssjoin_out")
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val batch = p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 3600 SECONDS"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stateful sessionization emits the same sessions as the batch twin") {
     val events = EventStreams.readEvents(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("event_type"))
