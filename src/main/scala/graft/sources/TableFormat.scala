@@ -20,6 +20,18 @@ trait TableFormat {
       partitionBy: Seq[String] = Nil): Unit
   /** Overwrite `table` with `df` (model materialization). */
   def overwrite(spark: SparkSession, df: DataFrame, table: String): Unit
+
+  /** MERGE/upsert: rows in `df` replace existing rows with the same key;
+    * unmatched rows append. Delta does this transactionally per-file; the
+    * Parquet stand-in rewrites (the seam again).
+    */
+  def upsert(spark: SparkSession, df: DataFrame, table: String,
+      keys: Seq[String]): Unit
+
+  /** Rewrite the table into ~`targetFiles` files — small-file compaction
+    * for long-running append tables.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Unit
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
   def exists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
@@ -60,14 +72,36 @@ object ParquetTableFormat extends TableFormat {
       } else {
         // schema drift: rewrite at the union schema (Delta would do this as
         // a metadata-only change; see trait scaladoc)
-        val widened = align(existing).unionByName(align(df))
-        val tmp = s"${table.replace('.', '_')}__evolve_tmp"
-        widened.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(tmp)
-        spark.table(tmp).write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
-        spark.sql(s"DROP TABLE $tmp")
+        stageAndSwap(spark, align(existing).unionByName(align(df)), table)
       }
     }
 
   override def overwrite(spark: SparkSession, df: DataFrame, table: String): Unit =
     df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+
+  override def upsert(spark: SparkSession, df: DataFrame, table: String,
+      keys: Seq[String]): Unit =
+    if (!exists(spark, table)) {
+      df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+    } else {
+      val existing = spark.table(table)
+      // keep existing rows whose key is NOT updated, then add the updates
+      val kept = existing.join(df.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      val merged = kept.unionByName(df.select(existing.columns.map(col): _*))
+      stageAndSwap(spark, merged, table)
+    }
+
+  override def compact(spark: SparkSession, table: String, targetFiles: Int): Unit =
+    stageAndSwap(spark, spark.table(table).repartition(targetFiles), table)
+
+  /** Materialize through a staging table before overwriting the source —
+    * overwriting a table that feeds its own plan would read-while-truncate.
+    */
+  private def stageAndSwap(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val tmp = s"${table.replace('.', '_')}__stage_tmp"
+    df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(tmp)
+    spark.table(tmp).write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+    spark.sql(s"DROP TABLE $tmp")
+  }
 }

@@ -34,6 +34,26 @@ class TableFormatSpec extends AnyFunSuite {
     assert(t.filter(col("id") === 2 && col("score") === 3.5).count() == 1)
   }
 
+  test("upsert replaces matched keys and appends the rest") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS fmt_test")
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    ParquetTableFormat.overwrite(spark, base, "fmt_test.t3")
+    val updates = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    ParquetTableFormat.upsert(spark, updates, "fmt_test.t3", Seq("id"))
+    val got = spark.table("fmt_test.t3").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("compact rewrites to the target file count without changing rows") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS fmt_test")
+    val df = spark.range(1000).toDF("id").repartition(16)
+    ParquetTableFormat.overwrite(spark, df, "fmt_test.t4")
+    ParquetTableFormat.compact(spark, "fmt_test.t4", targetFiles = 2)
+    assert(spark.table("fmt_test.t4").count() == 1000)
+    assert(spark.table("fmt_test.t4").rdd.getNumPartitions <= 2)
+  }
+
   test("JSON ingest lands in bronze like CSV") {
     val dir = Fixtures.tempDir()
     val f = dir.resolve("events.json")
