@@ -18,7 +18,13 @@ final case class Model(
     targetTable: String,
     deps: Seq[String] = Nil,
     build: SparkSession => DataFrame,
-    rules: Option[RuleSet] = None)
+    rules: Option[RuleSet] = None,
+    /** Incremental high-watermark column: when set and the target exists,
+      * only rows with `incrementalCol > max(existing)` are appended instead
+      * of rebuilding the table (dbt incremental materialization — at scale
+      * the difference between a partition append and a full rewrite).
+      */
+    incrementalCol: Option[String] = None)
 
 object Model {
   /** SQL-string model — the dbt SELECT ports verbatim through spark.sql
@@ -71,7 +77,19 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         ModelRun(m.name, ok = false, 0, 0, Some("skipped: upstream failure"))
       } else Try {
         val df = m.build(spark)
-        format.overwrite(spark, df, m.targetTable)
+        m.incrementalCol match {
+          case Some(c) if format.exists(spark, m.targetTable) =>
+            val hwm = spark.table(m.targetTable)
+              .agg(org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col(c))).head.get(0)
+            val fresh =
+              if (hwm == null) df
+              else df.filter(org.apache.spark.sql.functions.col(c) >
+                org.apache.spark.sql.functions.lit(hwm))
+            format.appendMergeSchema(spark, fresh, m.targetTable)
+          case _ =>
+            format.overwrite(spark, df, m.targetTable)
+        }
         // on-run-end statistics hook (reference dbt_project.yml:95-97
         // ANALYZE TABLE ... COMPUTE STATISTICS) — feeds CBO broadcast and
         // join-reorder decisions on the materialized tables
