@@ -278,12 +278,71 @@ object Extra {
        |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
        |FROM guessed GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)
 
+  /** Top-k per group: 3 highest-revenue parts per brand (window rank —
+    * the partial-topk-per-partition shape).
+    */
+  private val topKPerGroup = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(desc("revenue"), asc("l_partkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(sumDec(col("l_extendedprice")).as("revenue"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("p_brand", "rk")
+    },
+    s"""SELECT p_brand, l_partkey, revenue, rk FROM (
+       |  SELECT p_brand, l_partkey, revenue,
+       |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey ASC) AS rk
+       |  FROM (SELECT p_brand, l_partkey, ${sqlSumDec("l_extendedprice")} AS revenue
+       |        FROM lineitem JOIN part ON l_partkey = p_partkey
+       |        GROUP BY p_brand, l_partkey))
+       |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)
+
+  /** Scalar subquery: customers above the global average balance. */
+  private val scalarSubquery = QueryDef(
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_cust_sub")
+      // avg as exact-decimal sum / count surfaced as double: AVG(DECIMAL)
+      // result types differ between engines, this form is bit-identical
+      s.sql("""SELECT c_custkey, c_acctbal
+        |FROM graft_cust_sub
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM graft_cust_sub)
+        |ORDER BY c_custkey""".stripMargin)
+    },
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** Calendar decomposition: orders per (year, quarter, day-of-week). */
+  private val dateParts = QueryDef(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy("yr", "qtr", "dow"),
+    s"""SELECT date_part('year', o_orderdate) AS yr,
+       |  date_part('quarter', o_orderdate) AS qtr,
+       |  date_part('dow', o_orderdate) + 1 AS dow,
+       |  COUNT(*) AS n, ${sqlSumDec("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q29_salted_agg" -> saltedAgg,
     "q30_range_join" -> rangeJoin,
     "q31_pivot" -> pivotAgg,
     "q32_unpivot" -> unpivotMelt,
+    "q33_topk_per_group" -> topKPerGroup,
+    "q34_scalar_subquery" -> scalarSubquery,
+    "q35_date_parts" -> dateParts,
     "q45_corpus_pipeline" -> corpusPipeline,
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
