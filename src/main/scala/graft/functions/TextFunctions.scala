@@ -29,12 +29,18 @@ object TextFunctions {
   def avgWordLen(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text)
 
+  /** Count of tokens present in `words` — native one-pass expression
+    * (graft.expressions.TokenSetHits); same result as
+    * `size(filter(tokens(text), array_contains(words, _)))`.
+    */
+  def tokenSetHits(text: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.TokenSetHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), words))
+
   /** Fraction of tokens that are in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val stops = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stops, t))).cast("double") /
-      tokenCount(text)
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    tokenSetHits(text, stopwords).cast("double") / tokenCount(text)
 
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column =
@@ -47,10 +53,8 @@ object TextFunctions {
     * per-language pipelines.
     */
   def languageId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val toks = tokens(text)
     val scores = profiles.map { case (lang, stops) =>
-      val arr = array(stops.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(arr, t)))
+      lang -> tokenSetHits(text, stops)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, score), acc) =>

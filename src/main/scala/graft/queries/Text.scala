@@ -39,8 +39,7 @@ object Text {
           count(lit(1)).as("n_docs"),
           sum(tokenCount(col("text"))).as("total_tokens"),
           (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"),
-          sum(size(filter(tokens(col("text")),
-            t => array_contains(array(stopwords.map(lit): _*), t)))).as("stopword_hits"))
+          sum(tokenSetHits(col("text"), stopwords)).as("stopword_hits"))
         .orderBy("lang"),
     """SELECT lang, COUNT(*) AS n_docs,
       |  SUM(len(string_split(trim(text), ' '))) AS total_tokens,
