@@ -334,8 +334,24 @@ object Extra {
        |  COUNT(*) AS n, ${sqlSumDec("o_totalprice")} AS total
        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""".stripMargin)
 
+  /** Sketch-based statistics at 100 TB scale: approximate percentiles +
+    * HLL distinct per group (rows-only — sketch internals are
+    * engine-specific; exact twins q28/q14 gate the semantics).
+    */
+  private val approxStats = QueryDef(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("approx_p"),
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    None)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
+    "q36_approx_stats" -> approxStats,
     "q29_salted_agg" -> saltedAgg,
     "q30_range_join" -> rangeJoin,
     "q31_pivot" -> pivotAgg,

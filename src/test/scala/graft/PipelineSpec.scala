@@ -97,6 +97,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.contains("claims"))
   }
 
+  test("dirty data flows through with violations stored, pipeline tolerated") {
+    val dir = Fixtures.tempDir()
+    val policiesCsv = Fixtures.writeCsv(dir, "policies.csv",
+      Fixtures.policiesHeader, Fixtures.policiesRows ++ Fixtures.dirtyPoliciesRows)
+    val cfg = AppConfig(appName = "graftdirty")
+    val orch = new Orchestrator(cfg, ParquetTableFormat)
+    val rpt = orch.run(spark,
+      specs = Seq(IngestSpec("policies", policiesCsv,
+        cfg.tableName(Layer.Bronze, "policies"),
+        dedupKeys = Seq("policy_id"), orderCol = Some("updated_at"))),
+      models = InsuranceModels.graph(cfg, runId = "dirty-run")
+        .filter(m => m.name.contains("polic")))
+    // violations counted but never fatal (reference orchestrator.py:84-85)
+    assert(rpt.ok)
+    assert(rpt.models.find(_.name == "silver_policies").get.testViolations > 0)
+    // stored-failures table carries (table_name, rule) rows dbt-style
+    val failures = spark.table(cfg.tableName(Layer.Gold, "test_failures"))
+    assert(failures.count() > 0)
+    assert(failures.select("rule").distinct().count() >= 3)
+  }
+
   test("a step exceeding its timeout aborts with a timeout error") {
     val cfg = AppConfig(appName = "grafttimeout", maxRetries = 0)
     val orch = new Orchestrator(cfg, ParquetTableFormat,
