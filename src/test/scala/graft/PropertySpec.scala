@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Cleansing
+import graft.operators.{AsOfJoin, Scd2}
+import graft.quality._
+
+/** Property-based laws over generated data (the ScalaCheck generalization of
+  * the dirty-data space, SURVEY §5): quarantine partitions the input, SCD2
+  * intervals tile the timeline, the as-of join equals a brute-force
+  * reference, cleansing round-trips. Generators are driven with fixed seeds
+  * (scalatestplus bridge not on the classpath) — deterministic and
+  * replayable by seed.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Evaluate `f` over `n` deterministic samples of `gen`. */
+  private def forAll[A](gen: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)) match {
+        case Some(a) =>
+          try f(a)
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"failed for seed ${42L + i}: $a", e)
+          }
+        case None => ()
+      }
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val genAmount: Gen[Option[Double]] =
+    Gen.option(Gen.chooseNum(-1000.0, 200000.0).map(d => math.round(d * 100) / 100.0))
+  private val genRow: Gen[(Option[Double], Option[String])] = for {
+    amt <- genAmount
+    status <- Gen.option(Gen.oneOf("ACTIVE", "EXPIRED", "BOGUS", ""))
+  } yield (amt, status)
+
+  test("quarantine partitions the input and flags agree with predicates") {
+    forAll(Gen.listOfN(60, genRow)) { rows =>
+      val df = rows.toDF("premium", "status")
+      val rs = RuleSet("t", Seq(
+        NotNull("premium"),
+        InRange("premium", 100, 100000),
+        AcceptedValues("status", Seq("ACTIVE", "EXPIRED"))))
+      val (clean, bad) = rs.quarantine(df)
+      assert(clean.count() + bad.count() == rows.length)
+      // driver-side reference check of the clean set
+      val expectedClean = rows.count { case (amt, st) =>
+        amt.exists(a => a >= 100 && a <= 100000) &&
+          st.exists(Seq("ACTIVE", "EXPIRED").contains)
+      }
+      assert(clean.count() == expectedClean)
+    }
+  }
+
+  private val genHistory: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.chooseNum(1L, 4L)
+      ts <- Gen.chooseNum(0L, 1000000L)
+    } yield (key, ts))
+  } yield rows.distinct
+
+  test("SCD2 intervals tile each key's timeline with one current version") {
+    forAll(genHistory) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "ts")
+          .withColumn("ts", timestamp_micros(col("ts")))
+        val snap = Scd2.buildSnapshot(df, Seq("k"), "ts").cache()
+        val perKey = snap.groupBy("k").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("is_current"), 1).otherwise(0)).as("n_current"))
+          .collect()
+        perKey.foreach(r => assert(r.getAs[Long]("n_current") == 1))
+        // valid_to of version v equals valid_from of version v+1 (tiling)
+        val gaps = snap.as("a").join(snap.as("b"),
+          col("a.k") === col("b.k") && col("a.version") + 1 === col("b.version"))
+          .filter(col("a.valid_to") =!= col("b.valid_from"))
+        assert(gaps.count() == 0)
+      }
+    }
+  }
+
+  private val genEvents: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+    nl <- Gen.chooseNum(1, 20)
+    nr <- Gen.chooseNum(0, 20)
+    left <- Gen.listOfN(nl, for {
+      k <- Gen.chooseNum(1L, 3L); ts <- Gen.chooseNum(0L, 10000L)
+    } yield (k, ts))
+    right <- Gen.listOfN(nr, for {
+      k <- Gen.chooseNum(1L, 3L); ts <- Gen.chooseNum(0L, 10000L)
+    } yield (k, ts))
+  } yield (left.distinct,
+    // unique (k, ts) on the right so the match is well-defined
+    right.distinct.map { case (k, ts) => (k, ts, (k * 100000 + ts).toDouble) })
+
+  test("as-of join (composed) equals the brute-force reference") {
+    forAll(genEvents) { case (left, right) =>
+      whenever(left.nonEmpty) {
+        val l = left.zipWithIndex
+          .map { case ((k, ts), i) => (i.toLong, k, ts) }
+          .toDF("id", "k", "ts")
+          .withColumn("ts", timestamp_micros(col("ts")))
+        val r = right.toDF("k", "ts", "v")
+          .withColumn("ts", timestamp_micros(col("ts")))
+        val got = AsOfJoin.joinAsOf(l, r, "k", "ts", "ts", Seq("v"))
+          .select("id", "asof_v").as[(Long, Option[Double])]
+          .collect().toMap
+        val expected = left.zipWithIndex.map { case ((k, ts), i) =>
+          val matches = right.filter(x => x._1 == k && x._2 <= ts)
+          i.toLong -> (if (matches.isEmpty) None
+            else Some(matches.maxBy(_._2)._3))
+        }.toMap
+        assert(got == expected)
+      }
+    }
+  }
+
+  test("parseAmount accepts generated comma formats, parseDate the 3 formats") {
+    val genMoney = for {
+      whole <- Gen.chooseNum(0L, 99999999L)
+      cents <- Gen.chooseNum(0, 99)
+    } yield (whole, cents)
+    forAll(genMoney) { case (whole, cents) =>
+      val formatted = "%,d".format(whole) + f".$cents%02d"
+      val parsed = Seq(formatted).toDF("a")
+        .select(Cleansing.parseAmount(col("a"))).head.getDecimal(0)
+      assert(parsed.doubleValue() == whole + cents / 100.0)
+    }
+    val genDate = for {
+      y <- Gen.chooseNum(2000, 2030)
+      m <- Gen.chooseNum(1, 12)
+      d <- Gen.chooseNum(1, 28)
+    } yield (y, m, d)
+    forAll(genDate) { case (y, m, d) =>
+      val iso = f"$y%04d-$m%02d-$d%02d"
+      val variants = Seq(iso, f"$m%02d/$d%02d/$y%04d", f"$y%04d/$m%02d/$d%02d")
+      val got = variants.toDF("s")
+        .select(Cleansing.parseDate(col("s")).as("d"))
+        .collect().map(_.getDate(0).toString).toSeq
+      assert(got.forall(_ == iso))
+    }
+  }
+}
