@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Full MinHash signature of a text column in ONE pass per document: FNV
+  * token hashes → rolling n-gram shingle hashes → k universal-family minima
+  * (h_i = a_i·h + b_i, 64-bit wraparound, splitmix64 constants — the same
+  * family as graft.operators.TextDedup, so signatures are identical to the
+  * explode-and-aggregate formulation).
+  *
+  * Architecturally this turns signature building from
+  * explode(shingles) → groupBy(doc) with k min-aggregates — a shuffle of
+  * corpus × shingles rows — into a pure projection: zero shuffle, nothing
+  * materialized but the k-long signature per document. At corpus scale the
+  * shuffle was the dominant cost of MinHash+LSH dedup.
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // FNV-1a token hashes (identical to ShingleHashes)
+    val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0xCBF29CE484222325L
+    var inToken = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isSpace = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      if (isSpace) {
+        if (inToken) { tokenHashes += h; h = 0xCBF29CE484222325L; inToken = false }
+      } else {
+        h = (h ^ (b & 0xFFL)) * 0x100000001B3L
+        inToken = true
+      }
+      i += 1
+    }
+    if (inToken) tokenHashes += h
+
+    // no shingles → null (the explode formulation dropped such docs; a
+    // constant sentinel signature would spuriously collide in every band)
+    if (tokenHashes.length < n) return null
+
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new java.util.HashSet[Long]
+    var s = 0
+    while (s <= tokenHashes.length - n) {
+      var acc = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) {
+        acc = java.lang.Long.rotateLeft(acc ^ tokenHashes(s + j), 27) * 0x94D049BB133111EBL
+        j += 1
+      }
+      if (seen.add(acc)) { // distinct shingles, as array_distinct did
+        var m = 0
+        while (m < k) {
+          val v = as(m) * acc + bs(m)
+          if (v < mins(m)) mins(m) = v
+          m += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}

@@ -76,41 +76,21 @@ object TextDedup {
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
-  /** Deterministic splitmix64 finalizer — mixes an index into a
-    * pseudo-random 64-bit constant for the universal hash family.
-    */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  /** MinHash signatures: k min-hashes per document over its distinct
-    * shingles. One xxhash64 per shingle gives the base hash; the k values
-    * come from a universal family h_i = a_i·h + b_i (64-bit wraparound,
-    * constants from splitmix64) — k multiply-adds instead of k full string
-    * hashes, which is what makes the sketch CPU-bound on arithmetic rather
-    * than hashing at corpus scale. One explode + one groupBy; signature is
-    * an array<bigint> of length k.
+  /** MinHash signatures: k universal-family min-hashes per document over
+    * its distinct shingles, computed in ONE pass per document by the
+    * MinHashSig expression — a pure projection, zero shuffle (the
+    * explode + k-min-aggregates formulation shuffled corpus × shingles
+    * rows; see MinHashSig scaladoc). Signature is an array<bigint> of
+    * length k; documents with fewer than n tokens are dropped, as the
+    * aggregate formulation did.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // one-pass shingle hashing (no shingle strings — see ShingleHashes)
-    val docShingles = df
-      .select(col(idCol).as("doc"),
-        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
-          ColumnBridge.expression(col(textCol)), n))).as("h"))
-    val mins = (0 until k).map { i =>
-      val a = splitmix64(2L * i) | 1L // odd multiplier
-      val b = splitmix64(2L * i + 1)
-      min(ColumnBridge.column(graft.expressions.WrapMulAdd(
-        ColumnBridge.expression(col("h")), a, b))).as(s"h$i")
-    }
-    docShingles.groupBy("doc")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+    df.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.expressions.MinHashSig(
+        ColumnBridge.expression(col(textCol)), n, k)).as("signature"))
+      .filter(col("signature").isNotNull)
       // signatures feed banding AND pair verification (3 plan branches);
       // persist — at cluster scale this would be a checkpoint to shuffle-safe
       // storage instead
