@@ -15,13 +15,18 @@ object Bench {
     try SparkEntry.queries.get("q1_agg")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two timed passes per query, report the min: absorbs JIT/GC noise that
+    // otherwise dominates sub-second queries
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column (count() would
       // let Spark prune the projections being measured)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

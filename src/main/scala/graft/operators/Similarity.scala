@@ -151,10 +151,13 @@ object Similarity {
     corpus.drop("cell").join(best, "vec_id")
   }
 
-  /** IVF with trained (k-means) cells: train, assign, probe. */
+  /** IVF with trained (k-means) cells: train, assign, probe. The corpus is
+    * persisted for the duration — training scans it once per iteration.
+    */
   def knnIvfTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int, kCells: Int, iters: Int = 3): DataFrame = {
-    val assigned = assignCells(corpus, kmeansCentroids(corpus, kCells, iters))
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignCells(cached, kmeansCentroids(cached, kCells, iters))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     knnIvf(assigned, queries, "cell", k, nprobe)
   }
