@@ -45,6 +45,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(precision >= 0.5, s"precision $precision")
   }
 
+  test("10x replicated corpus: sketches recover the duplicate groups") {
+    // every doc replicated 10x under fresh ids - the duplication-heavy shape
+    // of real crawl corpora (5k docs here; the dataflow is the same at 5B)
+    val replicated = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_.unionAll(_))
+    // exact dedup: one canonical per original, all copies collapse
+    val groups = TextDedup.exactDuplicateGroups(replicated, "doc_id", "text")
+    assert(groups.count() == docs.count())
+    assert(groups.filter(col("n_docs") =!= 10).count() == 0)
+    // MinHash+LSH: a copy-pair has identical signatures; verify recovers the
+    // duplicate relation without an all-pairs stage
+    val sigs = TextDedup.minHashSignatures(replicated, "doc_id", "text", 3, 64)
+    val pairs = TextDedup.minHashVerify(
+      TextDedup.lshCandidatePairs(sigs, bands = 16), sigs, minJaccard = 0.99)
+    // each of the 500 originals yields C(10,2)=45 copy-pairs at est=1.0
+    assert(pairs.filter(col("est_jaccard") === 1.0).count() >= 500L * 45)
+  }
+
   test("exact dedup keeps one canonical doc per normalized content") {
     val withDup = docs.select("doc_id", "text").union(
       docs.select(col("doc_id") + 100000, upper(col("text"))).limit(5))
