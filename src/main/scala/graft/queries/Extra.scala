@@ -349,9 +349,55 @@ object Extra {
         .orderBy("o_orderstatus"),
     None)
 
+  /** RANGE-frame window: per customer, total order value within the
+    * trailing 30 days of each order — event-time frames, not row counts.
+    */
+  private val rangeFrame = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        // NTZ→TS is a no-op under the UTC session TZ; epoch seconds then
+        // match DuckDB's epoch()
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("trailing_30d_total",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d_total")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    s"""SELECT o_custkey, o_orderkey, o_orderdate,
+       |  CAST(SUM(${sqlDec2("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+       |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS trailing_30d_total
+       |FROM orders
+       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+
+  /** Correlated aggregate subquery: orders above their own customer's
+    * average order value.
+    */
+  private val correlatedSubquery = QueryDef(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_corr")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders_corr o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_orders_corr i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q36_approx_stats" -> approxStats,
+    "q46_range_frame" -> rangeFrame,
+    "q47_correlated_subquery" -> correlatedSubquery,
     "q29_salted_agg" -> saltedAgg,
     "q30_range_join" -> rangeJoin,
     "q31_pivot" -> pivotAgg,
