@@ -23,18 +23,21 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
 
   /** Apply engine defaults to an externally-built session (driver-owned
-    * sessions in Verify/Bench): timezone must be UTC for oracle parity.
+    * sessions in Verify/Bench): timezone must be UTC for oracle parity, and
+    * the engine's SQL functions registered (idempotent).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    graft.GraftExtensions.register(spark)
     spark
   }
 }

@@ -67,8 +67,37 @@ object Stream {
     },
     None)
 
+  /** Sliding windows (1 h window, 15 min slide) as a batch computation:
+    * each event belongs to 4 overlapping windows — explode the covering
+    * window starts, then aggregate. Mirrors EventStreams.slidingRates.
+    */
+  private val slidingWindows = QueryDef(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("window_start", explode(sequence(
+          date_trunc("hour", col("ts") - expr("INTERVAL 45 MINUTES")),
+          date_trunc("hour", col("ts")) +
+            (floor(minute(col("ts")) / 15) * expr("INTERVAL 15 MINUTES")),
+          expr("INTERVAL 15 MINUTES"))))
+        .filter(col("ts") >= col("window_start") &&
+          col("ts") < col("window_start") + expr("INTERVAL 1 HOUR"))
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("window_start", "event_type"),
+    """SELECT window_start, event_type, COUNT(*) AS n FROM (
+      |  SELECT e.event_type, e.ts, w.window_start
+      |  FROM events e, LATERAL (
+      |    SELECT unnest(generate_series(
+      |      date_trunc('hour', e.ts - INTERVAL 45 MINUTE),
+      |      date_trunc('hour', e.ts) + (date_part('minute', e.ts) // 15) * INTERVAL 15 MINUTE,
+      |      INTERVAL 15 MINUTE)) AS window_start) w
+      |  WHERE e.ts >= w.window_start AND e.ts < w.window_start + INTERVAL 1 HOUR)
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q55_sessions" -> sessions,
+    "q56_sliding_windows" -> slidingWindows,
     "q60_binary_meta" -> binaryMeta,
     "q61_decoded_media" -> decodedMedia)
 }
