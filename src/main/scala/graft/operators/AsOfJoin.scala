@@ -22,6 +22,11 @@ object AsOfJoin {
     * + in-partition sort + single streaming merge. Column names must be
     * disjoint between `left` and `right` (rename the right side first).
     * Right columns come back null-extended where no prior row exists.
+    *
+    * Determinism: when the right side has multiple rows at the same
+    * (key, ts), which one matches is tie-order dependent (both here and in
+    * the composed form) — pre-aggregate the right side to one row per
+    * (key, ts) for fully deterministic output, as q26_asof_join does.
     */
   def joinAsOfNative(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightKey: String, rightTs: String): DataFrame = {

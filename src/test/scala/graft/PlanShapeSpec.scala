@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan regressions: the optimizations the scale story depends on
+  * must stay visible in the physical plans — filters/projections at the
+  * scan, broadcast for dimension joins, heap-based top-k, and no accidental
+  * cartesian products anywhere in the gate.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q2 filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double"), p.take(2000))
+  }
+
+  test("dimension joins broadcast (q4, q5)") {
+    assert(plan("q4_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plan("q5_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q9 top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q9_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregation is two-phase (map-side partial)") {
+    assert(plan("q1_agg").contains("partial_sum"))
+  }
+
+  test("no gate query plans a cartesian product") {
+    // knnBruteForce intentionally pairs a broadcast query set against the
+    // corpus — BroadcastNestedLoopJoin is the intended plan there; an
+    // unhinted CartesianProduct anywhere is always a bug
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}
