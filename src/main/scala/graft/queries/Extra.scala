@@ -393,11 +393,64 @@ object Extra {
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** Array-function bundle over embeddings: slicing, element access,
+    * min/max/sort — the array surface beyond the vector-math kernels.
+    */
+  private val arrayOps = QueryDef(
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first"),
+          element_at(col("embedding"), -1).cast("double").as("last"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"),
+          element_at(array_sort(col("embedding")), 2).cast("double").as("second_smallest"),
+          // sum over a slice: scalar output — array-typed result columns
+          // don't hash comparably across engines
+          aggregate(slice(col("embedding"), 1, 3), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("head3_sum"))
+        .orderBy("vec_id"),
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first,
+      |  CAST(embedding[-1] AS DOUBLE) AS last,
+      |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+      |  CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
+      |  list_sum([CAST(x AS DOUBLE) for x in embedding[1:3]]) AS head3_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin)
+
+  /** String-function bundle incl. Levenshtein distance (the fuzzy-match
+    * primitive for entity resolution) over customer names.
+    */
+  private val stringOps = QueryDef(
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"),
+          levenshtein(col("c_name"), lit("Customer#000000001")).as("edit_dist"))
+        .orderBy("c_custkey"),
+    """SELECT c_custkey,
+      |  upper(c_name) AS upper_name,
+      |  length(c_name) AS name_len,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      |  concat_ws('-', c_mktsegment, c_custkey) AS tag,
+      |  levenshtein(c_name, 'Customer#000000001') AS edit_dist
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q36_approx_stats" -> approxStats,
     "q46_range_frame" -> rangeFrame,
     "q47_correlated_subquery" -> correlatedSubquery,
+    "q48_array_ops" -> arrayOps,
+    "q49_string_ops" -> stringOps,
     "q29_salted_agg" -> saltedAgg,
     "q30_range_join" -> rangeJoin,
     "q31_pivot" -> pivotAgg,
