@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and splitting — the train/holdout
+  * machinery of a pretraining-data pipeline. Buckets come from a key's md5,
+  * so membership is stable across runs, partitionings and engines (no RNG
+  * state, no seed shipping): the same document always lands in the same
+  * split, which is what makes decontamination and incremental reprocessing
+  * possible at corpus scale.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the key's md5 (first 16 bits). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % buckets)
+
+  /** Tag rows with "train"/"holdout" at trainPct/100. */
+  def split(df: DataFrame, keyCol: String, trainPct: Int): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(keyCol), 100) < trainPct, "train").otherwise("holdout"))
+
+  /** Keep a deterministic ~pct% sample. */
+  def sampleFraction(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+}

@@ -130,7 +130,24 @@ object Text {
         .orderBy("doc_a", "doc_b"),
     None)
 
+  /** Deterministic train/holdout split by content-hash bucket: stable
+    * membership across runs/engines (no RNG), tallied per split.
+    */
+  private val hashSplit = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.split(Tables.documents(s, dir), "doc_id", trainPct = 90)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("split"),
+    """SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90
+      |            THEN 'train' ELSE 'holdout' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q62_hash_split" -> hashSplit,
     "q37_token_stats" -> tokenStats,
     "q38_lang_stats" -> langStats,
     "q39_quality_filter" -> qualityFilter,
