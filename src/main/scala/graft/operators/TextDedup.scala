@@ -139,6 +139,27 @@ object TextDedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing any word
+    * n-gram with a blocklist (eval sets, canaries). Shingle-hash semi-join —
+    * the blocklist side is tiny and broadcastable, so the corpus is one
+    * scan + one broadcast probe, never shuffled.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def shingleHashes(df: DataFrame, c: String) =
+      df.select(explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(col(c)), n))).as("__sh"))
+    val blocked = broadcast(shingleHashes(blocklist, blocklistTextCol).distinct())
+    val contaminatedIds = corpus
+      .select(col(idCol),
+        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), n))).as("__sh"))
+      .join(blocked, Seq("__sh"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash 64-bit signature per document: sign of the per-bit sum of
     * token-hash bits, computed in one pass per document by the SimHash64
     * expression — a pure projection, zero shuffle.

@@ -146,8 +146,38 @@ object Text {
       |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)
 
+  /** Decontamination: remove documents sharing any word 5-gram with a
+    * pseudo-benchmark (the 3 lowest doc_ids). Gate query uses string
+    * shingles so DuckDB can reproduce; the library op joins on shingle
+    * hashes (TextDedup.decontaminate) with identical semantics.
+    */
+  private val decontaminate = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 3)
+      val benchShingles = broadcast(
+        bench.select(explode(shingles(col("text"), 5)).as("sh")).distinct())
+      val contaminated = docs
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        .join(benchShingles, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      docs.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])) s
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)
+      |  WHERE len(t) >= 5),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 3),
+      |contaminated AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench))
+      |SELECT lang, COUNT(*) AS n_docs FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |GROUP BY lang ORDER BY lang""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
+    "q63_decontaminate" -> decontaminate,
     "q37_token_stats" -> tokenStats,
     "q38_lang_stats" -> langStats,
     "q39_quality_filter" -> qualityFilter,

@@ -64,6 +64,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("est_jaccard") === 1.0).count() >= 500L * 45)
   }
 
+  test("decontamination removes benchmark-overlapping docs and their near-dups") {
+    val bench = docs.filter(col("doc_id") < 3).select("doc_id", "text")
+    val cleaned = TextDedup.decontaminate(docs, "doc_id", "text",
+      bench, "text", n = 5)
+    // the benchmark docs themselves are gone (full self-overlap)
+    assert(cleaned.filter(col("doc_id") < 3).count() == 0)
+    // near-duplicates of benchmark docs are gone too
+    val benchDups = exactPairs.collect {
+      case (a, b) if a < 3 => b
+      case (a, b) if b < 3 => a
+    }
+    benchDups.foreach(d =>
+      assert(cleaned.filter(col("doc_id") === d).count() == 0, s"doc $d"))
+    assert(cleaned.count() > 0)
+  }
+
   test("exact dedup keeps one canonical doc per normalized content") {
     val withDup = docs.select("doc_id", "text").union(
       docs.select(col("doc_id") + 100000, upper(col("text"))).limit(5))
