@@ -391,8 +391,29 @@ object Relational {
         .orderBy("l_returnflag"),
     None)
 
+  /** Structured JSON parsing: from_json into a typed struct (vs q15's
+    * path extraction) with schema-declared field access.
+    */
+  private val jsonStruct = QueryDef(
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("props_struct",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(
+          sum(col("props_struct.k")).as("sum_k"),
+          min(col("props_struct.k")).as("min_k"),
+          max(col("props_struct.k")).as("max_k"))
+        .orderBy("event_type"),
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> q1Agg,
+    "q64_json_struct" -> jsonStruct,
     "q2_filter_project" -> filterProject,
     "q3_join_agg" -> joinAgg,
     "q4_broadcast_join" -> broadcastJoin,
