@@ -43,10 +43,15 @@ final case class ModelRun(
   * dbt-over-HTTP (reference orchestrator.py:60-78 + profiles.yml:4-13;
   * SURVEY §3 E3): topological order, fail-fast on build errors, test
   * failures tolerated but counted (orchestrator.py:84-85 semantics).
+  *
+  * `parallelism > 1` runs independent models of the same dependency rank
+  * concurrently (the dbt `threads` analog, profiles.yml:10 — Spark
+  * schedules the submitted jobs fairly across the session).
   */
 final class ModelGraph(models: Seq[Model], format: TableFormat,
     failuresTable: Option[String] = None,
-    analyzeTables: Boolean = false) {
+    analyzeTables: Boolean = false,
+    parallelism: Int = 1) {
 
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
@@ -65,15 +70,48 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
     models.sortBy(m => (ranked(m.name), m.name))
   }
 
+  private lazy val rankOf: Map[String, Int] = {
+    def rank(n: String): Int =
+      byName(n).deps.map(d => rank(d) + 1).maxOption.getOrElse(0)
+    models.map(m => m.name -> rank(m.name)).toMap
+  }
+
   /** Run all models in order. Build failure aborts downstream dependents but
     * not independent branches; rule violations are stored and counted, never
-    * fatal.
+    * fatal. Models within a rank run concurrently when parallelism > 1
+    * (stored-failure appends are serialized — the Parquet table layer has no
+    * concurrent-append transaction).
     */
   def run(spark: SparkSession): Seq[ModelRun] = {
-    val failed = scala.collection.mutable.Set[String]()
-    order.map { m =>
-      if (m.deps.exists(failed)) {
-        failed += m.name
+    if (parallelism <= 1) runSequential(spark)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        val failuresLock = new Object
+        order.groupBy(m => rankOf(m.name)).toSeq.sortBy(_._1).flatMap {
+          case (_, rank) =>
+            val futs = rank.map(m => Future(runOne(spark, m, failed, failuresLock)))
+            futs.map(f => Await.result(f, Duration.Inf))
+        }
+      } finally pool.shutdown()
+    }
+  }
+
+  private def runSequential(spark: SparkSession): Seq[ModelRun] = {
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val lock = new Object
+    order.map(m => runOne(spark, m, failed, lock))
+  }
+
+  private def runOne(spark: SparkSession, m: Model,
+      failed: java.util.Set[String], failuresLock: Object): ModelRun = {
+    {
+      if (m.deps.exists(failed.contains)) {
+        failed.add(m.name)
         ModelRun(m.name, ok = false, 0, 0, Some("skipped: upstream failure"))
       } else Try {
         val df = m.build(spark)
@@ -98,15 +136,16 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         val materialized = spark.table(m.targetTable)
         val violations = m.rules.map { rs =>
           val fails = rs.failures(materialized)
-          failuresTable.foreach(t => format.appendMergeSchema(
-            spark, fails.select("table_name", "rule"), t))
+          failuresTable.foreach(t => failuresLock.synchronized {
+            format.appendMergeSchema(spark, fails.select("table_name", "rule"), t)
+          })
           fails.count()
         }.getOrElse(0L)
         ModelRun(m.name, ok = true, materialized.count(), violations)
       } match {
         case Success(r) => r
         case Failure(e) =>
-          failed += m.name
+          failed.add(m.name)
           ModelRun(m.name, ok = false, 0, 0, Some(e.toString))
       }
     }
