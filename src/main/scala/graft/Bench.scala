@@ -17,20 +17,26 @@ object Bench {
     catch { case _: Throwable => }
     // two timed passes per query, report the min: absorbs JIT/GC noise that
     // otherwise dominates sub-second queries
+    // a failed query reports -1 (distinguishable in the JSON), never a
+    // spuriously-counted elapsed time
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column (count() would
       // let Spark prune the projections being measured)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val (a, b) = (once(name, fn), once(name, fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

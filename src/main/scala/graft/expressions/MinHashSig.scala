@@ -29,25 +29,8 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    // FNV-1a token hashes (identical to ShingleHashes)
-    val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var h = 0xCBF29CE484222325L
-    var inToken = false
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      val isSpace = b == ' ' || b == '\t' || b == '\n' || b == '\r'
-      if (isSpace) {
-        if (inToken) { tokenHashes += h; h = 0xCBF29CE484222325L; inToken = false }
-      } else {
-        h = (h ^ (b & 0xFFL)) * 0x100000001B3L
-        inToken = true
-      }
-      i += 1
-    }
-    if (inToken) tokenHashes += h
-
+    val tokenHashes = TextHashing.fnvTokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
     // no shingles → null (the explode formulation dropped such docs; a
     // constant sentinel signature would spuriously collide in every band)
     if (tokenHashes.length < n) return null
@@ -56,12 +39,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     val seen = new java.util.HashSet[Long]
     var s = 0
     while (s <= tokenHashes.length - n) {
-      var acc = 0x9E3779B97F4A7C15L
-      var j = 0
-      while (j < n) {
-        acc = java.lang.Long.rotateLeft(acc ^ tokenHashes(s + j), 27) * 0x94D049BB133111EBL
-        j += 1
-      }
+      val acc = TextHashing.shingleHash(tokenHashes, s, n)
       if (seen.add(acc)) { // distinct shingles, as array_distinct did
         var m = 0
         while (m < k) {

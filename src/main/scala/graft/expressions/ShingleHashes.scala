@@ -27,35 +27,13 @@ case class ShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    // FNV-1a per whitespace-delimited token
-    val tokenHashes = mutable.ArrayBuffer.empty[Long]
-    var h = 0xCBF29CE484222325L
-    var inToken = false
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      val isSpace = b == ' ' || b == '\t' || b == '\n' || b == '\r'
-      if (isSpace) {
-        if (inToken) { tokenHashes += h; h = 0xCBF29CE484222325L; inToken = false }
-      } else {
-        h = (h ^ (b & 0xFFL)) * 0x100000001B3L
-        inToken = true
-      }
-      i += 1
-    }
-    if (inToken) tokenHashes += h
+    val tokenHashes = TextHashing.fnvTokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
     if (tokenHashes.length < n) return new GenericArrayData(Array.empty[Long])
     val out = new mutable.LinkedHashSet[Long]
     var s = 0
     while (s <= tokenHashes.length - n) {
-      var acc = 0x9E3779B97F4A7C15L
-      var j = 0
-      while (j < n) {
-        acc = java.lang.Long.rotateLeft(acc ^ tokenHashes(s + j), 27) * 0x94D049BB133111EBL
-        j += 1
-      }
-      out += acc
+      out += TextHashing.shingleHash(tokenHashes, s, n)
       s += 1
     }
     new GenericArrayData(out.toArray)

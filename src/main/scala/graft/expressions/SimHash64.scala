@@ -18,33 +18,16 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tokenHashes = TextHashing.fnvTokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
     val votes = new Array[Int](64)
-    var h = 0xCBF29CE484222325L
-    var inToken = false
-
-    def vote(tok: Long): Unit = {
+    tokenHashes.foreach { tok =>
       var b = 0
       while (b < 64) {
         if (((tok >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
-
-    var i = 0
-    while (i < bytes.length) {
-      val c = bytes(i)
-      val isSpace = c == ' ' || c == '\t' || c == '\n' || c == '\r'
-      if (isSpace) {
-        if (inToken) { vote(h); h = 0xCBF29CE484222325L; inToken = false }
-      } else {
-        h = (h ^ (c & 0xFFL)) * 0x100000001B3L
-        inToken = true
-      }
-      i += 1
-    }
-    if (inToken) vote(h)
-
     var sig = 0L
     var b = 0
     while (b < 64) {

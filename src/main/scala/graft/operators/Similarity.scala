@@ -91,7 +91,8 @@ object Similarity {
     * would k-means-iterate this same structure. Returns (cell, centroid).
     */
   def ivfCentroids(corpus: DataFrame, cellCol: String): DataFrame = {
-    val dim = 64
+    // dimension read from the data, not assumed (one single-row driver probe)
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
     corpus.groupBy(col(cellCol).as("cell"))

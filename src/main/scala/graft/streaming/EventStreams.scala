@@ -137,7 +137,7 @@ object EventStreams {
     purchases.join(views,
       col("user_id") === col("v_user_id") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMs MILLISECOND"))
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
