@@ -89,6 +89,47 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("sessionization state carries across micro-batches") {
+    // split events by time into two files; maxFilesPerTrigger=1 forces two
+    // micro-batches, so sessions spanning the cut exercise state handoff
+    val dir = java.nio.file.Files.createTempDirectory("graft_two_batches")
+    val ev = Tables.events(spark, SparkTestSession.sfDir).orderBy("ts")
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getTimestamp(0)
+    ev.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$dir/b0")
+    ev.filter(col("ts") > cut).coalesce(1).write.parquet(s"$dir/b1")
+    // stage as flat files so the source sees them as two inputs (b0 first)
+    java.nio.file.Files.move(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b0"))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get,
+      java.nio.file.Paths.get(s"$dir/0.parquet"))
+    java.nio.file.Files.move(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b1"))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get,
+      java.nio.file.Paths.get(s"$dir/1.parquet"))
+
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStreams.SessionEvent]
+    val streamed = runToMemory(
+      EventStreams.sessionize(stream, gapMs = 30 * 60 * 1000L).toDF(),
+      "sessions_2batch_out")
+    val batch = EventStreams.sessionizeBatch(
+      Tables.events(spark, SparkTestSession.sfDir), gapMs = 30 * 60 * 1000L)
+    val streamedSet = streamed
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSet
+    val batchSet = batch
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSet
+    // every emitted session must be a true session even when it was built
+    // across the batch boundary; only per-user trailing sessions stay open
+    assert(streamedSet.subsetOf(batchSet))
+    assert(streamedSet.size >= batchSet.size - 150)
+    assert(streamedSet.nonEmpty)
+  }
+
   test("stateful sessionization emits the same sessions as the batch twin") {
     val events = EventStreams.readEvents(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("event_type"))
