@@ -50,10 +50,14 @@ object AsOfJoin {
       rightValueCols: Seq[String],
       toleranceMs: Option[Long] = None): DataFrame = {
     // tag and align the two sides: side 0 = right (wins ties at equal ts by
-    // sorting first), side 1 = left
+    // sorting first), side 1 = left. The right row rides as ONE struct so
+    // the matched timestamp and its values always come from the SAME row —
+    // carrying columns independently would let a null value in the matched
+    // row fall back to an older row's value.
     val rightTagged = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        rightValueCols.map(c => col(c).as(s"__r_$c"))): _*)
+      col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct((col(rightTs).as("__rts") +:
+        rightValueCols.map(c => col(c).as(s"__r_$c"))): _*).as("__rrow"))
     val leftCols = left.columns
     val leftTagged = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
@@ -62,23 +66,22 @@ object AsOfJoin {
 
     val w = Window.partitionBy(key).orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }.withColumn("__match_ts",
-      last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
 
+    val matchTs = col("__rrow").getField("__rts")
     val matched = carried
       .filter(col("__side") === 1)
       .withColumn("__in_tolerance", toleranceMs match {
         case Some(tol) =>
-          col("__match_ts").isNotNull &&
-            (unix_micros(col("__ts")) - unix_micros(col("__match_ts"))) <= tol * 1000L
-        case None => col("__match_ts").isNotNull
+          col("__rrow").isNotNull &&
+            (unix_micros(col("__ts")) - unix_micros(matchTs)) <= tol * 1000L
+        case None => col("__rrow").isNotNull
       })
     val out = leftCols.map(c => col(s"__l_$c").as(c)) ++
-      Seq(when(col("__in_tolerance"), col("__match_ts")).as(s"asof_$rightTs")) ++
+      Seq(when(col("__in_tolerance"), matchTs).as(s"asof_$rightTs")) ++
       rightValueCols.map(c =>
-        when(col("__in_tolerance"), col(s"__r_$c")).as(s"asof_$c"))
+        when(col("__in_tolerance"), col("__rrow").getField(s"__r_$c")).as(s"asof_$c"))
     matched.select(out: _*)
   }
 }

@@ -35,6 +35,10 @@ object Scd2 {
     val history = snapshot
       .drop("version", "valid_from", "valid_to", "is_current")
       .unionByName(updates)
+      // idempotent under redelivery: a retried batch must not create
+      // duplicate versions / zero-length intervals (dbt snapshot re-runs
+      // are no-ops)
+      .dropDuplicates(keyCols :+ tsCol)
     buildSnapshot(history, keyCols, tsCol)
   }
 }

@@ -90,9 +90,10 @@ object Similarity {
     * cells are seeded from an existing column (`cellCol`); a production build
     * would k-means-iterate this same structure. Returns (cell, centroid).
     */
-  def ivfCentroids(corpus: DataFrame, cellCol: String): DataFrame = {
-    // dimension read from the data, not assumed (one single-row driver probe)
-    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+  def ivfCentroids(corpus: DataFrame, cellCol: String, dimHint: Int = -1): DataFrame = {
+    // dimension read from the data, not assumed; callers in a loop pass the
+    // probed value through dimHint to avoid re-executing their lineage
+    val dim = if (dimHint >= 0) dimHint else embeddingDim(corpus)
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
     corpus.groupBy(col(cellCol).as("cell"))
@@ -110,15 +111,26 @@ object Similarity {
     * [[ivfCentroids]]'s seeded cells.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    // probe the dimension ONCE from the raw corpus — probing inside each
+    // iteration would re-execute the assignment pipeline just to re-read an
+    // invariant
+    val dim = embeddingDim(corpus)
     val seeded = corpus.withColumn("cell", pmod(col("vec_id"), lit(k)))
-    var cents = materializeCentroids(ivfCentroids(seeded, "cell"))
+    var cents = materializeCentroids(ivfCentroids(seeded, "cell", dim))
     var i = 0
     while (i < iters) {
-      cents = materializeCentroids(ivfCentroids(assignCells(corpus, cents), "cell"))
+      cents = materializeCentroids(ivfCentroids(assignCells(corpus, cents), "cell", dim))
       i += 1
     }
     cents
   }
+
+  /** Embedding dimension from one row; 0 for an empty corpus. */
+  private def embeddingDim(corpus: DataFrame): Int =
+    corpus.select(size(col("embedding"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
 
   /** Centroids are driver-state (k × dim floats): collect and rebuild as a
     * local DataFrame so each Lloyd iteration starts from data, not from the

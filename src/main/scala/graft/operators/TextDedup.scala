@@ -51,16 +51,23 @@ object TextDedup {
     // 2^-64 are noise) with a fixed-8-byte shuffle key instead of a string.
     // The expansion feeds four plan branches (sizes, doc-freq filter, both
     // join sides) — persist it once instead of re-exploding per branch.
+    // Lifecycle note: the cached expansion lives until LRU eviction or
+    // session end; long-running callers invoking this per batch should run
+    // inside a job scope that clears the block store (or call
+    // spark.catalog.clearCache between batches).
     val docShingles = df
       .select(col(idCol).as("doc"),
         explode(ColumnBridge.column(graft.expressions.ShingleHashes(
           ColumnBridge.expression(col(textCol)), n))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = docShingles.groupBy("doc").agg(count(lit(1)).as("sz"))
     val filtered = docShingles.join(
       docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq).select("sh"),
       Seq("sh"), "left_semi")
+    // sizes over the SAME filtered shingle space as the intersection —
+    // unfiltered denominators would deflate jaccard for docs containing
+    // stop-shingles
+    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
     val a = filtered.withColumnRenamed("doc", "doc_a")
     val b = filtered.withColumnRenamed("doc", "doc_b")
     val inter = a.join(b, Seq("sh"))

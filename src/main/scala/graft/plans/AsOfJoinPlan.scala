@@ -29,6 +29,11 @@ final case class AsOfJoinNode(
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute)
     extends BinaryNode {
+  // the exec reads both sides through the LEFT side's physical types
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -72,7 +72,9 @@ final case class Check(name: String, passes: Column) extends PredicateRule
   */
 final case class Conditional(name: String, whenCond: Column, thenCond: Column)
     extends PredicateRule {
-  def passes: Column = !whenCond || coalesce(thenCond, lit(false))
+  // a null condition means the rule does NOT apply (the row passes) — a bare
+  // !whenCond would propagate null and mis-flag the row as violating
+  def passes: Column = !coalesce(whenCond, lit(false)) || coalesce(thenCond, lit(false))
 }
 
 /** Duration-between-dates rule in days (reference tests :250-267). */

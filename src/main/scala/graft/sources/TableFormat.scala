@@ -97,11 +97,15 @@ object ParquetTableFormat extends TableFormat {
 
   /** Materialize through a staging table before overwriting the source —
     * overwriting a table that feeds its own plan would read-while-truncate.
+    * The stage name is per-invocation unique (concurrent callers must not
+    * clobber each other's staged data) and dropped even on failure.
     */
   private def stageAndSwap(spark: SparkSession, df: DataFrame, table: String): Unit = {
-    val tmp = s"${table.replace('.', '_')}__stage_tmp"
+    val tmp = s"${table.replace('.', '_')}__stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(tmp)
-    spark.table(tmp).write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
-    spark.sql(s"DROP TABLE $tmp")
+    try
+      spark.table(tmp).write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
+    finally spark.sql(s"DROP TABLE IF EXISTS $tmp")
   }
 }

@@ -43,6 +43,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Sort"), plan)
   }
 
+  test("a null value in the matched right row stays null (no older-row fallback)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 3000000L)).toDF("id", "k", "us")
+      .select(col("id"), col("k"), org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+    val r = Seq((10L, 1000000L, Some(5.0)), (10L, 2000000L, None))
+      .toDF("k", "us", "v")
+      .select(col("k"), org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"), col("v"))
+    val out = AsOfJoin.joinAsOf(l, r, "k", "ts", "ts", Seq("v")).head
+    // the as-of match is the ts=2s row whose v is null — NOT the ts=1s value
+    assert(out.getAs[java.sql.Timestamp]("asof_ts").toInstant.toEpochMilli == 2000L)
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("left rows with no prior right row are null-extended") {
     val firstPurchase = native.orderBy("event_id").head
     // event 2 (user 12) precedes any view for that user in this dataset

@@ -61,6 +61,10 @@ class RuleSpec extends AnyFunSuite {
     val r = Conditional("life_min_coverage",
       col("ptype") === "LIFE", col("coverage") >= 50000)
     assert(r.violations(df).count() == 1)
+    // a null condition means the rule doesn't apply — the row passes
+    val withNull = Seq((Option("LIFE"), 40000.0), (Option.empty[String], 1000.0))
+      .toDF("ptype", "coverage")
+    assert(r.violations(withNull).count() == 1)
   }
 
   test("severity boundaries: ok < 90%, warning in [90%,100%], critical above") {
