@@ -26,7 +26,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val fa = a.asInstanceOf[ArrayData]
     val fb = b.asInstanceOf[ArrayData]
-    val n = math.min(fa.numElements(), fb.numElements())
+    // length mismatch → null, matching the zip_with formulation (which pads
+    // with nulls and null-propagates) — a silent prefix dot would be wrong
+    if (fa.numElements() != fb.numElements()) return null
+    val n = fa.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -43,11 +46,14 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -96,8 +96,12 @@ final class Ingestor(format: TableFormat, batchId: String) {
     (spec.dedupKeys, spec.orderCol) match {
       case (Nil, _) => df
       case (keys, Some(ord)) =>
+        // ties on orderCol break on a stable hash of the full remaining row
+        // — the partition keys are constant within the window and can't
+        // break anything
+        val nonKeyCols = df.columns.filterNot(keys.contains).map(col)
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy((desc(ord) +: keys.map(k => asc(k))): _*)
+          .orderBy(desc(ord), xxhash64(struct(nonKeyCols.toIndexedSeq: _*)).asc)
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case (keys, None) => df.dropDuplicates(keys)
@@ -105,7 +109,22 @@ final class Ingestor(format: TableFormat, batchId: String) {
 
   /** Ingest every spec, isolating failures per entity
     * (ingestion.py:149-176): one bad source never blocks the others.
+    * Retries are per entity — only the failed entity re-runs, so entities
+    * that already appended are never duplicated by a step-level re-run.
+    * (Caveat: a mid-write crash can still leave a partial append in the
+    * Parquet layer; Delta's transactional commit closes that via the
+    * TableFormat seam.)
     */
-  def ingestAll(spark: SparkSession, specs: Seq[IngestSpec]): Seq[IngestResult] =
-    specs.map(ingest(spark, _))
+  def ingestAll(spark: SparkSession, specs: Seq[IngestSpec],
+      retries: Int = 0, retrySleepMs: Long = 0L): Seq[IngestResult] =
+    specs.map { spec =>
+      var result = ingest(spark, spec)
+      var remaining = retries
+      while (!result.ok && remaining > 0) {
+        if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
+        result = ingest(spark, spec)
+        remaining -= 1
+      }
+      result
+    }
 }

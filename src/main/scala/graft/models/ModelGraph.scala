@@ -51,7 +51,11 @@ final case class ModelRun(
 final class ModelGraph(models: Seq[Model], format: TableFormat,
     failuresTable: Option[String] = None,
     analyzeTables: Boolean = false,
-    parallelism: Int = 1) {
+    parallelism: Int = 1,
+    /** Stamped onto stored failures so successive runs' violations are
+      * distinguishable (the failures table is append-only).
+      */
+    runId: String = "") {
 
   private val byName = models.map(m => m.name -> m).toMap
   require(byName.size == models.size, "duplicate model names")
@@ -137,7 +141,10 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         val violations = m.rules.map { rs =>
           val fails = rs.failures(materialized)
           failuresTable.foreach(t => failuresLock.synchronized {
-            format.appendMergeSchema(spark, fails.select("table_name", "rule"), t)
+            format.appendMergeSchema(spark,
+              fails.select("table_name", "rule")
+                .withColumn("run_id", org.apache.spark.sql.functions.lit(runId)),
+              t)
           })
           fails.count()
         }.getOrElse(0L)

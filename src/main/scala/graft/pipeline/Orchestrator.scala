@@ -46,38 +46,53 @@ final case class PipelineReport(
   * reference's subprocess retry policy (config.py:58-59).
   */
 final class Orchestrator(cfg: AppConfig, format: TableFormat,
-    retrySleepMs: Long = 0L,
+    retrySleepMs: Long = -1L,
     stepTimeouts: Map[String, Long] = Orchestrator.defaultTimeouts) {
+
+  // -1 = take the configured delay (config.py:58-59 semantics); explicit 0
+  // disables sleeping between retries (tests)
+  private val sleepMs: Long = if (retrySleepMs >= 0) retrySleepMs else cfg.retryDelayMs
+
+  /** Marks a timeout abort; never retried — the timed-out body keeps
+    * running on its thread after job cancellation (only Spark jobs can be
+    * killed), so a retry would race the zombie attempt's writes.
+    */
+  private final class StepTimeout(msg: String) extends RuntimeException(msg)
 
   /** Run `body` with retries and a per-step wall-clock timeout. On timeout,
     * jobs tagged with the step's job group are cancelled on the cluster —
     * the in-session analogue of the reference's subprocess timeouts
     * (orchestrator.py:35,70,78 — 1800 s ingest, 3600 s transform).
+    * `retries` defaults to the config; pass 0 for non-idempotent bodies
+    * (appends) whose per-unit retry lives inside the body instead.
     */
-  private def timed[A](step: String, spark: SparkSession)(body: => A): (Try[A], StepResult) = {
+  private def timed[A](step: String, spark: SparkSession,
+      retries: Int = cfg.maxRetries)(body: => A): (Try[A], StepResult) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val timeoutMs = stepTimeouts.getOrElse(step, Long.MaxValue)
+    val timeout: Duration =
+      stepTimeouts.get(step).map(_.millis: Duration).getOrElse(Duration.Inf)
     val t0 = System.nanoTime()
     def once: Try[A] = {
       val fut = Future {
         spark.sparkContext.setJobGroup(s"graft-$step", step, interruptOnCancel = true)
         try body finally spark.sparkContext.clearJobGroup()
       }
-      Try(Await.result(fut, timeoutMs.millis)).recoverWith {
+      Try(Await.result(fut, timeout)).recoverWith {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"graft-$step")
-          Failure(new RuntimeException(s"step $step timed out after $timeoutMs ms"))
+          Failure(new StepTimeout(s"step $step timed out after $timeout"))
       }
     }
     def attempt(remaining: Int): Try[A] = once match {
+      case f @ Failure(_: StepTimeout) => f // never retry a timeout (zombie race)
       case f @ Failure(_) if remaining > 0 =>
-        if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
+        if (sleepMs > 0) Thread.sleep(sleepMs)
         attempt(remaining - 1)
       case other => other
     }
-    val res = attempt(cfg.maxRetries)
+    val res = attempt(retries)
     val ms = (System.nanoTime() - t0) / 1000000
     res match {
       case Success(_) => (res, StepResult(step, ok = true, "", ms))
@@ -94,9 +109,13 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
     val batchId = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
 
-    // step 1: ingestion (fail-fast if ANY entity failed — orchestrator.py:157-160)
-    val (ingTry, ingStep) = timed("ingestion", spark) {
-      val rs = new Ingestor(format, batchId).ingestAll(spark, specs)
+    // step 1: ingestion (fail-fast if ANY entity failed — orchestrator.py:
+    // 157-160). Step-level retries are OFF: appends are not idempotent, so a
+    // wholesale re-run would duplicate the entities that already succeeded —
+    // retries happen per entity inside ingestAll instead.
+    val (ingTry, ingStep) = timed("ingestion", spark, retries = 0) {
+      val rs = new Ingestor(format, batchId)
+        .ingestAll(spark, specs, retries = cfg.maxRetries, retrySleepMs = sleepMs)
       if (!rs.forall(_.ok))
         throw new RuntimeException(
           rs.filterNot(_.ok).flatMap(_.error).mkString("; "))
@@ -108,7 +127,8 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
     // step 2: transformations (model builds fail-fast; orchestrator.py:66-74)
     val (mdlTry, mdlStep0) = timed("transformations", spark) {
       val runs = new ModelGraph(models, format,
-        failuresTable = Some(cfg.tableName(Layer.Gold, "test_failures"))).run(spark)
+        failuresTable = Some(cfg.tableName(Layer.Gold, "test_failures")),
+        runId = batchId).run(spark)
       if (!runs.forall(_.ok))
         throw new RuntimeException(
           runs.filterNot(_.ok).flatMap(_.error).mkString("; "))

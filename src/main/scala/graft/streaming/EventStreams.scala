@@ -101,8 +101,15 @@ object EventStreams {
             val closed = Seq.newBuilder[UserSession]
             times.foreach { t =>
               cur match {
+                case Some(s) if t < s.start - gapUs =>
+                  // late within-watermark event strictly before the open
+                  // session's reach: it is its own (already-closed) session
+                  closed += UserSession(userId, fromMicros(t), fromMicros(t), 1)
                 case Some(s) if t - s.end <= gapUs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // min() the start too: a late event may extend backwards —
+                  // the batch twin (sorted input) would have started there
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += UserSession(userId,
                     fromMicros(s.start), fromMicros(s.end), s.n)

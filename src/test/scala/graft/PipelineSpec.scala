@@ -134,7 +134,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("a missing source fails fast with an isolated error") {
-    val cfg = AppConfig(appName = "graftbad")
+    val cfg = AppConfig(appName = "graftbad", maxRetries = 0, retryDelayMs = 0)
     val orch = new Orchestrator(cfg, ParquetTableFormat)
     val bad = orch.run(spark,
       specs = Seq(IngestSpec("claims", "/nonexistent/claims.csv",
