@@ -38,10 +38,30 @@ object GraftExtensions {
     ("simhash64", "simhash64(text) - 64-bit SimHash signature",
       args => SimHash64(args.head)),
     ("shingle_hashes", "shingle_hashes(text, n) - distinct word n-gram hashes",
-      args => ShingleHashes(args(0), args(1).eval().asInstanceOf[Int])),
+      args => ShingleHashes(args(0), intLiteralArg(args(1), "shingle_hashes", "n"))),
     ("minhash_match_frac",
       "minhash_match_frac(a, b) - fraction of agreeing signature positions",
       args => LongArrayMatchFrac(args(0), args(1))))
+
+  /** A function argument that must be a constant integer (e.g. a shingle
+    * width): accepts any foldable integral expression; anything else fails at
+    * plan time with a clear message instead of a ClassCastException/NPE.
+    */
+  private def intLiteralArg(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a constant integer, got " +
+            s"${if (other == null) "NULL" else other.getClass.getSimpleName} (${e.sql})")
+    }
+  }
 
   /** Register the same functions on an already-built session (temp-function
     * scope) — for sessions the caller doesn't construct.

@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Text.defs,
     graft.queries.Vector.defs,
     graft.queries.Stream.defs,
+    graft.queries.Medallion.defs,
     graft.queries.Extra.defs)
 
   private lazy val all: Map[String, QueryDef] =

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<float>` columns.
   *
@@ -19,9 +20,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (mirroring zip_with's null-propagating multiply).
   */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with TypedInputs {
 
   override def dataType: DataType = DoubleType
+
+  // declared input contract → wrong argument types fail analysis with a
+  // clear error instead of an executor-side ClassCastException
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  // the expression itself introduces nulls (length mismatch, null element)
+  // regardless of child nullability; without this override NullPropagation
+  // could fold IsNull(dot) on non-nullable inputs, and doGenCode's
+  // `isNull = true` would target a FalseLiteral (uncompilable Java)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val fa = a.asInstanceOf[ArrayData]

@@ -3,7 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Fraction of positions where two `array<bigint>` columns agree — the
   * MinHash Jaccard estimator. Replaces the interpreted
@@ -12,9 +13,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * hottest loop of LSH verification).
   */
 case class LongArrayMatchFrac(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with TypedInputs {
 
   override def dataType: DataType = DoubleType
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val fa = a.asInstanceOf[ArrayData]

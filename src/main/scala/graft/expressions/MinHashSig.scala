@@ -3,7 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Full MinHash signature of a text column in ONE pass per document: FNV
@@ -19,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle was the dominant cost of MinHash+LSH dedup.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+
+  // short docs (< n tokens) yield null even from a non-nullable child; the
+  // override keeps downstream `.isNotNull` filters from being optimized away
+  override def nullable: Boolean = true
 
   @transient private lazy val as: Array[Long] =
     Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i) | 1L)

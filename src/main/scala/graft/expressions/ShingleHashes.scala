@@ -5,7 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct 64-bit hashes of the word n-gram shingles of a text column, in
@@ -22,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row dispatch dominates either way.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val tokenHashes = TextHashing.fnvTokenHashes(

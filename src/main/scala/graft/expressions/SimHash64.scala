@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a text column in one pass: FNV-1a hash per whitespace
@@ -13,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per document the whole computation is this single loop.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with TypedInputs {
 
   override def dataType: DataType = LongType
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val tokenHashes = TextHashing.fnvTokenHashes(

@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.graftbridge.TypedInputs
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of whitespace tokens contained in a fixed word set — the kernel of
@@ -12,9 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical results on whitespace-tokenizable text.
   */
 case class TokenSetHits(child: Expression, words: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with TypedInputs {
 
   override def dataType: DataType = IntegerType
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.length * 2)

@@ -30,6 +30,16 @@ object VectorFunctions {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Nearest-centroid cell id by cosine, against a driver-held centroid
+    * matrix — a zero-shuffle projection (graft.expressions.NearestCell).
+    * `cells` must be sorted ascending for lowest-cell tie-breaking.
+    */
+  def nearestCell(vec: Column, cells: Array[Int], centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NearestCell(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        cells, centroids))
+
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))

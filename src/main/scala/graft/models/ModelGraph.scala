@@ -85,9 +85,14 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
     * fatal. Models within a rank run concurrently when parallelism > 1
     * (stored-failure appends are serialized — the Parquet table layer has no
     * concurrent-append transaction).
+    *
+    * Retries are PER MODEL (like per-entity ingestion retries): a step-level
+    * re-run of the whole graph would re-build models that already succeeded
+    * and re-append their stored failures under the same runId, duplicating
+    * violation rows.
     */
-  def run(spark: SparkSession): Seq[ModelRun] = {
-    if (parallelism <= 1) runSequential(spark)
+  def run(spark: SparkSession, retries: Int = 0, retrySleepMs: Long = 0L): Seq[ModelRun] = {
+    if (parallelism <= 1) runSequential(spark, retries, retrySleepMs)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -98,22 +103,25 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         val failuresLock = new Object
         order.groupBy(m => rankOf(m.name)).toSeq.sortBy(_._1).flatMap {
           case (_, rank) =>
-            val futs = rank.map(m => Future(runOne(spark, m, failed, failuresLock)))
+            val futs = rank.map(m =>
+              Future(runOne(spark, m, failed, failuresLock, retries, retrySleepMs)))
             futs.map(f => Await.result(f, Duration.Inf))
         }
       } finally pool.shutdown()
     }
   }
 
-  private def runSequential(spark: SparkSession): Seq[ModelRun] = {
+  private def runSequential(spark: SparkSession, retries: Int,
+      retrySleepMs: Long): Seq[ModelRun] = {
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val lock = new Object
-    order.map(m => runOne(spark, m, failed, lock))
+    order.map(m => runOne(spark, m, failed, lock, retries, retrySleepMs))
   }
 
   private def runOne(spark: SparkSession, m: Model,
-      failed: java.util.Set[String], failuresLock: Object): ModelRun = {
-    {
+      failed: java.util.Set[String], failuresLock: Object,
+      retries: Int, retrySleepMs: Long): ModelRun = {
+    def attempt(remaining: Int): ModelRun = {
       if (m.deps.exists(failed.contains)) {
         failed.add(m.name)
         ModelRun(m.name, ok = false, 0, 0, Some("skipped: upstream failure"))
@@ -151,10 +159,17 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         ModelRun(m.name, ok = true, materialized.count(), violations)
       } match {
         case Success(r) => r
+        case Failure(_) if remaining > 0 =>
+          // overwrite-materialized models are idempotent per attempt; a
+          // failed build aborts before its stored-failures append, so the
+          // retry cannot duplicate violation rows
+          if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
+          attempt(remaining - 1)
         case Failure(e) =>
           failed.add(m.name)
           ModelRun(m.name, ok = false, 0, 0, Some(e.toString))
       }
     }
+    attempt(retries)
   }
 }

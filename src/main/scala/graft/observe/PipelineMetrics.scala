@@ -43,7 +43,8 @@ final class PipelineMetrics extends SparkListener {
 }
 
 /** Threshold alerting (reference pipeline_monitor.py:280-312): pipeline
-  * duration > 60 min → warning; error rate > 5% → critical.
+  * duration > 60 min → warning; error rate > 5% → critical; memory
+  * > 4096 MB → warning; CPU > 90% → warning (pipeline_monitor.py:284-285).
   */
 final case class Alert(name: String, severity: String, detail: String)
 
@@ -53,7 +54,14 @@ object AlertManager {
       processed: Long,
       errors: Long,
       maxDurationMs: Long = 60 * 60 * 1000L,
-      maxErrorRate: Double = 0.05): Seq[Alert] = {
+      maxErrorRate: Double = 0.05,
+      /** Observed driver/executor memory and CPU; negative = not sampled
+        * (callers without a metrics source skip these checks).
+        */
+      memoryMb: Double = -1.0,
+      cpuPct: Double = -1.0,
+      maxMemoryMb: Double = 4096.0,
+      maxCpuPct: Double = 90.0): Seq[Alert] = {
     val durationAlert =
       if (durationMs > maxDurationMs)
         Some(Alert("pipeline_duration", "warning",
@@ -65,7 +73,23 @@ object AlertManager {
         Some(Alert("error_rate", "critical",
           f"$errRate%.3f exceeds $maxErrorRate%.2f"))
       else None
-    (durationAlert ++ errorAlert).toSeq
+    val memoryAlert =
+      if (memoryMb >= 0 && memoryMb > maxMemoryMb)
+        Some(Alert("memory_usage", "warning",
+          f"$memoryMb%.0f MB exceeds $maxMemoryMb%.0f MB"))
+      else None
+    val cpuAlert =
+      if (cpuPct >= 0 && cpuPct > maxCpuPct)
+        Some(Alert("cpu_usage", "warning",
+          f"$cpuPct%.1f%% exceeds $maxCpuPct%.1f%%"))
+      else None
+    (durationAlert ++ errorAlert ++ memoryAlert ++ cpuAlert).toSeq
+  }
+
+  /** JVM heap in use, MB — the local-mode memory sample for [[evaluate]]. */
+  def heapUsedMb(): Double = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0)
   }
 
   /** records/sec throughput metric (reference logger.py:156-168). */

@@ -105,21 +105,27 @@ object Similarity {
 
   /** Distributed Lloyd k-means over embeddings: seed centroids from
     * hash-partition means (vec_id mod k — deterministic, no RNG state),
-    * then iterate assign-to-nearest / recompute-means. Each iteration is
-    * one broadcast join + one 64-column groupBy — no all-pairs stage, and
-    * centroid count stays driver-side tiny. This is the trained form of
+    * then iterate assign-to-nearest / recompute-means. Per iteration the
+    * corpus is touched by exactly ONE map-side-combined groupBy("cell")
+    * (the mean recomputation — k rows per partition cross the wire, never
+    * corpus rows); assignment itself is a zero-shuffle projection
+    * ([[graft.expressions.NearestCell]]). Centroid state (k × dim floats)
+    * lives on the driver between iterations. This is the trained form of
     * [[ivfCentroids]]'s seeded cells.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    toCentroidDF(corpus.sparkSession, kmeansLocal(corpus, k, iters))
+
+  private def kmeansLocal(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
     // probe the dimension ONCE from the raw corpus — probing inside each
     // iteration would re-execute the assignment pipeline just to re-read an
     // invariant
     val dim = embeddingDim(corpus)
     val seeded = corpus.withColumn("cell", pmod(col("vec_id"), lit(k)))
-    var cents = materializeCentroids(ivfCentroids(seeded, "cell", dim))
+    var cents = collectCentroids(ivfCentroids(seeded, "cell", dim))
     var i = 0
     while (i < iters) {
-      cents = materializeCentroids(ivfCentroids(assignCells(corpus, cents), "cell", dim))
+      cents = collectCentroids(ivfCentroids(assignCellsLocal(corpus, cents), "cell", dim))
       i += 1
     }
     cents
@@ -132,37 +138,39 @@ object Similarity {
       case _ => 0
     }
 
-  /** Centroids are driver-state (k × dim floats): collect and rebuild as a
-    * local DataFrame so each Lloyd iteration starts from data, not from the
-    * whole previous iteration's lineage (which would re-execute
-    * multiplicatively).
+  /** Centroids are driver-state (k × dim floats): collect them so each Lloyd
+    * iteration starts from data, not from the whole previous iteration's
+    * lineage (which would re-execute multiplicatively). Sorted by cell so
+    * [[graft.expressions.NearestCell]]'s first-wins scan ties to the lowest
+    * cell id.
     */
-  private def materializeCentroids(cents: DataFrame): DataFrame = {
-    val spark = cents.sparkSession
+  private def collectCentroids(cents: DataFrame): Array[(Int, Array[Float])] =
+    cents.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def toCentroidDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
     import spark.implicits._
-    val rows: Seq[(Int, Seq[Float])] = cents
-      .select(col("cell").cast("int"), col("centroid"))
-      .collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
-    rows.toDF("cell", "centroid")
+    cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
       .select(col("cell"), col("centroid").cast("array<float>"))
   }
 
   /** Assign every vector to its nearest centroid by cosine (deterministic
-    * tie-break on the lower cell id) — broadcast centroids, no shuffle of
-    * the corpus.
+    * tie-break on the lower cell id) — a single zero-shuffle projection over
+    * the corpus: the centroid matrix is tiny driver state embedded in a
+    * codegen'd argmax expression. No join, no groupBy, no exchange — the
+    * crossJoin+groupBy+join-back formulation this replaced shuffled the
+    * whole corpus twice per call, a scale-killer inside a training loop.
     */
-  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = withNorm(corpus.select("vec_id", "embedding"), "embedding", "__v_norm")
-    val cents = broadcast(withNorm(centroids, "centroid", "__c_norm"))
-    val best = c.crossJoin(cents)
-      .withColumn("__sim",
-        dot(col("embedding"), col("centroid")) / (col("__v_norm") * col("__c_norm")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("__sim"), (-col("cell")).as("cell"))).as("__best"))
-      .select(col("vec_id"), (-col("__best").getField("cell")).as("cell"))
-    corpus.drop("cell").join(best, "vec_id")
-  }
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsLocal(corpus, collectCentroids(centroids))
+
+  private def assignCellsLocal(corpus: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame =
+    corpus.drop("cell").withColumn("cell",
+      nearestCell(col("embedding"), cents.map(_._1), cents.map(_._2)))
 
   /** IVF with trained (k-means) cells: train, assign, probe. The corpus is
     * persisted for the duration — training scans it once per iteration.
@@ -170,7 +178,7 @@ object Similarity {
   def knnIvfTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int, kCells: Int, iters: Int = 3): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = assignCells(cached, kmeansCentroids(cached, kCells, iters))
+    val assigned = assignCellsLocal(cached, kmeansLocal(cached, kCells, iters))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     knnIvf(assigned, queries, "cell", k, nprobe)
   }

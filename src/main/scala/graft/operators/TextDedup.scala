@@ -44,7 +44,12 @@ object TextDedup {
     * to the full cross product.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L,
+      /** Eagerly compute the (small) pairs result and unpersist the shingle
+        * expansion before returning — for one-shot callers that would
+        * otherwise leave the corpus-sized cache pinned until LRU eviction.
+        */
+      materialize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // Pairs join on 64-bit shingle HASHES (one-pass ShingleHashes), not the
     // shingle strings: identical distinct/intersection counts (collisions at
@@ -74,13 +79,22 @@ object TextDedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    if (!materialize) result
+    else {
+      // pairs output is tiny (post-threshold); pinning it is cheap, while the
+      // corpus-sized expansion gets released immediately
+      val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      docShingles.unpersist()
+      out
+    }
   }
 
   /** MinHash signatures: k universal-family min-hashes per document over

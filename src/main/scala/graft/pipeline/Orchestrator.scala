@@ -124,11 +124,14 @@ final class Orchestrator(cfg: AppConfig, format: TableFormat,
     val ingests = ingTry.getOrElse(Nil)
     if (!ingStep.ok) return PipelineReport(Seq(ingStep), ingests, Nil)
 
-    // step 2: transformations (model builds fail-fast; orchestrator.py:66-74)
-    val (mdlTry, mdlStep0) = timed("transformations", spark) {
+    // step 2: transformations (model builds fail-fast; orchestrator.py:66-74).
+    // Step-level retries are OFF for the same reason as ingestion: a
+    // wholesale re-run re-appends stored failures for models that already
+    // succeeded under this runId — retries happen per model instead.
+    val (mdlTry, mdlStep0) = timed("transformations", spark, retries = 0) {
       val runs = new ModelGraph(models, format,
         failuresTable = Some(cfg.tableName(Layer.Gold, "test_failures")),
-        runId = batchId).run(spark)
+        runId = batchId).run(spark, retries = cfg.maxRetries, retrySleepMs = sleepMs)
       if (!runs.forall(_.ok))
         throw new RuntimeException(
           runs.filterNot(_.ok).flatMap(_.error).mkString("; "))

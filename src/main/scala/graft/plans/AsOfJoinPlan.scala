@@ -93,24 +93,35 @@ final case class AsOfJoinExec(
       lIter.map { lRow =>
         val lKey = lRow.get(lKeyOrd, keyType)
         val lTs = lRow.get(lTsOrd, tsType)
-        // advance right while it is behind or equal to (lKey, lTs)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rBuf.head.get(rKeyOrd, keyType)
-          val cmpKey = keyOrdering.compare(rKey, lKey)
-          if (cmpKey < 0) {
-            rBuf.next() // right rows for earlier keys can never match again
-          } else if (cmpKey == 0 &&
-              tsOrdering.compare(rBuf.head.get(rTsOrd, tsType), lTs) <= 0) {
-            candidate = rBuf.next().copy()
-            candidateKey = rKey
-          } else {
-            advancing = false
+        if (lKey == null || lTs == null) {
+          // SQL equi-join semantics (and the composed window form, which
+          // filters right-side rows by rightTs <= leftTs — never true for
+          // null): a null key or timestamp matches nothing → null-extend
+          joined(lRow, nullRight)
+        } else {
+          // advance right while it is behind or equal to (lKey, lTs)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rBuf.head.get(rKeyOrd, keyType)
+            val rTs = rBuf.head.get(rTsOrd, tsType)
+            if (rKey == null || rTs == null) {
+              rBuf.next() // can never match any left row — discard
+            } else {
+              val cmpKey = keyOrdering.compare(rKey, lKey)
+              if (cmpKey < 0) {
+                rBuf.next() // right rows for earlier keys can never match again
+              } else if (cmpKey == 0 && tsOrdering.compare(rTs, lTs) <= 0) {
+                candidate = rBuf.next().copy()
+                candidateKey = rKey
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matches = candidate != null &&
+            keyOrdering.compare(candidateKey, lKey) == 0
+          joined(lRow, if (matches) candidate else nullRight)
         }
-        val matches = candidate != null &&
-          keyOrdering.compare(candidateKey, lKey) == 0
-        joined(lRow, if (matches) candidate else nullRight)
       }
     }
   }

@@ -275,7 +275,7 @@ object Extra {
        |    END AS lang_guess
        |  FROM kept)
        |SELECT lang_guess, COUNT(*) AS n_docs,
-       |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
+       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
        |FROM guessed GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)
 
   /** Top-k per group: 3 highest-revenue parts per brand (window rank —
@@ -336,7 +336,9 @@ object Extra {
 
   /** Sketch-based statistics at 100 TB scale: approximate percentiles +
     * HLL distinct per group (rows-only — sketch internals are
-    * engine-specific; exact twins q28/q14 gate the semantics).
+    * engine-specific; exact twins q28/q14 gate the semantics). Percentiles
+    * are projected to scalar p50/p95 columns: the driver's rows-only check
+    * sorts the frame and cannot handle array-typed cells.
     */
   private val approxStats = QueryDef(
     (s, dir) =>
@@ -346,6 +348,12 @@ object Extra {
           expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("approx_p"),
           approx_count_distinct(col("o_custkey")).as("approx_customers"),
           count(lit(1)).as("n"))
+        .select(
+          col("o_orderstatus"),
+          col("approx_p").getItem(0).as("p50"),
+          col("approx_p").getItem(1).as("p95"),
+          col("approx_customers"),
+          col("n"))
         .orderBy("o_orderstatus"),
     None)
 

@@ -342,7 +342,7 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
         .orderBy("event_type"),
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin)
@@ -406,7 +406,7 @@ object Relational {
           max(col("props_struct.k")).as("max_k"))
         .orderBy("event_type"),
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -95,9 +95,29 @@ object Stream {
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin)
 
+  /** Stream-stream interval join (purchases ⋈ same-user views within 30 min
+    * BEFORE the purchase) run on finite input: `purchaseViewJoin` is the
+    * exact function the streaming path uses — the analyzer eliminates the
+    * watermarks on batch input, leaving the pure join semantics for the
+    * oracle to pin down. EventStreamsSpec asserts micro-batched streaming
+    * parity against this same call.
+    */
+  private val purchaseViewJoin = QueryDef(
+    (s, dir) =>
+      EventStreams.purchaseViewJoin(Tables.events(s, dir), withinMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "purchase_id", "view_id"),
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q55_sessions" -> sessions,
     "q56_sliding_windows" -> slidingWindows,
+    "q57_purchase_view_join" -> purchaseViewJoin,
     "q60_binary_meta" -> binaryMeta,
     "q61_decoded_media" -> decodedMedia)
 }

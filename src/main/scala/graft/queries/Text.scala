@@ -42,10 +42,10 @@ object Text {
           sum(tokenSetHits(col("text"), stopwords)).as("stopword_hits"))
         .orderBy("lang"),
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(trim(text), ' '))) AS total_tokens,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
       |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
-      |  SUM(len(list_filter(string_split(trim(text), ' '),
-      |      t -> t IN ('the','a','of','and','data')))) AS stopword_hits
+      |  CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+      |      t -> t IN ('the','a','of','and','data')))) AS BIGINT) AS stopword_hits
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Quality filter: keep documents whose composite score clears 2/3 —
@@ -84,22 +84,27 @@ object Text {
       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)
 
   /** Exact word-trigram Jaccard near-dup pairs (ground truth for the sketch
-    * paths). Stop-shingle cutoff keeps the shingle join linear-ish; the
-    * documents table tops out at 5k rows so the full pairing is bench-safe.
+    * paths), at the library-default stop-shingle cutoff (maxDocFreq=1000 —
+    * the quadratic-degeneration guard stays armed in gate code); the oracle
+    * mirrors the cutoff with the same doc-frequency HAVING filter.
+    * `materialize = true` releases the corpus-sized shingle-expansion cache
+    * as soon as the (tiny) pairs result is computed.
     */
   private val ngramJaccard = QueryDef(
     (s, dir) =>
       TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDocFreq = 100000L)
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000L, materialize = true)
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
         .orderBy("doc_a", "doc_b"),
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
       |       FROM toks WHERE len(t) >= 3),
-      |sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      |kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |fsh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM fsh GROUP BY 1),
       |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
-      |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |          FROM fsh a JOIN fsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT doc_a, doc_b, inter, x.sz AS sz_a, y.sz AS sz_b,
       |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
       |FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -143,7 +148,7 @@ object Text {
     """SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90
       |            THEN 'train' ELSE 'holdout' END AS split,
       |  COUNT(*) AS n_docs,
-      |  SUM(len(string_split(trim(text), ' '))) AS total_tokens
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)
 
   /** Decontamination: remove documents sharing any word 5-gram with a

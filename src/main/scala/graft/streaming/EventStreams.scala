@@ -96,33 +96,40 @@ object EventStreams {
               fromMicros(s.start), fromMicros(s.end), s.n))
           } else {
             val times = batch.map(e => toMicros(e.ts)).toSeq.sorted
-            // merge into existing or open sessions; emit every closed one
-            var cur = state.getOption
-            val closed = Seq.newBuilder[UserSession]
+            // phase 1: gap-merge the batch's (sorted) times into candidate
+            // sessions — consecutive late events within gapUs become ONE
+            // session, exactly as the batch twin's lag-gap-cumsum would
+            val batchSessions = Seq.newBuilder[SessionState]
+            var open: Option[SessionState] = None
             times.foreach { t =>
-              cur match {
-                case Some(s) if t < s.start - gapUs =>
-                  // late within-watermark event strictly before the open
-                  // session's reach: it is its own (already-closed) session
-                  closed += UserSession(userId, fromMicros(t), fromMicros(t), 1)
+              open = open match {
                 case Some(s) if t - s.end <= gapUs =>
-                  // min() the start too: a late event may extend backwards —
-                  // the batch twin (sorted input) would have started there
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1))
+                  Some(s.copy(end = t, n = s.n + 1))
                 case Some(s) =>
-                  closed += UserSession(userId,
-                    fromMicros(s.start), fromMicros(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  batchSessions += s
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
-            }
-            closed.result().iterator
+            open.foreach(batchSessions += _)
+            // phase 2: interval-merge with the carried open session — a late
+            // chunk reaching within gapUs of the state's start extends it
+            // backwards (and can bridge chunks), never emits spurious
+            // singletons
+            val all = (batchSessions.result() ++ state.getOption).sortBy(_.start)
+            val merged = all.foldLeft(List.empty[SessionState]) {
+              case (prev :: rest, s) if s.start - prev.end <= gapUs =>
+                prev.copy(start = math.min(prev.start, s.start),
+                  end = math.max(prev.end, s.end), n = prev.n + s.n) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+            // everything but the latest session is closed; the latest stays
+            // open under an event-time timeout
+            val last = merged.last
+            state.update(last)
+            state.setTimeoutTimestamp((last.end + gapUs) / 1000L)
+            merged.init.map(s =>
+              UserSession(userId, fromMicros(s.start), fromMicros(s.end), s.n)).iterator
           }
       }
   }

@@ -31,6 +31,17 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(AlertManager.throughput(2000, 60000) == 2000 / 60.0)
   }
 
+  test("alerts fire on memory and CPU thresholds (reference pipeline_monitor.py:284-285)") {
+    assert(AlertManager.evaluate(1000, 100, 0, memoryMb = 5000.0)
+      .exists(a => a.name == "memory_usage" && a.severity == "warning"))
+    assert(AlertManager.evaluate(1000, 100, 0, cpuPct = 95.0)
+      .exists(a => a.name == "cpu_usage" && a.severity == "warning"))
+    // within thresholds / unsampled (negative) → no alert
+    assert(AlertManager.evaluate(1000, 100, 0, memoryMb = 1024.0, cpuPct = 50.0).isEmpty)
+    assert(AlertManager.evaluate(1000, 100, 0).isEmpty)
+    assert(AlertManager.heapUsedMb() > 0)
+  }
+
   test("freshness classifies fresh/aging/stale from max event time") {
     val events = Tables.events(spark, SparkTestSession.sfDir)
     val latest = events.agg(org.apache.spark.sql.functions.max("ts"))

@@ -34,6 +34,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q1_agg").contains("partial_sum"))
   }
 
+  test("IVF cell assignment is a zero-shuffle projection") {
+    // nearest-centroid assignment must stay a projection over the corpus:
+    // the crossJoin+groupBy+join-back formulation it replaced put two
+    // corpus-wide exchanges on every Lloyd iteration
+    val emb = graft.core.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val cents = graft.operators.Similarity.ivfCentroids(emb, "label")
+    val p = graft.operators.Similarity.assignCells(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an

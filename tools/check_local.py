@@ -45,6 +45,13 @@ def main(sf_dir, out_dir):
             cols = list(exp.columns)
             exp_s = exp.sort_values(cols).reset_index(drop=True)
             got_s = got.sort_values(cols).reset_index(drop=True)
+            # dtype skew (e.g. DuckDB SUM(int) -> HUGEINT vs Spark bigint)
+            # passes the value compare below but fails the driver's hash —
+            # surface it loudly
+            for c in cols:
+                if str(exp_s[c].dtype) != str(got_s[c].dtype):
+                    print(f"WARN {name}: dtype skew on '{c}' "
+                          f"oracle={exp_s[c].dtype} spark={got_s[c].dtype}")
             mism = []
             for c in cols:
                 a, b = exp_s[c], got_s[c]
