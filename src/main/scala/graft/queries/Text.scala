@@ -152,21 +152,20 @@ object Text {
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)
 
   /** Decontamination: remove documents sharing any word 5-gram with a
-    * pseudo-benchmark (the 3 lowest doc_ids). Gate query uses string
-    * shingles so DuckDB can reproduce; the library op joins on shingle
-    * hashes (TextDedup.decontaminate) with identical semantics.
+    * pseudo-benchmark (the 3 lowest doc_ids) — the REAL library operator
+    * (TextDedup.decontaminate, 64-bit shingle-hash broadcast semi-join).
+    * The oracle builds string shingles instead, but only the final
+    * per-language aggregate is compared, and hash vs string shingle keys
+    * classify identically (q41 pins the same tokenization equivalence);
+    * the hash form skips the corpus-wide shingle-string construction that
+    * used to dominate this query's runtime.
     */
   private val decontaminate = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(col("doc_id") < 3)
-      val benchShingles = broadcast(
-        bench.select(explode(shingles(col("text"), 5)).as("sh")).distinct())
-      val contaminated = docs
-        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
-        .join(benchShingles, Seq("sh"), "left_semi")
-        .select("doc_id").distinct()
-      docs.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.operators.TextDedup.decontaminate(
+        docs, "doc_id", "text", bench, "text", n = 5)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     },

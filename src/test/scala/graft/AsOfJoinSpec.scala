@@ -61,4 +61,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     // event 2 (user 12) precedes any view for that user in this dataset
     assert(firstPurchase.isNullAt(1) && firstPurchase.isNullAt(2))
   }
+
+  test("native merge handles null keys and timestamps (no NPE, SQL semantics)") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Some(10L), Some(5000000L)), // normal row, has a match
+      (2L, None, Some(5000000L)),      // null key → never matches
+      (3L, Some(10L), None))           // null ts → never matches
+      .toDF("id", "k", "us")
+      .select(col("id"), col("k"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+    val r = Seq(
+      (Some(10L), Some(1000000L), 1.0), // the match for id=1
+      (None, Some(2000000L), 2.0),      // null key right row: discarded
+      (Some(10L), None, 3.0))           // null ts right row: discarded
+      .toDF("k", "us", "v")
+      .select(col("k").as("rk"),
+        org.apache.spark.sql.functions.timestamp_micros(col("us")).as("rts"),
+        col("v"))
+    val out = AsOfJoin.joinAsOfNative(l, r,
+      key = "k", leftTs = "ts", rightKey = "rk", rightTs = "rts")
+      .select("id", "rts", "v").collect().map(x => x.getLong(0) -> x).toMap
+    assert(out.size == 3)
+    assert(!out(1L).isNullAt(2) && out(1L).getDouble(2) == 1.0)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+  }
 }

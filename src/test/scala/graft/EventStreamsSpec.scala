@@ -130,6 +130,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamedSet.nonEmpty)
   }
 
+  test("late within-watermark events gap-merge into one session (batch-twin semantics)") {
+    // batch 0: one event at 10:00 opens a session (gap 10 min, watermark 30
+    // min → after batch 0 the watermark is 09:30). batch 1: two late events
+    // at 09:35/09:36 — before the open session's reach (09:50) but within
+    // the gap of EACH OTHER, so they must emit as ONE closed session of 2
+    // (the pre-fix code emitted two spurious singletons)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_merge")
+    def writeBatch(name: String, minutes: Seq[Int]): Unit = {
+      val df = minutes.map(m => (1L, new java.sql.Timestamp(
+          java.time.Instant.parse("2024-01-01T09:00:00Z").toEpochMilli + m * 60000L),
+          "view"))
+        .toDF("user_id", "ts", "event_type")
+      val tmp = s"$dir/_$name"
+      df.coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    writeBatch("0", Seq(60))     // 10:00
+    writeBatch("1", Seq(35, 36)) // 09:35, 09:36
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .as[EventStreams.SessionEvent]
+    val out = runToMemory(
+      EventStreams.sessionize(stream, gapMs = 10 * 60 * 1000L).toDF(),
+      "late_merge_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+    assert(out.length == 1, out.mkString("; "))
+    val s = out.head
+    assert(s.getLong(0) == 1L)
+    assert(s.getTimestamp(1).toInstant == java.time.Instant.parse("2024-01-01T09:35:00Z"))
+    assert(s.getTimestamp(2).toInstant == java.time.Instant.parse("2024-01-01T09:36:00Z"))
+    assert(s.getLong(3) == 2L)
+  }
+
   test("stateful sessionization emits the same sessions as the batch twin") {
     val events = EventStreams.readEvents(spark, eventsDir)
       .select(col("user_id"), col("ts"), col("event_type"))

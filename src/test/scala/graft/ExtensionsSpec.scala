@@ -31,6 +31,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(1) == 2) // 'a b c', 'b c d'
   }
 
+  test("shingle_hashes validates its width argument at plan time") {
+    // BIGINT literal: accepted via checked integral conversion
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3L)) AS n")
+      .head.getInt(0) == 2)
+    // non-foldable (column reference) and non-integral types: clear plan-time
+    // error, not a ClassCastException on the executor
+    val nonConst = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', n) FROM (SELECT 3 AS n)").collect()
+    }
+    assert(nonConst.getMessage.contains("constant integer"), nonConst.getMessage)
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', 'three')").collect()
+    }
+    assert(wrongType.getMessage.contains("constant integer"), wrongType.getMessage)
+  }
+
+  test("vec_dot length mismatch yields null even on non-nullable literals") {
+    // vec_dot introduces nulls itself; without `nullable = true` the
+    // optimizer's NullPropagation would fold this IS NULL to false
+    assert(spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float))) IS NULL AS n")
+      .head.getBoolean(0))
+  }
+
+  test("string-typed inputs are enforced at analysis (ExpectsInputTypes)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash64(array(1, 2))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
   test("minhash_match_frac computes agreement from SQL") {
     val got = spark.sql(
       "SELECT minhash_match_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 7L)) AS f")
