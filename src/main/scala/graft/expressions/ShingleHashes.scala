@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * single loop per row, and the expression sits under an explode where
   * per-row dispatch dominates either way.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    /** true → distinct hashes in first-seen order (set semantics, for
+      * dedup joins); false → one hash per shingle POSITION in document
+      * order (for positional algorithms like winnowing).
+      */
+    distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback with TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -32,13 +37,23 @@ case class ShingleHashes(child: Expression, n: Int)
     val tokenHashes = TextHashing.fnvTokenHashes(
       input.asInstanceOf[UTF8String].getBytes)
     if (tokenHashes.length < n) return new GenericArrayData(Array.empty[Long])
-    val out = new mutable.LinkedHashSet[Long]
-    var s = 0
-    while (s <= tokenHashes.length - n) {
-      out += TextHashing.shingleHash(tokenHashes, s, n)
-      s += 1
+    if (distinct) {
+      val out = new mutable.LinkedHashSet[Long]
+      var s = 0
+      while (s <= tokenHashes.length - n) {
+        out += TextHashing.shingleHash(tokenHashes, s, n)
+        s += 1
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      val out = new Array[Long](tokenHashes.length - n + 1)
+      var s = 0
+      while (s <= tokenHashes.length - n) {
+        out(s) = TextHashing.shingleHash(tokenHashes, s, n)
+        s += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =

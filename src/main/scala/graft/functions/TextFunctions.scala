@@ -97,4 +97,44 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Positional md5-derived 60-bit shingle hashes (one per n-gram position,
+    * document order). md5 is computed identically by DuckDB
+    * (`CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`), which makes
+    * fingerprint SELECTIONS over these hashes oracle-comparable — the
+    * engine-fast path is [[winnowFingerprints]] over the one-pass FNV
+    * expression instead.
+    */
+  def shingleHashesMd5(text: Column, n: Int): Column =
+    transform(shingles(text, n),
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS rolling-hash
+    * fingerprint): the distinct minima of every sliding window of `w`
+    * consecutive positional shingle hashes. Guarantee: two documents sharing
+    * a run of at least w + n - 1 tokens share at least one fingerprint, while
+    * only ~1/w of shingles are kept — a document sketch for near-dup and
+    * provenance detection whose size is independent of the hash family.
+    */
+  def winnow(positionalHashes: Column, w: Int): Column = {
+    // guard: sequence(1, m-w+1) with m < w would DESCEND (step -1) and
+    // produce windows that read past the array — emit an empty sketch
+    when(size(positionalHashes) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(positionalHashes) - (w - 1)),
+        j => array_min(slice(positionalHashes, j, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Rolling-hash document fingerprints: one-pass FNV positional shingle
+    * hashes (graft.expressions.ShingleHashes, distinct = false) + [[winnow]].
+    * Pure projection — zero shuffle, sketch size ~|doc|/w.
+    */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    winnow(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.ShingleHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+          n, distinct = false)),
+      w)
 }

@@ -179,9 +179,40 @@ object Text {
       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
       |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Rolling-hash document fingerprints (winnowing): per-doc sketch stats
+    * over trigram shingles, window 4. The gate variant selects minima over
+    * md5-derived hashes so DuckDB reproduces the selection EXACTLY (same
+    * windowing arithmetic, same hash values); the engine-fast path
+    * (TextFunctions.winnowFingerprints, one-pass FNV hashes) shares the
+    * identical winnow Column logic and is property-tested in
+    * TextFunctionsSpec.
+    */
+  private val winnowFp = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          winnow(shingleHashesMd5(col("text"), 3), 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+      |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+      |FROM (
+      |  SELECT doc_id, list_distinct(
+      |      [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)]) AS fps
+      |  FROM (
+      |    SELECT doc_id,
+      |      [CAST('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT)
+      |       for i in range(1, len(t) - 1)] AS hs
+      |    FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)))
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
     "q63_decontaminate" -> decontaminate,
+    "q66_winnow_fingerprints" -> winnowFp,
     "q37_token_stats" -> tokenStats,
     "q38_lang_stats" -> langStats,
     "q39_quality_filter" -> qualityFilter,

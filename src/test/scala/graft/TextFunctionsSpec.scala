@@ -47,4 +47,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a != one[String](fingerprint(col("t")), "hello there"))
   }
+
+  test("winnow fingerprints: shared-run guarantee and short-doc behavior") {
+    def fps(text: String): Set[Long] =
+      one[scala.collection.Seq[Long]](
+        winnowFingerprints(col("t"), n = 3, w = 4), text).toSet
+    // winnowing guarantee: a shared run of >= w + n - 1 = 6 tokens implies
+    // at least one shared fingerprint
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val a = fps(s"one two $shared nine ten")
+    val b = fps(s"$shared completely different tail words here")
+    assert(a.intersect(b).nonEmpty)
+    // unrelated text overwhelmingly yields disjoint sketches
+    assert(fps("zz yy xx ww vv uu tt ss").intersect(a).isEmpty)
+    // sketch is a subset of ~1/w of positions: strictly smaller than the
+    // shingle count for long docs
+    val longDoc = (1 to 200).map(i => s"tok$i").mkString(" ")
+    assert(fps(longDoc).size < 198 && fps(longDoc).nonEmpty)
+    // fewer than w + n - 1 tokens → empty sketch, not an error
+    assert(fps("a b c d e").isEmpty)
+    assert(fps("").isEmpty)
+  }
+
+  test("positional shingle hashes preserve duplicates and order") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pos = ColumnBridge.column(graft.expressions.ShingleHashes(
+      ColumnBridge.expression(col("t")), 2, distinct = false))
+    val got = one[scala.collection.Seq[Long]](pos, "a b a b a")
+    // shingles: "a b","b a","a b","b a" → positional keeps all 4, with
+    // repeats at positions 0/2 and 1/3
+    assert(got.length == 4)
+    assert(got(0) == got(2) && got(1) == got(3) && got(0) != got(1))
+  }
 }
