@@ -25,6 +25,27 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= " " && t =!= ""))
 
+  /** GPT-2-style pretokenization pattern, simplified for cross-engine
+    * reproducibility: contraction suffixes, space-prefixed letter runs,
+    * space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+    * runs — leftmost-first alternation, which Java regex and RE2 evaluate
+    * identically. Deliberately avoids the original's lookahead
+    * (`\s+(?!\S)`) and `\p{L}` classes (RE2/Java unicode-class skew), and
+    * spells the whitespace class out because Java's `\s` includes vertical
+    * tab while RE2's does not.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+"
+
+  /** BPE-ish token count: number of [[bpePattern]] pretokens — the standard
+    * proxy for "how many tokens will the tokenizer emit", used to cost and
+    * bucket documents before real BPE runs. Unlike true BPE the pattern
+    * needn't cover whitespace (extract-all skips gaps), which keeps the
+    * count a single codegen'd projection.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Mean token length in characters: non-space chars / tokens. */
   def avgWordLen(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text)

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster formation. Pair lists (n-gram Jaccard, MinHash/LSH,
+  * SimHash, embedding cosine) are only half of deduplication — a production
+  * pipeline must transitively close the pairs into clusters and keep ONE
+  * canonical document per cluster (A~B and B~C must not leave both A and C
+  * in the corpus). Reference scope: extends the dedup contract of
+  * tests/unit/test_ingestion.py:131-156 from key-equality to
+  * similarity-closure semantics.
+  *
+  * Scale design: [[connectedComponents]] iterates min-label propagation over
+  * the EDGE list only — pairs that already passed a similarity threshold, so
+  * orders of magnitude smaller than the corpus — and the corpus itself is
+  * touched exactly twice (once to generate pairs upstream, once for the
+  * final semi/anti join). Each round is one join + one aggregate on edges;
+  * rounds needed = cluster diameter, and thresholded similarity clusters
+  * are dense (2-4 rounds in practice). For adversarial long-chain graphs the
+  * alternating large-star/small-star algorithm (Kiveris et al., SoCC'14)
+  * bounds rounds at O(log n); similarity graphs don't need it, so we keep
+  * the simpler propagation and fail loudly at `maxIter` rather than return
+  * a non-fixpoint labeling.
+  */
+object DupGroups {
+
+  /** Connected components of the undirected graph given as an edge list:
+    * (vertex, component) where component = the minimum vertex id in the
+    * component. Only vertices with at least one edge appear — an isolated
+    * document is trivially its own group, and callers that need those rows
+    * union them back (see [[dropNearDuplicates]]).
+    *
+    * Per round: propagate every vertex's current label across its edges,
+    * then take the min of (own label, incoming labels). Labels start at
+    * min(self, direct neighbors) and only ever decrease, so the sum of all
+    * labels is a monotone convergence witness: an unchanged sum is a
+    * fixpoint, checked with one tiny aggregate per round instead of a
+    * change-count join.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def labelSum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var cur = sym.groupBy(col("u").as("vertex"))
+      .agg(min(least(col("u"), col("v"))).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curSum = labelSum(cur)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // one shuffle on edges (join by u) + one on vertices (groupBy) — the
+      // corpus never appears; lineage stays shallow because each round reads
+      // the persisted previous labels, not the whole chain
+      val next = sym.join(cur, sym("u") === cur("vertex"))
+        .select(sym("v").as("vertex"), col("label"))
+        .union(cur)
+        .groupBy("vertex").agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(curSum) == 0
+      cur.unpersist()
+      cur = next
+      curSum = nextSum
+      round += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — component " +
+          s"diameter exceeds maxIter; raise maxIter (or use star-contraction " +
+          s"for adversarial chain graphs)")
+    cur
+  }
+
+  /** Near-duplicate clusters over a document corpus: exact n-gram Jaccard
+    * pairs at `minJaccard`, transitively closed. Returns (idCol, group_id)
+    * for every document that has at least one near-duplicate; group_id is
+    * the minimum doc id of the cluster.
+    */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val pairs = TextDedup.ngramJaccardPairs(
+      df, idCol, textCol, n, minJaccard, maxDocFreq, materialize = true)
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("vertex").as(idCol), col("label").as("group_id"))
+  }
+
+  /** Keep one document per near-duplicate cluster (minimum id wins) plus
+    * every document with no near-duplicate — the standard corpus-dedup
+    * "closure then canonical" step. One anti-join against the (tiny)
+    * non-canonical member list; the corpus is never shuffled.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDocFreq: Long = 1000L): DataFrame = {
+    val losers = nearDupGroups(df, idCol, textCol, n, minJaccard, maxDocFreq)
+      .filter(col(idCol) =!= col("group_id"))
+      .select(idCol)
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-cosine near-duplicate clusters: blocked cosine pairs at
+    * `threshold`, transitively closed within the pair graph. Blocking means
+    * clusters cannot span blocks unless a pair does — the block column is a
+    * routing key (label, shard, LSH bucket), not a semantic boundary, so
+    * choose it accordingly.
+    */
+  def embeddingDupGroups(corpus: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = Similarity.similarPairsBlocked(corpus, blockCol, threshold)
+    connectedComponents(pairs, "vec_a", "vec_b")
+      .select(col("vertex").as("vec_id"), col("label").as("group_id"))
+  }
+}

@@ -209,10 +209,63 @@ object Text {
       |    FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)))
       |ORDER BY doc_id""".stripMargin)
 
+  /** Whitespace vs BPE-ish pretoken counts per document — the "how many
+    * tokens will the tokenizer emit" costing pass. The pretokenization regex
+    * (TextFunctions.bpePattern) is written for identical leftmost-first
+    * matching in Java regex and RE2, so the oracle runs the same pattern.
+    */
+  private val bpeTokens = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+'))
+      |    AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Near-duplicate CLUSTERS (not just pairs): q41's exact trigram-Jaccard
+    * pairs transitively closed by min-label propagation
+    * (DupGroups.connectedComponents) — the step that turns pair lists into
+    * "keep one canonical per cluster" decisions. The oracle closes the same
+    * pair set with a recursive reachability CTE.
+    */
+  private val dupGroups = QueryDef(
+    (s, dir) =>
+      graft.operators.DupGroups.nearDupGroups(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .orderBy("doc_id"),
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |fsh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM fsh GROUP BY 1),
+      |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+      |         FROM fsh a JOIN fsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+      |edges AS (SELECT doc_a u, doc_b v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+      |SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS group_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
     "q63_decontaminate" -> decontaminate,
     "q66_winnow_fingerprints" -> winnowFp,
+    "q67_bpe_tokens" -> bpeTokens,
+    "q68_dup_groups" -> dupGroups,
     "q37_token_stats" -> tokenStats,
     "q38_lang_stats" -> langStats,
     "q39_quality_filter" -> qualityFilter,

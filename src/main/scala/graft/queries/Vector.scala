@@ -77,8 +77,36 @@ object Vector {
     },
     None)
 
+  /** Embedding-cosine near-duplicate clusters: q52's blocked cosine pairs
+    * transitively closed into groups (DupGroups.embeddingDupGroups) — the
+    * semantic-dedup path where near-dups are paraphrases, not shared
+    * n-grams. Oracle closes the identical pair set with a recursive
+    * reachability CTE.
+    */
+  private val embeddingDupGroups = QueryDef(
+    (s, dir) =>
+      graft.operators.DupGroups.embeddingDupGroups(
+        Tables.embeddings(s, dir), "label", threshold = 0.3)
+        .orderBy("vec_id"),
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      ${sqlCosine("a.embedding", "b.embedding")} AS cos_sim
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  WHERE cos_sim >= 0.3),
+       |edges AS (SELECT vec_a u, vec_b v FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT CAST(src AS BIGINT) AS vec_id, CAST(MIN(dst) AS BIGINT) AS group_id
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q50_vector_norms" -> vectorNorms,
+    "q69_embedding_dup_groups" -> embeddingDupGroups,
     "q51_knn_exact" -> knnExact,
     "q52_similar_pairs" -> similarPairs,
     "q53_knn_lsh" -> knnLsh,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DupGroups
+
+/** Connected-components closure semantics: chain propagation, component
+  * isolation, the non-convergence guard, and the end-to-end near-dup
+  * grouping/canonical-selection operators built on it.
+  */
+class DupGroupsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    DupGroups.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain propagates the minimum label across the whole component") {
+    // diameter-4 chain: takes multiple propagation rounds, not just the init
+    assert(components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("separate components keep separate labels; edge direction is ignored") {
+    val got = components(Seq((7L, 2L), (2L, 9L), (11L, 10L)))
+    assert(got == Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("non-convergence within maxIter fails loudly instead of returning a non-fixpoint") {
+    val longChain = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalStateException] {
+      components(longChain, maxIter = 1)
+    }
+    // and the same graph converges with the default budget
+    assert(components(longChain).values.toSet == Set(1L))
+  }
+
+  test("nearDupGroups clusters transitively and dropNearDuplicates keeps canonicals") {
+    // 10 and 20 are exact duplicates; 21 near-dups 20 (one word changed at
+    // the end); 30 is unrelated → cluster {10, 20, 21} + singleton 30
+    val docs = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (20L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (21L, "alpha bravo charlie delta echo foxtrot golf india"),
+      (30L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val groups = DupGroups.nearDupGroups(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(10L -> 10L, 20L -> 10L, 21L -> 10L))
+    val kept = DupGroups.dropNearDuplicates(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+
+  test("embeddingDupGroups clusters by cosine within blocks") {
+    // block 1: 1≈2 (identical direction), 3 orthogonal; block 2: 4≈5
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 1), (2L, Array(2f, 0f), 1), (3L, Array(0f, 1f), 1),
+      (4L, Array(0f, 3f), 2), (5L, Array(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = DupGroups.embeddingDupGroups(vecs, "label", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+}

@@ -69,6 +69,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps("").isEmpty)
   }
 
+  test("bpeTokenCount splits contractions, letter/digit runs, and punctuation") {
+    // don / 't / stop → 3 (contraction suffix is its own pretoken)
+    assert(one[Int](bpeTokenCount(col("t")), "don't stop") == 3)
+    // abc / 123 / !! → letter, digit, punctuation runs split apart
+    assert(one[Int](bpeTokenCount(col("t")), "abc123!!") == 3)
+    // space-prefixed runs: "a b2" → a / b / 2
+    assert(one[Int](bpeTokenCount(col("t")), "a b2") == 3)
+    // multiple spaces between words don't create tokens
+    assert(one[Int](bpeTokenCount(col("t")), "a   b") == 2)
+    assert(one[Int](bpeTokenCount(col("t")), "") == 0)
+    // BPE-ish count ≥ whitespace count on mixed text (finer granularity)
+    assert(one[Int](bpeTokenCount(col("t")), "the price is $12.50 today") >=
+      one[Int](tokenCount(col("t")), "the price is $12.50 today"))
+  }
+
   test("positional shingle hashes preserve duplicates and order") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val pos = ColumnBridge.column(graft.expressions.ShingleHashes(
