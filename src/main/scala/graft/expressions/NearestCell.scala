@@ -95,6 +95,28 @@ case class NearestCell(
     })
   }
 
+  // Array params get reference equals/hashCode from the case class, which
+  // defeats canonicalization and common-subexpression elimination (two
+  // semantically identical NearestCell nodes would never compare equal).
+  // Compare contents instead; child participates so canonicalized children
+  // still differentiate.
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCell =>
+      child == that.child &&
+        java.util.Arrays.equals(cells, that.cells) &&
+        centroids.length == that.centroids.length &&
+        centroids.indices.forall(i =>
+          java.util.Arrays.equals(centroids(i), that.centroids(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + java.util.Arrays.hashCode(cells)
+    centroids.foreach(c => h = 31 * h + java.util.Arrays.hashCode(c))
+    h
+  }
+
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
 }

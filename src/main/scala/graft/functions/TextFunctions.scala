@@ -136,16 +136,16 @@ object TextFunctions {
     * a run of at least w + n - 1 tokens share at least one fingerprint, while
     * only ~1/w of shingles are kept — a document sketch for near-dup and
     * provenance detection whose size is independent of the hash family.
+    *
+    * One-pass monotonic-deque expression (graft.expressions.Winnow): the
+    * equivalent transform+slice+array_min Column form re-evaluates the hash
+    * subtree once per window position (interpreted HOFs, no let-binding),
+    * which turns an expensive hash child into an O(len²) per-document cost.
     */
-  def winnow(positionalHashes: Column, w: Int): Column = {
-    // guard: sequence(1, m-w+1) with m < w would DESCEND (step -1) and
-    // produce windows that read past the array — emit an empty sketch
-    when(size(positionalHashes) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(positionalHashes) - (w - 1)),
-        j => array_min(slice(positionalHashes, j, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def winnow(positionalHashes: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.Winnow(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(positionalHashes), w))
 
   /** Rolling-hash document fingerprints: one-pass FNV positional shingle
     * hashes (graft.expressions.ShingleHashes, distinct = false) + [[winnow]].
@@ -158,4 +158,36 @@ object TextFunctions {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
           n, distinct = false)),
       w)
+
+  /** Word n-gram frequency stats `struct(total, n_distinct, max_count,
+    * dup_count)` in one pass over the token array
+    * (graft.expressions.NgramFreqStats) — a projection, never an
+    * explode→groupBy shuffle, because the stats are row-local.
+    */
+  def ngramFreqStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NgramFreqStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens(text)), n))
+
+  /** Gopher-style repetition signals (Rae et al., arXiv:2112.11446 §A1.1):
+    * fraction of occurrences taken by the single most frequent word
+    * (`top_word_frac`), by the most frequent word bigram
+    * (`top_bigram_frac`), and the fraction of word trigram occurrences that
+    * belong to a repeated trigram (`dup_trigram_frac`). High values flag
+    * boilerplate, keyword spam and templated pages; pretraining pipelines
+    * drop documents above per-signal thresholds. Too-short documents score
+    * 0.0 (no n-grams → no repetition).
+    */
+  def repetitionSignals(text: Column): Column = {
+    def frac(num: Column, den: Column): Column =
+      when(den === 0L, 0.0).otherwise(num.cast("double") / den)
+    val uni = ngramFreqStats(text, 1)
+    val bi = ngramFreqStats(text, 2)
+    val tri = ngramFreqStats(text, 3)
+    struct(
+      uni.getField("total").as("n_words"),
+      frac(uni.getField("max_count"), uni.getField("total")).as("top_word_frac"),
+      frac(bi.getField("max_count"), bi.getField("total")).as("top_bigram_frac"),
+      frac(tri.getField("dup_count"), tri.getField("total")).as("dup_trigram_frac"))
+  }
 }

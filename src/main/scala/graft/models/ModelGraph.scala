@@ -146,23 +146,31 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
         if (analyzeTables)
           spark.sql(s"ANALYZE TABLE ${m.targetTable} COMPUTE STATISTICS")
         val materialized = spark.table(m.targetTable)
+        // every count runs BEFORE the stored-failures append: the append is
+        // the last non-idempotent action of an attempt, so a transient
+        // failure anywhere else re-runs the attempt without having appended,
+        // and a failure during the append itself is the only (unavoidable)
+        // partial-write window — retries cannot double-append via a later
+        // count/ANALYZE blowing up
+        val rowCount = materialized.count()
         val violations = m.rules.map { rs =>
           val fails = rs.failures(materialized)
+          val n = fails.count()
           failuresTable.foreach(t => failuresLock.synchronized {
             format.appendMergeSchema(spark,
               fails.select("table_name", "rule")
                 .withColumn("run_id", org.apache.spark.sql.functions.lit(runId)),
               t)
           })
-          fails.count()
+          n
         }.getOrElse(0L)
-        ModelRun(m.name, ok = true, materialized.count(), violations)
+        ModelRun(m.name, ok = true, rowCount, violations)
       } match {
         case Success(r) => r
         case Failure(_) if remaining > 0 =>
-          // overwrite-materialized models are idempotent per attempt; a
-          // failed build aborts before its stored-failures append, so the
-          // retry cannot duplicate violation rows
+          // overwrite-materialized models are idempotent per attempt; all
+          // counts/ANALYZE run before the stored-failures append (see above),
+          // so a retried attempt has not already appended violation rows
           if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
           attempt(remaining - 1)
         case Failure(e) =>

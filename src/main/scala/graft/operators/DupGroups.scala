@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster formation. Pair lists (n-gram Jaccard, MinHash/LSH,
   * SimHash, embedding cosine) are only half of deduplication — a production
@@ -42,27 +41,38 @@ object DupGroups {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // localCheckpoint, not persist: each round references the previous label
+    // frame TWICE (join + union), so an un-truncated logical plan doubles per
+    // round — exponential analysis/optimization cost that dwarfs execution
+    // after ~15 rounds. Checkpointing cuts the lineage to the materialized
+    // partitions, keeping every round's plan constant-size. Edges are tiny
+    // (already-thresholded pairs), so the materialization is cheap.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
+    // null-safe: an empty edge list yields a null SUM — treat as zero so the
+    // clean-corpus case (no near-duplicate pairs at all) converges instead
+    // of NPE-ing on compareTo
     def labelSum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
 
     var cur = sym.groupBy(col("u").as("vertex"))
       .agg(min(least(col("u"), col("v"))).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var curSum = labelSum(cur)
-    var converged = false
+    var converged = cur.isEmpty // no edges → no vertices → already a fixpoint
     var round = 0
     while (!converged && round < maxIter) {
       // one shuffle on edges (join by u) + one on vertices (groupBy) — the
-      // corpus never appears; lineage stays shallow because each round reads
-      // the persisted previous labels, not the whole chain
+      // corpus never appears; the eager localCheckpoint truncates lineage so
+      // each round reads the previous labels' materialized partitions, not
+      // the whole chain of prior rounds
       val next = sym.join(cur, sym("u") === cur("vertex"))
         .select(sym("v").as("vertex"), col("label"))
         .union(cur)
         .groupBy("vertex").agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       cur.unpersist()

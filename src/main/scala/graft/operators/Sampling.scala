@@ -25,4 +25,21 @@ object Sampling {
   /** Keep a deterministic ~pct% sample. */
   def sampleFraction(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), 100) < pct)
+
+  /** Pretraining-mixture sampling: admit each row at its source's rate
+    * (percent, 0-100), falling back to `defaultPct` for unlisted sources —
+    * how a data mix ("keep all of wiki, 30% of crawl") is materialized.
+    * Deterministic (same md5 bucket as [[split]]): re-running the pipeline
+    * or resharding the corpus reproduces the exact same mixture, and a
+    * row's admission can be audited from its key alone. Pure filter — the
+    * rate lookup folds into a codegen'd CASE chain, zero shuffle, and the
+    * admission predicate pushes into the scan like any other filter.
+    */
+  def mixture(df: DataFrame, keyCol: String, sourceCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      when(col(sourceCol) === src, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < rate)
+  }
 }

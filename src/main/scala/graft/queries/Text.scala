@@ -260,8 +260,171 @@ object Text {
       |SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS group_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
 
+  /** Gopher-style repetition signals (top-word / top-bigram / duplicate-
+    * trigram fractions) — one zero-shuffle projection via the one-pass
+    * NgramFreqStats expression; the oracle recomputes every signal with
+    * unnest + GROUP BY (fine at oracle scale, a corpus-sized shuffle the
+    * engine deliberately avoids).
+    */
+  private val repetition = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words"), col("r.top_word_frac"),
+          col("r.top_bigram_frac"), col("r.dup_trigram_frac"))
+        .orderBy("doc_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) g FROM toks),
+      |uc AS (SELECT doc_id, g, COUNT(*) c FROM uni GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) total, MAX(c) maxc FROM uc GROUP BY 1),
+      |bi AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) g
+      |       FROM toks WHERE len(t) >= 2),
+      |bc AS (SELECT doc_id, g, COUNT(*) c FROM bi GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) total, MAX(c) maxc FROM bc GROUP BY 1),
+      |tri AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) g
+      |        FROM toks WHERE len(t) >= 3),
+      |tc AS (SELECT doc_id, g, COUNT(*) c FROM tri GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) total,
+      |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dupc FROM tc GROUP BY 1)
+      |SELECT d.doc_id AS doc_id,
+      |  coalesce(us.total, 0) AS n_words,
+      |  CASE WHEN coalesce(us.total, 0) = 0 THEN 0.0 ELSE CAST(us.maxc AS DOUBLE) / us.total END AS top_word_frac,
+      |  CASE WHEN coalesce(bs.total, 0) = 0 THEN 0.0 ELSE CAST(bs.maxc AS DOUBLE) / bs.total END AS top_bigram_frac,
+      |  CASE WHEN coalesce(ts.total, 0) = 0 THEN 0.0 ELSE CAST(ts.dupc AS DOUBLE) / ts.total END AS dup_trigram_frac
+      |FROM documents d LEFT JOIN us ON d.doc_id = us.doc_id
+      |LEFT JOIN bs ON d.doc_id = bs.doc_id LEFT JOIN ts ON d.doc_id = ts.doc_id
+      |ORDER BY doc_id""".stripMargin)
+
+  /** PII redaction (emails/phones/IPv4 → typed placeholders) plus removal
+    * counts, over deterministically synthesized PII-bearing text (the corpus
+    * itself contains none — the synthesis is replayed identically by the
+    * oracle so the redaction semantics are what's compared). Pure projection:
+    * regex patterns are restricted to the Java∩RE2 common subset.
+    */
+  private val piiRedact = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"),
+            lit(" re: "), substring(col("text"), 1, 40)).as("msg"))
+        .select(col("doc_id"),
+          graft.functions.Redaction.emailCount(col("msg")).as("n_emails"),
+          graft.functions.Redaction.phoneCount(col("msg")).as("n_phones"),
+          graft.functions.Redaction.ipCount(col("msg")).as("n_ips"),
+          graft.functions.Redaction.redactPii(col("msg")).as("redacted"))
+        .orderBy("doc_id"),
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or call +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+      |    CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' re: ' ||
+      |    substring(text, 1, 40) AS msg
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(msg, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(msg, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(msg,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+      |FROM synth ORDER BY doc_id""".stripMargin)
+
+  /** End-to-end corpus dedup: q68's clusters applied — keep the minimum-id
+    * canonical of every near-dup cluster plus all singleton documents
+    * (DupGroups.dropNearDuplicates). This is the operator a pipeline
+    * actually runs; pairs and groups are its intermediates.
+    */
+  private val dedupKeepSet = QueryDef(
+    (s, dir) =>
+      graft.operators.DupGroups.dropNearDuplicates(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |fsh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM fsh GROUP BY 1),
+      |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+      |         FROM fsh a JOIN fsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+      |edges AS (SELECT doc_a u, doc_b v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |comp AS (SELECT src, MIN(dst) grp FROM reach GROUP BY src),
+      |losers AS (SELECT src FROM comp WHERE src != grp)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id NOT IN (SELECT src FROM losers) ORDER BY doc_id""".stripMargin)
+
+  /** Pretraining-mixture materialization: per-source admission rates
+    * (keep all of src0/src1, half of src2/src3, a quarter of the rest) via
+    * the deterministic md5 bucket — tallied per source. The admission
+    * predicate is a pure filter that pushes into the scan.
+    */
+  private val mixtureSample = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.mixture(
+        Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 100, "src1" -> 100, "src2" -> 50, "src3" -> 50),
+        defaultPct = 25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("source"),
+    """WITH admitted AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 <
+      |    CASE WHEN source IN ('src0', 'src1') THEN 100
+      |         WHEN source IN ('src2', 'src3') THEN 50
+      |         ELSE 25 END)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+      |FROM admitted GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size chunks (size 32, no overlap) — the sequence-packing /
+    * costing pass before tokenization. The generator (explode) is its own
+    * select step (Spark 4 forbids nested generators in expressions); all
+    * chunk arithmetic stays codegen'd.
+    */
+  private val tokenChunks = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0L), floor((col("n") + 31) / 32).cast("long") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+          least(lit(32), col("n") - col("i") * 32).cast("long").as("n_tokens"),
+          element_at(col("t"), (col("i") * 32 + 1).cast("int")).as("first_token"))
+        .orderBy("doc_id", "chunk_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t,
+      |        len(string_split(trim(text), ' ')) n FROM documents),
+      |chunks AS (SELECT doc_id, t, n, unnest(range(0, (n + 31) // 32)) AS i FROM toks)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(least(32, n - i * 32) AS BIGINT) AS n_tokens,
+      |  t[CAST(i * 32 + 1 AS INT)] AS first_token
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
+    "q70_repetition" -> repetition,
+    "q71_pii_redact" -> piiRedact,
+    "q72_dedup_keepset" -> dedupKeepSet,
+    "q73_mixture_sample" -> mixtureSample,
+    "q74_token_chunks" -> tokenChunks,
     "q63_decontaminate" -> decontaminate,
     "q66_winnow_fingerprints" -> winnowFp,
     "q67_bpe_tokens" -> bpeTokens,

@@ -54,6 +54,33 @@ class DupGroupsSpec extends AnyFunSuite {
     assert(kept == Set(10L, 30L))
   }
 
+  test("empty edge list converges to an empty labeling (clean corpus)") {
+    // the common no-near-duplicates case: zero pairs must yield zero groups,
+    // not an NPE from a null label SUM
+    assert(components(Seq.empty) == Map.empty)
+  }
+
+  test("dropNearDuplicates keeps everything when nothing is similar") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "one two three four five"),
+      (3L, "red green blue yellow purple")
+    ).toDF("doc_id", "text")
+    val kept = DupGroups.dropNearDuplicates(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("deep lineage stays bounded: a long chain needs many rounds but constant-size plans") {
+    // 40-vertex chain → ~20 propagation rounds; without per-round lineage
+    // truncation the logical plan doubles per round (cur appears in both the
+    // join and the union) and planning alone dominates — this is the shape
+    // that timed out a full bench run before the localCheckpoint fix
+    val longChain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val got = components(longChain, maxIter = 45)
+    assert(got.values.toSet == Set(1L) && got.size == 40)
+  }
+
   test("embeddingDupGroups clusters by cosine within blocks") {
     // block 1: 1≈2 (identical direction), 3 orthogonal; block 2: 4≈5
     val vecs = Seq(

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Redaction, TextFunctions}
+import graft.operators.Sampling
+
+/** Round-3 corpus operators: Gopher-style repetition signals (one-pass
+  * NgramFreqStats), PII redaction, and deterministic mixture sampling.
+  */
+class RepetitionRedactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ngramFreqStats counts totals, distinct, max and duplicated mass") {
+    // "a b a b a": words = 5 total, 2 distinct, max 3 (a), all 5 duplicated;
+    // bigrams = "a b","b a","a b","b a" → 4 total, 2 distinct, max 2, dup 4;
+    // trigrams = "a b a","b a b","a b a" → 3 total, 2 distinct, max 2, dup 2
+    val df = Seq("a b a b a").toDF("text")
+    val r = df.select(
+      TextFunctions.ngramFreqStats(col("text"), 1).as("w"),
+      TextFunctions.ngramFreqStats(col("text"), 2).as("b"),
+      TextFunctions.ngramFreqStats(col("text"), 3).as("t")).head()
+    assert(r.getStruct(0).toSeq == Seq(5L, 2L, 3L, 5L))
+    assert(r.getStruct(1).toSeq == Seq(4L, 2L, 2L, 4L))
+    assert(r.getStruct(2).toSeq == Seq(3L, 2L, 2L, 2L))
+  }
+
+  test("ngramFreqStats: shorter than n yields the zero struct, null text yields null") {
+    val df = Seq(Some("only two"), None).toDF("text")
+    val rows = df.select(TextFunctions.ngramFreqStats(col("text"), 3).as("s"))
+      .collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.getStruct(0).toSeq == Seq(0L, 0L, 0L, 0L)))
+    assert(rows.exists(_.isNullAt(0)))
+  }
+
+  test("repetitionSignals flags a repeated-bigram document over a diverse one") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over lazy dogs")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.top_bigram_frac"), col("r.dup_trigram_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: bigram "buy now" appears 4 of 7 bigrams; every trigram repeats
+    assert(got(1L)._1 > 0.5 && got(1L)._2 == 1.0)
+    assert(got(2L)._1 < 0.2 && got(2L)._2 == 0.0)
+  }
+
+  test("redactPii replaces emails, phones and IPs and counts match") {
+    val msg = "mail a.b+c@x-y.org or +44-123-4567 via 192.168.0.1 ok"
+    val r = Seq(msg).toDF("t").select(
+      Redaction.redactPii(col("t")).as("red"),
+      Redaction.emailCount(col("t")).as("e"),
+      Redaction.phoneCount(col("t")).as("p"),
+      Redaction.ipCount(col("t")).as("i")).head()
+    assert(r.getString(0) == "mail <EMAIL> or <PHONE> via <IP> ok")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L)))
+  }
+
+  test("redaction leaves clean text untouched") {
+    val msg = "no personal data in this sentence at all"
+    val r = Seq(msg).toDF("t").select(Redaction.redactPii(col("t"))).head()
+    assert(r.getString(0) == msg)
+  }
+
+  test("mixture admits per-source rates deterministically") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val rates = Map("src0" -> 100, "src1" -> 0)
+    val got = Sampling.mixture(df, "id", "source", rates, defaultPct = 50)
+    val bySrc = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 100L) // rate 100 keeps everything
+    assert(!bySrc.contains("src1")) // rate 0 keeps nothing
+    // default-rate sources admit a plausible fraction, and reruns agree
+    assert(bySrc.getOrElse("src2", 0L) > 20L && bySrc("src2") < 80L)
+    val again = Sampling.mixture(df, "id", "source", rates, defaultPct = 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+  }
+
+  test("mixture membership is consistent with split's bucket arithmetic") {
+    // a row admitted at rate p is admitted at every rate >= p (bucket is a
+    // fixed function of the key, not resampled per rate)
+    val df = (0L until 200L).map(i => (i, "s")).toDF("id", "source")
+    val at30 = Sampling.mixture(df, "id", "source", Map.empty, 30)
+      .select("id").as[Long].collect().toSet
+    val at60 = Sampling.mixture(df, "id", "source", Map.empty, 60)
+      .select("id").as[Long].collect().toSet
+    assert(at30.subsetOf(at60))
+  }
+
+  test("NearestCell content equality enables canonicalization") {
+    import graft.expressions.NearestCell
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = NearestCell(child, Array(0, 1),
+      Array(Array(1f, 0f), Array(0f, 1f)))
+    // case-class Array params would be reference-equal only; the content
+    // override makes semantically identical nodes equal (CSE/canonicalization)
+    assert(mk() == mk())
+    assert(mk().hashCode() == mk().hashCode())
+    assert(mk().semanticEquals(mk()))
+    val different = NearestCell(child, Array(0, 1),
+      Array(Array(1f, 0f), Array(0f, 2f)))
+    assert(mk() != different)
+  }
+}

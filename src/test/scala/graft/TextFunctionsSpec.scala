@@ -69,6 +69,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps("").isEmpty)
   }
 
+  test("Winnow expression matches the transform+slice+array_min formulation") {
+    // the Column form it replaced (kept here as executable ground truth):
+    // distinct window minima in first-occurrence order, empty when short
+    def oldForm(ph: org.apache.spark.sql.Column, w: Int) =
+      when(size(ph) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(ph) - (w - 1)),
+          j => array_min(slice(ph, j, lit(w))))))
+        .otherwise(array().cast("array<bigint>"))
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.tabulate(60)(i =>
+      Seq.fill(rnd.nextInt(12))(rnd.nextLong(50) - 10)) :+
+      Seq.empty[Long] :+ Seq(7L, 7L, 7L, 7L, 7L)
+    val df = cases.map(Tuple1(_)).toDF("ph")
+    val got = df.select(winnow(col("ph"), 4).as("a"), oldForm(col("ph"), 4).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("bpeTokenCount splits contractions, letter/digit runs, and punctuation") {
     // don / 't / stop → 3 (contraction suffix is its own pretoken)
     assert(one[Int](bpeTokenCount(col("t")), "don't stop") == 3)
