@@ -108,16 +108,30 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Word n-gram shingles as an array column (empty when fewer than n
-    * tokens). Built from sequence+transform+slice: stays inside codegen.
+  /** [[shingles]] over an already-tokenized array column. Prefer this form
+    * (with the token array materialized as its own projected column) when
+    * composing with further array transforms: `toks` appears in both the
+    * sequence bound and the lambda body, and higher-order functions are
+    * interpreted with no let-binding — if `toks` is a full split expression
+    * rather than an attribute, it is re-evaluated once per element.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles as an array column (empty when fewer than n
+    * tokens). Built from sequence+transform+slice: stays inside codegen.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** 60-bit md5-derived hash per element of a string array — the
+    * DuckDB-reproducible hash family
+    * (`CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`).
+    */
+  def md5Hashes60(strs: Column): Column =
+    transform(strs, s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
 
   /** Positional md5-derived 60-bit shingle hashes (one per n-gram position,
     * document order). md5 is computed identically by DuckDB
@@ -127,8 +141,7 @@ object TextFunctions {
     * expression instead.
     */
   def shingleHashesMd5(text: Column, n: Int): Column =
-    transform(shingles(text, n),
-      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    md5Hashes60(shingles(text, n))
 
   /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS rolling-hash
     * fingerprint): the distinct minima of every sliding window of `w`

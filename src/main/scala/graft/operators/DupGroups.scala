@@ -11,17 +11,19 @@ import org.apache.spark.sql.functions._
   * tests/unit/test_ingestion.py:131-156 from key-equality to
   * similarity-closure semantics.
   *
-  * Scale design: [[connectedComponents]] iterates min-label propagation over
-  * the EDGE list only — pairs that already passed a similarity threshold, so
-  * orders of magnitude smaller than the corpus — and the corpus itself is
-  * touched exactly twice (once to generate pairs upstream, once for the
-  * final semi/anti join). Each round is one join + one aggregate on edges;
-  * rounds needed = cluster diameter, and thresholded similarity clusters
-  * are dense (2-4 rounds in practice). For adversarial long-chain graphs the
-  * alternating large-star/small-star algorithm (Kiveris et al., SoCC'14)
-  * bounds rounds at O(log n); similarity graphs don't need it, so we keep
-  * the simpler propagation and fail loudly at `maxIter` rather than return
-  * a non-fixpoint labeling.
+  * Scale design: [[connectedComponents]] works over the EDGE list only —
+  * pairs that already passed a similarity threshold, so orders of magnitude
+  * smaller than the corpus — and the corpus itself is touched exactly twice
+  * (once to generate pairs upstream, once for the final semi/anti join).
+  * Strategy is size-adaptive like Spark's broadcast threshold: small edge
+  * lists close on the driver with union-find (one job, no per-round
+  * scheduler latency); larger ones run distributed min-label propagation,
+  * one join + one aggregate per round, rounds = cluster diameter (dense
+  * thresholded clusters: 2-4 in practice). For adversarial long-chain
+  * graphs the alternating large-star/small-star algorithm (Kiveris et al.,
+  * SoCC'14) bounds rounds at O(log n); similarity graphs don't need it, so
+  * we keep the simpler propagation and fail loudly at `maxIter` rather than
+  * return a non-fixpoint labeling.
   */
 object DupGroups {
 
@@ -39,8 +41,48 @@ object DupGroups {
     * change-count join.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxDriverEdges: Long = 4000000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(true) // materialized once: sized cheaply, read twice
+    // Size-based strategy switch, the same philosophy as Spark's broadcast
+    // threshold: a thresholded similarity pair list is usually orders of
+    // magnitude smaller than its corpus, and below `maxDriverEdges`
+    // (~64 MB of longs) a driver union-find beats a multi-round distributed
+    // loop where every round costs scheduler latency + two shuffles. Above the
+    // threshold, distributed min-label propagation takes over.
+    if (e.count() <= maxDriverEdges) return driverComponents(e)
+    distributedComponents(e, maxIter)
+  }
+
+  /** Union-find with path compression on the driver — exact same contract
+    * as the distributed path: (vertex, label = component's min vertex id),
+    * edge-touched vertices only.
+    */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    e.collect().foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // union by min id keeps the root the component minimum for free
+      if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.keySet().forEach(v => out += ((v.toLong, find(v))))
+    out.toSeq.toDF("vertex", "label")
+  }
+
+  private def distributedComponents(e: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint, not persist: each round references the previous label
     // frame TWICE (join + union), so an un-truncated logical plan doubles per
     // round — exponential analysis/optimization cost that dwarfs execution

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for context-window training: lay every document's tokens
+  * end-to-end in a global stream (ordered by id) and cut the stream every
+  * `capacity` tokens — the standard concat-and-chunk packing that turns a
+  * corpus into fixed-length training sequences with zero padding. Each
+  * document gets its global token offset, its first/last bin, and whether it
+  * straddles a bin boundary (the fraction of straddlers is the packing's
+  * attention-contamination metric).
+  *
+  * Scale design: the global offset is a distributed prefix sum, NOT a single
+  * unpartitioned window (`Window.orderBy(id)` with no partition key funnels
+  * 100 TB through one task). Two phases: (1) range-shard by id and aggregate
+  * one token total per shard — a tiny frame collected to the driver exactly
+  * like broadcast-join build sides; (2) each shard adds its exclusive shard
+  * prefix (a literal map lookup) to a within-shard running sum, a window
+  * partitioned BY SHARD so every task streams only its own slice. The result
+  * is deterministic regardless of where the range sampler places shard
+  * boundaries, because offsets depend only on the id order.
+  */
+object Packing {
+
+  /** Each row with its exclusive global running total of `weightCol` in
+    * `idCol` order, as column `offset`.
+    */
+  def withGlobalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val shard = "graft_pack_shard"
+    // persisted: phase 1 (shard totals) and phase 2 (per-shard windows) both
+    // read the same materialized shards — one corpus scan, and the shard
+    // boundaries the prefix map was built from are bitwise the ones the
+    // window phase sees
+    val sharded = df.repartitionByRange(col(idCol))
+      .withColumn(shard, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per shard — driver state the size of the shard count, the
+    // same scale class as a broadcast build side or IVF centroid set
+    val shardSums = sharded.groupBy(shard)
+      .agg(sum(col(weightCol)).cast("long").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxShard = if (shardSums.isEmpty) -1 else shardSums.keys.max
+    val prefix = new Array[Long](maxShard + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxShard) {
+      prefix(p) = acc
+      acc += shardSums.getOrElse(p, 0L)
+      p += 1
+    }
+    val prefixLookup: Column =
+      if (maxShard < 0) lit(0L)
+      else element_at(
+        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
+        col(shard))
+    val withinShard = Window.partitionBy(shard).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("offset",
+        prefixLookup + coalesce(sum(col(weightCol).cast("long")).over(withinShard), lit(0L)))
+      .drop(shard)
+  }
+
+  /** Concat-and-chunk packing at `capacity` tokens per bin: global offset,
+    * first/last bin index and the boundary-straddle flag per document.
+    */
+  def sequencePacking(df: DataFrame, idCol: String, weightCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    withGlobalOffsets(df, idCol, weightCol)
+      .withColumn("bin_first", expr(s"offset div $capacity"))
+      .withColumn("bin_last",
+        expr(s"(offset + cast(`$weightCol` as bigint) - 1) div $capacity"))
+      .withColumn("spans_boundary", col("bin_first") =!= col("bin_last"))
+  }
+}

@@ -189,9 +189,16 @@ object Text {
     */
   private val winnowFp = QueryDef(
     (s, dir) =>
+      // staged projections, one step per derived array: inside a single
+      // fused expression the token array is re-evaluated per transform
+      // element (interpreted HOFs, no let-binding) — splitting the steps
+      // makes each intermediate an attribute reference, and CollapseProject
+      // keeps the steps apart because each alias is non-cheap and referenced
+      // more than once downstream. Measured 9.5 s → sub-second at sf0.1.
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          winnow(shingleHashesMd5(col("text"), 3), 4).as("fps"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesOfTokens(col("toks"), 3).as("sh"))
+        .select(col("doc_id"), winnow(md5Hashes60(col("sh")), 4).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("fp_min"),
@@ -418,8 +425,34 @@ object Text {
       |  t[CAST(i * 32 + 1 AS INT)] AS first_token
       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)
 
+  /** GPT-style sequence packing (concat-and-chunk at 256 tokens): global
+    * token offset per document via Packing's distributed prefix sum (range
+    * shards + per-shard windows — never one global unpartitioned window),
+    * then bin indices and the boundary-straddle flag. The oracle computes
+    * the same offsets with a plain window cumsum, which is exactly what the
+    * two-phase form must reproduce.
+    */
+  private val sequencePacking = QueryDef(
+    (s, dir) =>
+      graft.operators.Packing.sequencePacking(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 256)
+        .select("doc_id", "n_tokens", "offset", "bin_first", "bin_last", "spans_boundary")
+        .orderBy("doc_id"),
+    """WITH toks AS (SELECT doc_id, len(string_split(trim(text), ' ')) n FROM documents),
+      |off AS (SELECT doc_id, n,
+      |         coalesce(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) o
+      |        FROM toks)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(o AS BIGINT) AS "offset",
+      |  CAST(o // 256 AS BIGINT) AS bin_first,
+      |  CAST((o + n - 1) // 256 AS BIGINT) AS bin_last,
+      |  (o // 256 != (o + n - 1) // 256) AS spans_boundary
+      |FROM off ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
+    "q75_sequence_packing" -> sequencePacking,
     "q70_repetition" -> repetition,
     "q71_pii_redact" -> piiRedact,
     "q72_dedup_keepset" -> dedupKeepSet,

@@ -13,28 +13,37 @@ class DupGroupsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def components(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
-    DupGroups.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+  private def components(edges: Seq[(Long, Long)], maxIter: Int = 25,
+      maxDriverEdges: Long = 4000000L): Map[Long, Long] =
+    DupGroups.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter,
+        maxDriverEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // every closure test runs both physical strategies: driver union-find
+  // (default threshold) and distributed label propagation (threshold 0)
+  private def onBothPaths(edges: Seq[(Long, Long)], expect: Map[Long, Long]): Unit = {
+    assert(components(edges) == expect, "driver union-find path")
+    assert(components(edges, maxDriverEdges = 0L) == expect, "distributed path")
+  }
 
   test("chain propagates the minimum label across the whole component") {
     // diameter-4 chain: takes multiple propagation rounds, not just the init
-    assert(components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+    onBothPaths(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
   test("separate components keep separate labels; edge direction is ignored") {
-    val got = components(Seq((7L, 2L), (2L, 9L), (11L, 10L)))
-    assert(got == Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 10L -> 10L, 11L -> 10L))
+    onBothPaths(Seq((7L, 2L), (2L, 9L), (11L, 10L)),
+      Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
   test("non-convergence within maxIter fails loudly instead of returning a non-fixpoint") {
     val longChain = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
     intercept[IllegalStateException] {
-      components(longChain, maxIter = 1)
+      components(longChain, maxIter = 1, maxDriverEdges = 0L)
     }
     // and the same graph converges with the default budget
-    assert(components(longChain).values.toSet == Set(1L))
+    assert(components(longChain, maxDriverEdges = 0L).values.toSet == Set(1L))
   }
 
   test("nearDupGroups clusters transitively and dropNearDuplicates keeps canonicals") {
@@ -57,7 +66,7 @@ class DupGroupsSpec extends AnyFunSuite {
   test("empty edge list converges to an empty labeling (clean corpus)") {
     // the common no-near-duplicates case: zero pairs must yield zero groups,
     // not an NPE from a null label SUM
-    assert(components(Seq.empty) == Map.empty)
+    onBothPaths(Seq.empty, Map.empty)
   }
 
   test("dropNearDuplicates keeps everything when nothing is similar") {
@@ -77,7 +86,7 @@ class DupGroupsSpec extends AnyFunSuite {
     // join and the union) and planning alone dominates — this is the shape
     // that timed out a full bench run before the localCheckpoint fix
     val longChain = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
-    val got = components(longChain, maxIter = 45)
+    val got = components(longChain, maxIter = 45, maxDriverEdges = 0L)
     assert(got.values.toSet == Set(1L) && got.size == 40)
   }
 

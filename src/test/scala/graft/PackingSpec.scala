@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+/** Sequence-packing offsets: the two-phase distributed prefix sum must
+  * reproduce a plain global cumsum exactly, shard layout notwithstanding.
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("global offsets equal the exclusive cumsum in id order") {
+    val rows = (1L to 500L).map(i => (i, (i % 7) + 1))
+    val df = rows.toDF("id", "w").repartition(13) // scrambled input layout
+    val got = Packing.withGlobalOffsets(df, "id", "w")
+      .select("id", "offset").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.foreach { case (i, w) =>
+      assert(got(i) == acc, s"offset mismatch at id=$i")
+      acc += w
+    }
+  }
+
+  test("sequencePacking assigns bins and flags boundary straddlers") {
+    // capacity 10: doc 1 (w=4) fills [0,4); doc 2 (w=8) spans [4,12) across
+    // the bin-0/bin-1 cut; doc 3 (w=3) sits inside bin 1
+    val df = Seq((1L, 4L), (2L, 8L), (3L, 3L)).toDF("id", "w")
+    val got = Packing.sequencePacking(df, "id", "w", capacity = 10)
+      .select("id", "offset", "bin_first", "bin_last", "spans_boundary")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((4L, 0L, 1L, true)))
+    assert(got(3L) == ((12L, 1L, 1L, false)))
+  }
+
+  test("empty input yields an empty result, not a crash") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Packing.sequencePacking(df, "id", "w", capacity = 10).count() == 0L)
+  }
+}
