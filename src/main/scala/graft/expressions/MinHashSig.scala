@@ -1,8 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.TypedInputs
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle was the dominant cost of MinHash+LSH dedup.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback with TypedInputs {
+    extends UnaryExpression with TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
@@ -34,9 +34,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(k)(i => MinHashSig.splitmix64(2L * i + 1))
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokenHashes = TextHashing.fnvTokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
+  /** Null signalled as Java null so codegen needs no extra flag channel. */
+  def evalSig(input: UTF8String): ArrayData = {
+    val tokenHashes = TextHashing.fnvTokenHashes(input.getBytes)
     // no shingles → null (the explode formulation dropped such docs; a
     // constant sentinel signature would spuriously collide in every band)
     if (tokenHashes.length < n) return null
@@ -57,6 +57,20 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
       s += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalSig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.evalSig($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

@@ -3,7 +3,7 @@ package graft.expressions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.TypedInputs
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order lambdas; for sketch building only the shingle *hashes*
   * matter, so this expression tokenizes on whitespace, hashes each token
   * (FNV-1a over its UTF-8 bytes), and combines n consecutive token hashes
-  * with a mixing function. CodegenFallback: the eval is already a tight
-  * single loop per row, and the expression sits under an explode where
-  * per-row dispatch dominates either way.
+  * with a mixing function. Codegen calls the compiled hashing loop through
+  * a reference object, keeping the surrounding projection one fused
+  * whole-stage span (no interpreted-eval fallback row).
   */
 case class ShingleHashes(child: Expression, n: Int,
     /** true → distinct hashes in first-seen order (set semantics, for
@@ -28,14 +28,13 @@ case class ShingleHashes(child: Expression, n: Int,
       * order (for positional algorithms like winnowing).
       */
     distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback with TypedInputs {
+    extends UnaryExpression with TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokenHashes = TextHashing.fnvTokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
+  def evalHashes(input: UTF8String): ArrayData = {
+    val tokenHashes = TextHashing.fnvTokenHashes(input.getBytes)
     if (tokenHashes.length < n) return new GenericArrayData(Array.empty[Long])
     if (distinct) {
       val out = new mutable.LinkedHashSet[Long]
@@ -54,6 +53,16 @@ case class ShingleHashes(child: Expression, n: Int,
       }
       new GenericArrayData(out)
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference-object call: the hashing loop runs as compiled Scala inside
+    // the whole-stage-codegen'd projection, no interpreted-eval fallback row
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalHashes($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.TypedInputs
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,14 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * per document the whole computation is this single loop.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with TypedInputs {
+    extends UnaryExpression with TypedInputs {
 
   override def dataType: DataType = LongType
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokenHashes = TextHashing.fnvTokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
+  def evalSimHash(input: UTF8String): Long = {
+    val tokenHashes = TextHashing.fnvTokenHashes(input.getBytes)
     val votes = new Array[Int](64)
     tokenHashes.foreach { tok =>
       var b = 0
@@ -37,6 +36,14 @@ case class SimHash64(child: Expression)
       b += 1
     }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalSimHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalSimHash($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

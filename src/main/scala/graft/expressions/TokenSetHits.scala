@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.TypedInputs
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical results on whitespace-tokenizable text.
   */
 case class TokenSetHits(child: Expression, words: Seq[String])
-    extends UnaryExpression with CodegenFallback with TypedInputs {
+    extends UnaryExpression with TypedInputs {
 
   override def dataType: DataType = IntegerType
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
@@ -24,8 +24,7 @@ case class TokenSetHits(child: Expression, words: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[UTF8String]
+  def evalHits(str: UTF8String): Int = {
     val bytes = str.getBytes
     var hits = 0
     var start = -1
@@ -45,6 +44,14 @@ case class TokenSetHits(child: Expression, words: Seq[String])
       i += 1
     }
     hits
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalHits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSetHits", this, classOf[TokenSetHits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalHits($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
