@@ -46,6 +46,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("repetition signals are a zero-shuffle projection until the sort") {
+    // NgramFreqStats is row-local: the only exchange allowed in q70's plan
+    // is the final presentation orderBy — an explode→groupBy formulation
+    // would add corpus×n-gram shuffles
+    val p = plan("q70_repetition")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 1, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000)) // no explode anywhere
+  }
+
+  test("mixture sampling folds to a scan-level filter, no shuffle before the agg") {
+    val p = plan("q73_mixture_sample")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+    // admission is a Filter over the scan, not a join against a rate table
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("sequence packing windows are sharded, never one global partition") {
+    // the prefix sum must come from per-shard windows over range shards; a
+    // Window with an empty partition spec would single-task the corpus
+    val df = graft.operators.Packing.withGlobalOffsets(
+      graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(1L).as("w")),
+      "doc_id", "w")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
