@@ -42,4 +42,20 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 100) < rate)
   }
+
+  /** Exactly `nPerGroup` rows per group (fewer if the group is smaller),
+    * chosen deterministically: rank rows inside each group by the md5 of
+    * their key (a stable pseudo-random total order both engines compute
+    * identically), tie-broken by the key itself. The balanced-subset
+    * primitive for eval sets and per-source caps — one shuffle on the group
+    * key, heap-free, reproducible across runs, engines and partitionings
+    * (a `LIMIT`-per-group or RNG sample is neither).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      nPerGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= nPerGroup)
+  }
 }

@@ -181,6 +181,32 @@ object TextDedup {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT: for each blocklist document, how many distinct
+    * corpus documents share at least one word n-gram with it — the audit
+    * view an eval-set owner reads before deciding thresholds, complementing
+    * [[decontaminate]]'s removal. Same broadcast discipline: the corpus is
+    * one scan probing a broadcast blocklist shingle set; only matching
+    * (blocklist doc, corpus doc) pairs — a contamination-sized frame, not a
+    * corpus-sized one — reach the distinct+count shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blocklistIdCol: String, blocklistTextCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def shingled(df: DataFrame, id: Column, c: String, shAs: String) =
+      df.select(id, explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(col(c)), n))).as(shAs))
+    val blocked = broadcast(
+      shingled(blocklist, col(blocklistIdCol).as("bench_id"), blocklistTextCol, "__sh")
+        .distinct())
+    shingled(corpus, col(idCol), textCol, "__sh")
+      .join(blocked, Seq("__sh"))
+      .filter(col(idCol) =!= col("bench_id"))
+      .select(col("bench_id"), col(idCol)).distinct()
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** SimHash 64-bit signature per document: sign of the per-bit sum of
     * token-hash bits, computed in one pass per document by the SimHash64
     * expression — a pure projection, zero shuffle.

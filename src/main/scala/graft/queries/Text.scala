@@ -450,8 +450,50 @@ object Text {
       |  (o // 256 != (o + n - 1) // 256) AS spans_boundary
       |FROM off ORDER BY doc_id""".stripMargin)
 
+  /** Exactly-N-per-source stratified sample, deterministically ranked by
+    * key md5 (stable across runs/engines/partitionings) — the balanced
+    * eval-subset primitive. One shuffle on the group key.
+    */
+  private val stratified = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "source", nPerGroup = 5)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "doc_id"),
+    """SELECT source, doc_id, sample_rank FROM (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 5 ORDER BY source, doc_id""".stripMargin)
+
+  /** Contamination audit: distinct corpus documents sharing a word trigram
+    * with each pseudo-benchmark document (the 10 lowest doc_ids) — the
+    * report an eval-set owner reads before choosing removal thresholds
+    * (TextDedup.contaminationReport, broadcast shingle-hash join; hash vs
+    * string shingle keys classify identically, as pinned by q41/q63).
+    */
+  private val contaminationReport = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextDedup.contaminationReport(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 10), "doc_id", "text", n = 3)
+        .orderBy("bench_id")
+    },
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)
+      |  WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id < 10),
+      |hits AS (SELECT DISTINCT b.bench_id, c.doc_id FROM bench b JOIN sh c USING (s)
+      |         WHERE c.doc_id != b.bench_id)
+      |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      |FROM hits GROUP BY 1 ORDER BY bench_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
+    "q76_stratified_sample" -> stratified,
+    "q77_contamination_report" -> contaminationReport,
     "q75_sequence_packing" -> sequencePacking,
     "q70_repetition" -> repetition,
     "q71_pii_redact" -> piiRedact,

@@ -92,6 +92,38 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert(at30.subsetOf(at60))
   }
 
+  test("stratifiedSample takes exactly N per group, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val got = Sampling.stratifiedSample(df, "id", "grp", nPerGroup = 7)
+    val byGrp = got.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L))
+    // small groups return what they have
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Sampling.stratifiedSample(tiny, "id", "grp", 5).count() == 3L)
+    // same members on rerun (hash rank, not RNG)
+    val again = Sampling.stratifiedSample(df, "id", "grp", 7)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+  }
+
+  test("contaminationReport counts distinct overlapping corpus docs per bench doc") {
+    import graft.operators.TextDedup
+    val corpus = Seq(
+      (10L, "alpha bravo charlie delta"), // shares "alpha bravo charlie" with bench 1
+      (11L, "alpha bravo charlie echo"),  // also shares with bench 1
+      (12L, "zulu yankee xray whiskey")   // shares nothing
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha bravo charlie foxtrot"),
+      (2L, "uniform victor whiskey tango")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.contaminationReport(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L)) // bench 2 overlaps nothing → absent
+  }
+
   test("NearestCell content equality enables canonicalization") {
     import graft.expressions.NearestCell
     import org.apache.spark.sql.catalyst.expressions.BoundReference
