@@ -452,8 +452,46 @@ object Extra {
       |  levenshtein(c_name, 'Customer#000000001') AS edit_dist
       |FROM customer ORDER BY c_custkey""".stripMargin)
 
+  /** MERGE/upsert + compaction through the TableFormat seam (§2.1 S3/S5
+    * operational surface): base table, a delta of key-matched updates plus
+    * brand-new keys, upsert, compact, read back — the q17 materialize-
+    * then-read pattern, so what's compared is the real on-disk result of
+    * the staged-swap merge, not lineage. The oracle replays the merge as
+    * anti-join + union.
+    */
+  private val upsertRoundtrip = QueryDef(
+    (s, dir) => {
+      val fmt = graft.sources.ParquetTableFormat
+      val tbl = "graft_gate_upsert_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      fmt.upsert(s, base, tbl, Seq("k")) // creates
+      val delta = base.filter(col("k") % 10 === 0)
+        .withColumn("acctbal", col("acctbal") + 1000.0)
+        .unionByName(base.filter(col("k") <= 25).select(
+          (col("k") + 1000000L).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(42.5).as("acctbal")))
+      fmt.upsert(s, delta, tbl, Seq("k")) // merges
+      fmt.compact(s, tbl, targetFiles = 4)
+      fmt.read(s, tbl).orderBy("k")
+    },
+    """WITH base AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal FROM customer),
+      |delta AS (
+      |  SELECT k, name, acctbal + 1000.0 AS acctbal FROM base WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k + 1000000, 'new_' || CAST(k AS VARCHAR), 42.5 FROM base WHERE k <= 25),
+      |merged AS (
+      |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM delta)
+      |  UNION ALL SELECT * FROM delta)
+      |SELECT k, name, acctbal FROM merged ORDER BY k""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
+    "q78_upsert_roundtrip" -> upsertRoundtrip,
     "q36_approx_stats" -> approxStats,
     "q46_range_frame" -> rangeFrame,
     "q47_correlated_subquery" -> correlatedSubquery,
