@@ -183,6 +183,27 @@ object Similarity {
     knnIvf(assigned, queries, "cell", k, nprobe)
   }
 
+  /** Exact top-k ranking restricted to explicit (query, cell) probe pairs —
+    * the scan stage of a persisted IVF index ([[IvfIndex.query]]), where the
+    * probe ranking already happened on the driver and `corpus` arrives
+    * pre-pruned to the probed cells. Queries and probe pairs are broadcast;
+    * the corpus never shuffles before the per-query top-k window.
+    */
+  def knnWithinCells(corpus: DataFrame, queries: DataFrame,
+      probePairs: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      withNorm(queries, "q_emb", "q_norm").join(probePairs, "query_id"))
+    val c = withNorm(corpus, "embedding", "c_norm")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    c.join(q, c("cell") === q("probe_cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
   /** IVF probe: assign each query to its nearest `nprobe` centroids
     * (broadcast — centroid count is tiny), then exact-rank only within the
     * probed cells.

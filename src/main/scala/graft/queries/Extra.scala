@@ -489,9 +489,42 @@ object Extra {
       |  UNION ALL SELECT * FROM delta)
       |SELECT k, name, acctbal FROM merged ORDER BY k""".stripMargin)
 
+  /** Incremental model materialization through ModelGraph (§2.1 S5): first
+    * run materializes the early half of orders, the source then grows, and
+    * the second run appends only rows past the o_orderdate high-watermark.
+    * Because batch one holds EVERY row below the cut, watermark append must
+    * reconstruct exactly the full table — and the oracle's per-priority
+    * counts over all of orders would catch both a missed increment (too few)
+    * and a naive re-append (too many).
+    */
+  private val incrementalRoundtrip = QueryDef(
+    (s, dir) => {
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val src = s"graft_gate_inc_src_$app"
+      val out = s"graft_gate_inc_out_$app"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $out")
+      val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val fmt = graft.sources.ParquetTableFormat
+      def graph = new graft.models.ModelGraph(Seq(graft.models.Model(
+        "inc", out, build = s2 => s2.table(src),
+        incrementalCol = Some("o_orderdate"))), fmt)
+      fmt.overwrite(s, orders.filter(col("o_orderdate") < "1996-01-01"), src)
+      graph.run(s)
+      fmt.overwrite(s, orders, src) // source grows; early rows unchanged
+      graph.run(s)
+      s.table(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q19_scd2" -> scd2Snapshot,
     "q78_upsert_roundtrip" -> upsertRoundtrip,
+    "q79_incremental_model" -> incrementalRoundtrip,
     "q36_approx_stats" -> approxStats,
     "q46_range_frame" -> rangeFrame,
     "q47_correlated_subquery" -> correlatedSubquery,

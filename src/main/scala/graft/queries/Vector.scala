@@ -77,6 +77,26 @@ object Vector {
     },
     None)
 
+  /** Persisted IVF index lifecycle (build → save → load → query): the
+    * production shape of q54 — train once, write centroids + cell-partitioned
+    * corpus, and answer from the on-disk index with a partition-pruned probe
+    * scan. Rows-only (k-means isn't SQL-expressible); save/load identity,
+    * pruning, and recall are asserted in IvfIndexSpec.
+    */
+  private val ivfIndexQuery = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_" +
+        s.sparkContext.applicationId
+      graft.operators.IvfIndex.save(
+        graft.operators.IvfIndex.build(corpus, kCells = 8, iters = 3), path)
+      graft.operators.IvfIndex.query(
+        graft.operators.IvfIndex.load(s, path),
+        corpus.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Embedding-cosine near-duplicate clusters: q52's blocked cosine pairs
     * transitively closed into groups (DupGroups.embeddingDupGroups) — the
     * semantic-dedup path where near-dups are paraphrases, not shared
@@ -106,6 +126,7 @@ object Vector {
 
   val defs: Map[String, QueryDef] = Map(
     "q50_vector_norms" -> vectorNorms,
+    "q80_ivf_index" -> ivfIndexQuery,
     "q69_embedding_dup_groups" -> embeddingDupGroups,
     "q51_knn_exact" -> knnExact,
     "q52_similar_pairs" -> similarPairs,
