@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVecDot, LongArrayMatchFrac, ShingleHashes, SimHash64}
+import graft.expressions.{FloatVecDot, LongArrayMatchFrac, MinHashSig, NgramFreqStats, ShingleHashes, SimHash64, TokenSetHits, Winnow}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so the `spark.sql` surface (and dbt-style SQL-string models)
@@ -18,7 +18,12 @@ import graft.expressions.{FloatVecDot, LongArrayMatchFrac, ShingleHashes, SimHas
   *
   * Covers: vec_dot(array<float>, array<float>) → double,
   * shingle_hashes(text, n) → array<bigint>, simhash64(text) → bigint,
-  * minhash_match_frac(array<bigint>, array<bigint>) → double.
+  * minhash_match_frac(array<bigint>, array<bigint>) → double,
+  * minhash_sig(text, n, k) → array<bigint>, winnow(array<bigint>, w) →
+  * array<bigint>, ngram_freq_stats(array<string>, n) → struct,
+  * token_set_hits(text, array<string>) → int. (NearestCell and WrapMulAdd
+  * stay Column-only: their parameters are driver-held matrices/constants a
+  * SQL literal can't express.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -41,7 +46,38 @@ object GraftExtensions {
       args => ShingleHashes(args(0), intLiteralArg(args(1), "shingle_hashes", "n"))),
     ("minhash_match_frac",
       "minhash_match_frac(a, b) - fraction of agreeing signature positions",
-      args => LongArrayMatchFrac(args(0), args(1))))
+      args => LongArrayMatchFrac(args(0), args(1))),
+    ("minhash_sig", "minhash_sig(text, n, k) - k-minima MinHash signature over word n-grams",
+      args => MinHashSig(args(0), intLiteralArg(args(1), "minhash_sig", "n"),
+        intLiteralArg(args(2), "minhash_sig", "k"))),
+    ("winnow", "winnow(hashes, w) - distinct sliding-window minima (winnowing fingerprints)",
+      args => Winnow(args(0), intLiteralArg(args(1), "winnow", "w"))),
+    ("ngram_freq_stats",
+      "ngram_freq_stats(tokens, n) - struct(total, n_distinct, max_count, dup_count) of word n-grams",
+      args => NgramFreqStats(args(0), intLiteralArg(args(1), "ngram_freq_stats", "n"))),
+    ("token_set_hits",
+      "token_set_hits(text, words) - count of whitespace tokens present in a constant word array",
+      args => TokenSetHits(args(0),
+        stringArrayLiteralArg(args(1), "token_set_hits", "words"))))
+
+  /** A function argument that must be a constant array of strings. */
+  private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant string array, got non-foldable ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i))
+            throw new IllegalArgumentException(s"$fn: '$arg' must not contain NULL")
+          a.getUTF8String(i).toString
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a constant string array, got " +
+            s"${if (other == null) "NULL" else other.getClass.getSimpleName} (${e.sql})")
+    }
+  }
 
   /** A function argument that must be a constant integer (e.g. a shingle
     * width): accepts any foldable integral expression; anything else fails at

@@ -47,13 +47,15 @@ case class NgramFreqStats(child: Expression, n: Int)
   /** Null result signalled as a Java null so codegen needs no extra flag. */
   def evalStats(arr: ArrayData): InternalRow = {
     val m = arr.numElements()
-    val total = m - n + 1
-    if (total <= 0) return zeros
+    // null scan FIRST: a corrupt (null-token) array must report null at
+    // every n, not "no repetition" when it also happens to be shorter than n
     var i = 0
     while (i < m) {
       if (arr.isNullAt(i)) return null
       i += 1
     }
+    val total = m - n + 1
+    if (total <= 0) return zeros
     val counts = new java.util.HashMap[String, Array[Long]](total * 2)
     val sb = new java.lang.StringBuilder
     i = 0

@@ -154,6 +154,11 @@ object TextFunctions {
     * equivalent transform+slice+array_min Column form re-evaluates the hash
     * subtree once per window position (interpreted HOFs, no let-binding),
     * which turns an expensive hash child into an O(len²) per-document cost.
+    *
+    * Null contract: null hash array → null sketch (the Column form it
+    * replaced returned an empty array for null input; null-in/null-out is
+    * the convention of every expression in graft.expressions and matches
+    * what a SQL oracle computes over null text).
     */
   def winnow(positionalHashes: Column, w: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

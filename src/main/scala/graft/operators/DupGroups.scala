@@ -41,17 +41,23 @@ object DupGroups {
     * change-count join.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, maxDriverEdges: Long = 4000000L): DataFrame = {
+      maxIter: Int = 25, maxDriverEdges: Long = 1000000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true) // materialized once: sized cheaply, read twice
     // Size-based strategy switch, the same philosophy as Spark's broadcast
     // threshold: a thresholded similarity pair list is usually orders of
-    // magnitude smaller than its corpus, and below `maxDriverEdges`
-    // (~64 MB of longs) a driver union-find beats a multi-round distributed
-    // loop where every round costs scheduler latency + two shuffles. Above the
-    // threshold, distributed min-label propagation takes over.
-    if (e.count() <= maxDriverEdges) return driverComponents(e)
-    distributedComponents(e, maxIter)
+    // magnitude smaller than its corpus, and below `maxDriverEdges` a driver
+    // union-find beats a multi-round distributed loop where every round
+    // costs scheduler latency + two shuffles. The default (1M edges) is
+    // sized for REAL driver cost — collect() materializes boxed rows and
+    // the result comes back as a local relation, so the transient footprint
+    // is hundreds of bytes per edge, not 16 — comfortably inside a stock
+    // driver heap while still covering every sane thresholded-pairs corpus.
+    // Above the threshold, distributed min-label propagation takes over.
+    try {
+      if (e.count() <= maxDriverEdges) driverComponents(e)
+      else distributedComponents(e, maxIter)
+    } finally e.unpersist()
   }
 
   /** Union-find with path compression on the driver — exact same contract

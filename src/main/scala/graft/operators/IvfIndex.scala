@@ -26,6 +26,9 @@ object IvfIndex {
   /** Train k-means cells and assign the corpus — no I/O; pair with [[save]]
     * to persist. Training touches the corpus once per iteration (map-side-
     * combined mean aggregation); assignment is a zero-shuffle projection.
+    * The corpus stays persisted because the returned assignment reads it;
+    * after [[save]] the on-disk index is self-contained and the caller can
+    * `corpus.unpersist()` (a [[load]]ed index holds no cache at all).
     */
   def build(corpus: DataFrame, kCells: Int, iters: Int = 3): Index = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,11 +61,17 @@ object IvfIndex {
     import spark.implicits._
     val cents = index.centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    // per-query probe ranking on the driver: #queries × k similarity scores,
-    // the same scale class as the broadcast query set itself
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val qVecs = q.select(col("query_id"), col("q_emb"))
+    // the query set is evaluated EXACTLY ONCE (this collect); both the
+    // driver-side probe ranking and the distributed scoring frame are built
+    // from the same collected rows — evaluating `queries` twice would let a
+    // non-deterministic source (sample/limit) rank probes for one row set
+    // and score a different one. Queries are broadcast-scale by contract.
+    val qVecs = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = qVecs.toSeq.map { case (qid, emb) => (qid, emb.toSeq) }
+      .toDF("query_id", "q_emb")
+      .select(col("query_id"), col("q_emb").cast("array<float>"))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)

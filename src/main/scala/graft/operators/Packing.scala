@@ -32,7 +32,11 @@ object Packing {
     // persisted: phase 1 (shard totals) and phase 2 (per-shard windows) both
     // read the same materialized shards — one corpus scan, and the shard
     // boundaries the prefix map was built from are bitwise the ones the
-    // window phase sees
+    // window phase sees. The cache backs the RETURNED frame, so it cannot be
+    // released here; callers that materialize the result and move on should
+    // `df.unpersist()`-sweep via spark.sharedState or simply let LRU reclaim
+    // it — long-running services should write the packed result out and drop
+    // the lineage
     val sharded = df.repartitionByRange(col(idCol))
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -71,8 +75,11 @@ object Packing {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     withGlobalOffsets(df, idCol, weightCol)
       .withColumn("bin_first", expr(s"offset div $capacity"))
-      .withColumn("bin_last",
-        expr(s"(offset + cast(`$weightCol` as bigint) - 1) div $capacity"))
+      // zero-weight rows occupy no tokens: clamp bin_last to bin_first so an
+      // empty document sitting exactly on a capacity boundary doesn't report
+      // bin_last < bin_first and a phantom boundary straddle
+      .withColumn("bin_last", greatest(col("bin_first"),
+        expr(s"(offset + cast(`$weightCol` as bigint) - 1) div $capacity")))
       .withColumn("spans_boundary", col("bin_first") =!= col("bin_last"))
   }
 }

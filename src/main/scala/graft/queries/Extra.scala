@@ -462,8 +462,9 @@ object Extra {
   private val upsertRoundtrip = QueryDef(
     (s, dir) => {
       val fmt = graft.sources.ParquetTableFormat
-      val tbl = "graft_gate_upsert_" +
-        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tag = graft.core.Housekeeping.appTag(s)
+      val tbl = s"graft_gate_upsert_$tag"
+      graft.core.Housekeeping.dropStaleTables(s, "graft_gate_upsert_", tag)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val base = Tables.customer(s, dir).select(
         col("c_custkey").as("k"), col("c_name").as("name"),
@@ -499,9 +500,10 @@ object Extra {
     */
   private val incrementalRoundtrip = QueryDef(
     (s, dir) => {
-      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val app = graft.core.Housekeeping.appTag(s)
       val src = s"graft_gate_inc_src_$app"
       val out = s"graft_gate_inc_out_$app"
+      graft.core.Housekeeping.dropStaleTables(s, "graft_gate_inc_", app)
       s.sql(s"DROP TABLE IF EXISTS $src")
       s.sql(s"DROP TABLE IF EXISTS $out")
       val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_orderdate")

@@ -86,8 +86,9 @@ object Vector {
   private val ivfIndexQuery = QueryDef(
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_" +
-        s.sparkContext.applicationId
+      val tag = graft.core.Housekeeping.appTag(s)
+      graft.core.Housekeeping.cleanStaleTmpDirs("graft_gate_ivf_", tag)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_$tag"
       graft.operators.IvfIndex.save(
         graft.operators.IvfIndex.build(corpus, kCells = 8, iters = 3), path)
       graft.operators.IvfIndex.query(

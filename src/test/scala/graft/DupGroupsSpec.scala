@@ -20,10 +20,12 @@ class DupGroupsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   // every closure test runs both physical strategies: driver union-find
-  // (default threshold) and distributed label propagation (threshold 0)
+  // (default threshold) and distributed label propagation. Forcing the
+  // distributed path needs threshold -1: an EMPTY edge list has count 0,
+  // and 0 <= 0 would silently route "forced distributed" back to the driver
   private def onBothPaths(edges: Seq[(Long, Long)], expect: Map[Long, Long]): Unit = {
     assert(components(edges) == expect, "driver union-find path")
-    assert(components(edges, maxDriverEdges = 0L) == expect, "distributed path")
+    assert(components(edges, maxDriverEdges = -1L) == expect, "distributed path")
   }
 
   test("chain propagates the minimum label across the whole component") {

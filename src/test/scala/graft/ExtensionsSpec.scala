@@ -70,6 +70,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == 0.5)
   }
 
+  test("minhash_sig, winnow, ngram_freq_stats and token_set_hits run from SQL") {
+    val row = spark.sql(
+      "SELECT size(minhash_sig('a b c d e', 3, 16)) AS sig_k, " +
+        "winnow(array(9L, 3L, 7L, 5L, 8L), 3) AS fps, " +
+        "ngram_freq_stats(array('a', 'b', 'a', 'b'), 2) AS st, " +
+        "token_set_hits('the cat and the hat', array('the', 'and')) AS hits").head
+    assert(row.getInt(0) == 16)
+    assert(row.getSeq[Long](1) == Seq(3L, 5L)) // window minima, first-seen order
+    val st = row.getStruct(2)
+    assert(st.getLong(0) == 3L && st.getLong(2) == 2L) // 3 bigrams, "a b" twice
+    assert(row.getInt(3) == 3)
+  }
+
+  test("token_set_hits rejects a non-constant word array at plan time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_set_hits('a b', ws) FROM (SELECT array('a') AS ws)").collect()
+    }
+    assert(e.getMessage.contains("constant string array"), e.getMessage)
+  }
+
   test("withExtensions wires the same registry at session build time") {
     // a fresh session (shared context) built with the extensions class;
     // clear default/active so getOrCreate actually constructs one

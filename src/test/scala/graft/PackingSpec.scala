@@ -37,6 +37,17 @@ class PackingSpec extends AnyFunSuite {
     assert(got(3L) == ((12L, 1L, 1L, false)))
   }
 
+  test("zero-weight rows on a bin boundary do not straddle") {
+    // doc 2 has no tokens and sits exactly at offset 10 (= capacity): its
+    // bin range must be the single bin it points at, not an inverted range
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 4L)).toDF("id", "w")
+    val got = Packing.sequencePacking(df, "id", "w", capacity = 10)
+      .select("id", "bin_first", "bin_last", "spans_boundary")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(2L) == ((1L, 1L, false)))
+    assert(got(3L) == ((1L, 1L, false)))
+  }
+
   test("empty input yields an empty result, not a crash") {
     val df = Seq.empty[(Long, Long)].toDF("id", "w")
     assert(Packing.sequencePacking(df, "id", "w", capacity = 10).count() == 0L)
