@@ -151,4 +151,41 @@ class PropertySpec extends AnyFunSuite {
       assert(got.forall(_ == iso))
     }
   }
+
+  test("NgramFreqStats equals a naive Scala recount on generated token arrays") {
+    val genTokens = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "xyz"))
+    val genCase = for { toks <- genTokens; n <- Gen.chooseNum(1, 4) } yield (toks, n)
+    forAll(genCase, n = 25) { case (toks, n) =>
+      val naive: Map[String, Int] = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+      val expected =
+        if (toks.size < n) Seq(0L, 0L, 0L, 0L)
+        else Seq(naive.values.sum.toLong, naive.size.toLong,
+          naive.values.max.toLong,
+          naive.values.filter(_ > 1).sum.toLong)
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.NgramFreqStats(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), n)))
+        .head.getStruct(0).toSeq
+      assert(got == expected, s"toks=$toks n=$n")
+    }
+  }
+
+  test("winnowing guarantee on generated docs: shared run ⇒ shared fingerprint") {
+    import graft.functions.TextFunctions
+    val word = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val genDocs = for {
+      shared <- Gen.listOfN(7, word) // >= w + n - 1 = 6 tokens
+      pre <- Gen.listOfN(4, word)
+      post <- Gen.listOfN(4, word)
+    } yield (s"${pre.mkString(" ")} ${shared.mkString(" ")}",
+      s"${shared.mkString(" ")} ${post.mkString(" ")}")
+    forAll(genDocs, n = 15) { case (a, b) =>
+      val fps = Seq(a, b).toDF("t")
+        .select(TextFunctions.winnowFingerprints(col("t"), n = 3, w = 4))
+        .collect().map(_.getSeq[Long](0).toSet)
+      assert(fps(0).intersect(fps(1)).nonEmpty, s"a=$a b=$b")
+    }
+  }
 }
