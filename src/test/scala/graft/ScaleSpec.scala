@@ -57,6 +57,28 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("ngram-Jaccard stop-shingle cutoff bounds candidate pairs under pathological repetition") {
+    import spark.implicits._
+    // 120 documents all sharing one ubiquitous trigram plus a unique tail:
+    // without the doc-frequency cutoff the shared shingle alone generates
+    // 120*119/2 candidate pairs; with maxDocFreq=50 the hot shingle is
+    // dropped and NO candidate survives (the unique tails share nothing)
+    val docs = (1 to 120).map(i =>
+      (i.toLong, s"common shared trigram unique$i tail$i word$i")).toDF("doc_id", "text")
+    val pairs = graft.operators.TextDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.1, maxDocFreq = 50L,
+      materialize = true)
+    assert(pairs.count() == 0L)
+  }
+
+  test("mixture sampling admits ~rate percent at corpus scale") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val kept = graft.operators.Sampling.mixture(
+      docs, "doc_id", "source", Map.empty, defaultPct = 40).count().toDouble
+    val frac = kept / docs.count()
+    assert(frac > 0.25 && frac < 0.55, s"fraction $frac")
+  }
+
   test("partitioned table writes prune partitions on read") {
     spark.sql("CREATE DATABASE IF NOT EXISTS scale_test")
     Tables.events(spark, SparkTestSession.sfDir)
