@@ -175,6 +175,45 @@ object Medallion {
       |GROUP BY 1, 2, 3
       |ORDER BY claim_type, claim_status, claim_month""".stripMargin)
 
+  /** gold_policy_summary (SURVEY §2.9, the policy-side symmetric of q65):
+    * dirty bronze policies → silverPolicies cleansing (C1-C4) →
+    * goldPolicySummary rollup. avg_premium is recomputed as a double
+    * division of the emitted exact totals so both engines round identically
+    * (the q65 settlement_ratio recipe).
+    */
+  private val policySummary = QueryDef(
+    (s, dir) => {
+      rawPolicies(s, dir).createOrReplaceTempView("graft_mdl_bronze_policies_q81")
+      InsuranceModels.silverPolicies("graft_mdl_bronze_policies_q81")(s)
+        .createOrReplaceTempView("graft_mdl_silver_policies_q81")
+      InsuranceModels.goldPolicySummary("graft_mdl_silver_policies_q81")(s)
+        .select(col("policy_type"), col("policy_status"),
+          col("n_policies"),
+          col("total_premium").cast("double").as("total_premium"),
+          (col("total_premium").cast("double") / col("n_policies")).as("avg_premium"),
+          col("total_coverage").cast("double").as("total_coverage"),
+          col("n_active"))
+        .orderBy("policy_type", "policy_status")
+    },
+    """WITH silver AS (
+      |  SELECT
+      |    upper(trim(CASE CAST(c_custkey % 5 AS INTEGER)
+      |      WHEN 0 THEN ' auto' WHEN 1 THEN 'home ' WHEN 2 THEN 'life'
+      |      WHEN 3 THEN 'health' ELSE ' business ' END)) AS policy_type,
+      |    upper(trim(CASE CAST(c_custkey % 3 AS INTEGER)
+      |      WHEN 0 THEN ' active' WHEN 1 THEN 'expired ' ELSE 'cancelled' END)) AS policy_status,
+      |    try_cast(replace(concat('1,', lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0'), '.00'), ',', '') AS DECIMAL(12,2)) AS premium_amount,
+      |    try_cast(replace(concat('1,000,', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '.00'), ',', '') AS DECIMAL(12,2)) AS coverage_limit
+      |  FROM customer)
+      |SELECT policy_type, policy_status,
+      |  COUNT(*) AS n_policies,
+      |  CAST(SUM(premium_amount) AS DOUBLE) AS total_premium,
+      |  CAST(SUM(premium_amount) AS DOUBLE) / COUNT(*) AS avg_premium,
+      |  CAST(SUM(coverage_limit) AS DOUBLE) AS total_coverage,
+      |  CAST(SUM(CASE WHEN policy_status = 'ACTIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+      |FROM silver GROUP BY 1, 2 ORDER BY policy_type, policy_status""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
-    "q65_medallion" -> medallion)
+    "q65_medallion" -> medallion,
+    "q81_policy_summary" -> policySummary)
 }
