@@ -65,6 +65,17 @@ object GraftExtensions {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be a constant string array, got non-foldable ${e.sql}")
+    // type check BEFORE eval: array(1, 2) is foldable but its ArrayData
+    // holds Integers — getUTF8String would throw a raw ClassCastException,
+    // exactly what these helpers exist to prevent
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a constant string array, got " +
+            s"${other.simpleString} (${e.sql})")
+    }
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         (0 until a.numElements()).map { i =>

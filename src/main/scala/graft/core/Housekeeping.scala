@@ -11,14 +11,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Housekeeping {
 
-  /** Drop catalog tables starting with `prefix` except those carrying
-    * `keepSuffix` (the current app's own artifacts).
+  /** Drop catalog tables starting with `prefix`, except those carrying
+    * `keepSuffix` (the current app's own artifacts) and anything created
+    * within the last hour — a CONCURRENT run's live tables (including its
+    * in-flight `__stage_` tables, which share the prefix) must not be
+    * dropped mid-query, mirroring [[cleanStaleTmpDirs]]'s age guard.
     */
-  def dropStaleTables(spark: SparkSession, prefix: String, keepSuffix: String): Unit =
+  def dropStaleTables(spark: SparkSession, prefix: String, keepSuffix: String): Unit = {
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     spark.catalog.listTables().collect()
       .map(_.name)
       .filter(n => n.startsWith(prefix) && !n.endsWith(keepSuffix))
+      .filter { n =>
+        try spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+          .createTime < cutoff
+        catch { case _: Exception => false } // vanished/external: leave it
+      }
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 
   /** Delete `java.io.tmpdir` entries starting with `prefix`, except the
     * current app's (`keepSuffix`) and anything modified within the last

@@ -38,11 +38,18 @@ case class Winnow(child: Expression, w: Int)
   /** Null result signalled as Java null so codegen needs no extra flag. */
   def evalWinnow(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
-    if (m < w) return empty
-    val vals = new Array[Long](m)
+    // null scan FIRST: a corrupt (null-element) array must report null
+    // whether or not it is also shorter than the window (same ordering fix
+    // as NgramFreqStats — short+corrupt must not read as "empty sketch")
     var i = 0
     while (i < m) {
       if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    if (m < w) return empty
+    val vals = new Array[Long](m)
+    i = 0
+    while (i < m) {
       vals(i) = arr.getLong(i)
       i += 1
     }

@@ -42,8 +42,12 @@ object DupGroups {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, maxDriverEdges: Long = 1000000L): DataFrame = {
+    // persist, NOT localCheckpoint: the edge projection is read twice (count
+    // + one strategy) and must be releasable — Dataset.unpersist frees cache
+    // entries but not local-checkpoint RDD blocks (those wait for the
+    // ContextCleaner), so a checkpoint here could never be reclaimed on exit
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .localCheckpoint(true) // materialized once: sized cheaply, read twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size-based strategy switch, the same philosophy as Spark's broadcast
     // threshold: a thresholded similarity pair list is usually orders of
     // magnitude smaller than its corpus, and below `maxDriverEdges` a driver
@@ -94,7 +98,10 @@ object DupGroups {
     // round — exponential analysis/optimization cost that dwarfs execution
     // after ~15 rounds. Checkpointing cuts the lineage to the materialized
     // partitions, keeping every round's plan constant-size. Edges are tiny
-    // (already-thresholded pairs), so the materialization is cheap.
+    // (already-thresholded pairs), so the materialization is cheap. The
+    // round frames' checkpoint blocks are reclaimed by the ContextCleaner
+    // once unreferenced (Dataset.unpersist cannot free checkpoint blocks) —
+    // bounded by rounds × label-frame size, label frames being vertex-sized.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
 

@@ -91,6 +91,9 @@ object Vector {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_$tag"
       graft.operators.IvfIndex.save(
         graft.operators.IvfIndex.build(corpus, kCells = 8, iters = 3), path)
+      // the on-disk index is self-contained after save: release the training
+      // cache so it doesn't stay pinned for the rest of the session
+      corpus.unpersist()
       graft.operators.IvfIndex.query(
         graft.operators.IvfIndex.load(s, path),
         corpus.filter(col("vec_id") < 10), k = 5, nprobe = 3)

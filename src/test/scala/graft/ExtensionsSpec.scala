@@ -88,6 +88,21 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT token_set_hits('a b', ws) FROM (SELECT array('a') AS ws)").collect()
     }
     assert(e.getMessage.contains("constant string array"), e.getMessage)
+    // constant but wrongly-typed array: clean plan-time error, not a raw
+    // ClassCastException from getUTF8String over Integers
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT token_set_hits('a b', array(1, 2))").collect()
+    }
+    assert(wrongType.getMessage.contains("constant string array"), wrongType.getMessage)
+  }
+
+  test("winnow null contract from SQL: null element → null at every length") {
+    val row = spark.sql(
+      "SELECT winnow(array(CAST(NULL AS BIGINT), 1L), 3) AS short_corrupt, " +
+        "winnow(array(CAST(NULL AS BIGINT), 1L, 2L, 4L), 3) AS long_corrupt, " +
+        "winnow(array(9L, 1L), 3) AS short_clean").head
+    assert(row.isNullAt(0) && row.isNullAt(1)) // corrupt is null regardless of w
+    assert(row.getSeq[Long](2) == Seq.empty) // short-but-clean is an empty sketch
   }
 
   test("withExtensions wires the same registry at session build time") {
