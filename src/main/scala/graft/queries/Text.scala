@@ -490,8 +490,52 @@ object Text {
       |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
       |FROM hits GROUP BY 1 ORDER BY bench_id""".stripMargin)
 
+  /** URL/domain blocklist filtering over deterministically synthesized
+    * link-bearing text (the corpus has no URLs; the synthesis is replayed by
+    * the oracle, so what's compared is the extraction + suffix-blocklist
+    * semantics): drop documents linking to any `.net` domain, then profile
+    * kept documents per primary domain (UrlFunctions — pure projections, the
+    * admission predicate pushes like any filter).
+    */
+  private val urlFilter = QueryDef(
+    (s, dir) => {
+      import graft.functions.UrlFunctions._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 30), lit(" via https://"), col("source"),
+            when(col("doc_id") % 3 === 0, ".com")
+              .when(col("doc_id") % 3 === 1, ".org")
+              .otherwise(".tracker.net"),
+            lit("/p/"), col("doc_id").cast("string"),
+            when(col("doc_id") % 7 === 0, " and http://ads.example.net/banner")
+              .otherwise("")).as("msg"))
+        .filter(!hasBlockedDomain(col("msg"), Seq(".net")))
+        .select(primaryDomain(col("msg")).as("domain"),
+          size(urlDomains(col("msg"))).cast("long").as("n_urls"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_urls")).as("total_urls"))
+        .orderBy("domain")
+    },
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 30) || ' via https://' || source ||
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.tracker.net' END ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' and http://ads.example.net/banner' ELSE '' END AS msg
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id,
+      |    regexp_extract(msg, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+      |    CAST(len(regexp_extract_all(msg, 'https?://([A-Za-z0-9.-]+)', 1)) AS BIGINT) AS n_urls
+      |  FROM synth
+      |  WHERE len(list_filter(regexp_extract_all(msg, 'https?://([A-Za-z0-9.-]+)', 1),
+      |        d -> d LIKE '%.net')) = 0)
+      |SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_urls) AS BIGINT) AS total_urls
+      |FROM kept GROUP BY domain ORDER BY domain""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q62_hash_split" -> hashSplit,
+    "q82_url_filter" -> urlFilter,
     "q76_stratified_sample" -> stratified,
     "q77_contamination_report" -> contaminationReport,
     "q75_sequence_packing" -> sequencePacking,

@@ -124,6 +124,24 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L)) // bench 2 overlaps nothing → absent
   }
 
+  test("URL functions: extraction, primary domain, suffix blocklist") {
+    import graft.functions.UrlFunctions._
+    val df = Seq(
+      (1L, "read https://en.wikipedia.org/wiki/Spark and http://ads.track.net/x"),
+      (2L, "only https://docs.example.com/page here"),
+      (3L, "no links at all")
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        urlDomains(col("t")).as("ds"),
+        primaryDomain(col("t")).as("first"),
+        hasBlockedDomain(col("t"), Seq(".net")).as("blocked"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((Seq("en.wikipedia.org", "ads.track.net"), "en.wikipedia.org", true)))
+    assert(got(2L) == ((Seq("docs.example.com"), "docs.example.com", false)))
+    assert(got(3L) == ((Seq(), "", false)))
+  }
+
   test("NearestCell content equality enables canonicalization") {
     import graft.expressions.NearestCell
     import org.apache.spark.sql.catalyst.expressions.BoundReference
