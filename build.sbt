@@ -14,6 +14,9 @@ run / fork := true
 // Emit forked-run stdout raw (no sbt "[info]" prefix) so Bench's JSON
 // line is machine-parseable by the harness.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line so Bench's JSON is
+// the LAST stdout line — harness-side parsing of BENCH_r* reads the tail.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Vector.defs,
     graft.queries.Stream.defs,
     graft.queries.Medallion.defs,
+    graft.queries.Storage.defs,
     graft.queries.Extra.defs)
 
   private lazy val all: Map[String, QueryDef] =

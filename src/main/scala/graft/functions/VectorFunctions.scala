@@ -61,6 +61,20 @@ object VectorFunctions {
       .reduce(_.bitwiseOR(_))
   }
 
+  /** Uint8 scalar quantization of a float vector against its own [min, max]
+    * range: `q = min(255, floor((x - vmin) * 255 / (vmax - vmin)))` — the
+    * 4× storage compression step before ANN indexing at corpus scale.
+    * Constant vectors (vmax == vmin) quantize to all zeros. Deterministic
+    * across engines: the float subtractions stay in float32 (same IEEE op
+    * everywhere), the scale-up promotes to double exactly, and floor/least
+    * over doubles carry no rounding-mode ambiguity — unlike round(), whose
+    * tie semantics differ between engines.
+    */
+  def quantizeU8(vec: Column, vmin: Column, vmax: Column): Column =
+    when(vmax === vmin, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        least(lit(255), floor((x - vmin) * lit(255.0) / (vmax - vmin)).cast("int"))))
+
   // DuckDB oracle fragments mirroring dot/normSq/cosine: list_sum over a
   // double-cast comprehension is the same sequential fold (verified
   // bit-identical against Spark's aggregate()).
@@ -69,4 +83,14 @@ object VectorFunctions {
   def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  /** DuckDB twin of [[quantizeU8]]; `vmin`/`vmax` must be FLOAT exprs so the
+    * subtractions stay in float32 like Spark's. The 255.0 literals are cast
+    * to DOUBLE explicitly — DuckDB parses bare `255.0` as DECIMAL, which
+    * would change the promotion chain.
+    */
+  def sqlQuantizeU8(vec: String, vmin: String, vmax: String): String =
+    s"""CASE WHEN $vmax = $vmin THEN list_transform($vec, x -> 0)
+       |ELSE list_transform($vec, x -> least(255, CAST(floor(
+       |  (x - $vmin) * CAST(255.0 AS DOUBLE) / ($vmax - $vmin)) AS INTEGER))) END""".stripMargin
 }

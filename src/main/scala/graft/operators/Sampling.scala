@@ -43,6 +43,23 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < rate)
   }
 
+  /** Deterministic global shuffle into `nShards` training shards: each row
+    * gets a stable shard (md5 bucket of its key) and a stable position
+    * within the shard (rank by md5 of the key, tie-broken by the key) — the
+    * "shuffle the corpus, then write N shard files" step of a pretraining
+    * run, without RNG state. Re-running, resharding upstream, or changing
+    * the cluster layout reproduces byte-identical shard contents and order,
+    * so a training run is resumable and auditable from keys alone. One
+    * shuffle on the shard id; position ranking needs no global sort (each
+    * shard orders independently), so shards scale out embarrassingly.
+    */
+  def shards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("shard", hashBucket(col(keyCol), nShards))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Exactly `nPerGroup` rows per group (fewer if the group is smaller),
     * chosen deterministically: rank rows inside each group by the md5 of
     * their key (a stable pseudo-random total order both engines compute

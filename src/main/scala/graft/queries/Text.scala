@@ -533,7 +533,65 @@ object Text {
       |SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_urls) AS BIGINT) AS total_urls
       |FROM kept GROUP BY domain ORDER BY domain""".stripMargin)
 
+  /** Deterministic corpus sharding (Sampling.shards): the global-shuffle →
+    * N-training-shards step, verified end to end — per-shard volumes, the
+    * head document of each shard (pins the intra-shard ORDER, not just
+    * membership) and the max position (pins contiguous 1..n numbering).
+    * The oracle replays the identical md5 bucket + md5 rank arithmetic.
+    */
+  private val corpusShards = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.shards(Tables.documents(s, dir), "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          min(when(col("shard_pos") === 1, col("doc_id"))).as("first_doc"),
+          max(col("shard_pos")).as("max_pos"))
+        .orderBy("shard"),
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text, shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_pos
+      |  FROM s)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+      |  MIN(CASE WHEN shard_pos = 1 THEN doc_id END) AS first_doc,
+      |  MAX(shard_pos) AS max_pos
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
+
+  /** TF-IDF term salience (TfIdf.topTerms): top-3 salient terms per doc for
+    * the first 50 docs, scored `tf * N / df` — exact rational arithmetic
+    * (see the operator scaladoc for why no log()), so DuckDB reproduces
+    * scores AND ranks bit-for-bit. The doc filter applies AFTER df/N so
+    * corpus statistics stay corpus-wide.
+    */
+  private val tfidfTerms = QueryDef(
+    (s, dir) =>
+      graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "term"),
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score FROM ranked
+      |WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, term""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q85_corpus_shards" -> corpusShards,
+    "q86_tfidf" -> tfidfTerms,
     "q62_hash_split" -> hashSplit,
     "q82_url_filter" -> urlFilter,
     "q76_stratified_sample" -> stratified,

@@ -128,7 +128,38 @@ object Vector {
        |SELECT CAST(src AS BIGINT) AS vec_id, CAST(MIN(dst) AS BIGINT) AS group_id
        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
 
+  /** Uint8 scalar quantization (VectorFunctions.quantizeU8): per-vector
+    * min-max range compression to int8 — the 4× storage shrink before ANN
+    * indexing. The gate emits the reconstruction params (zero_point, scale)
+    * and the quantized checksum; the oracle replays the identical
+    * float32-subtract / double-scale / floor chain, so any drift in the
+    * promotion order shows up as a hash mismatch. A zero-shuffle
+    * projection — quantizing 100 TB of embeddings is a map-only job.
+    */
+  private val quantize = QueryDef(
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          array_min(col("embedding")).as("vmin"),
+          array_max(col("embedding")).as("vmax"))
+        .select(col("vec_id"),
+          col("vmin").cast("double").as("zero_point"),
+          ((col("vmax") - col("vmin")).cast("double") / 255.0).as("scale"),
+          aggregate(
+            quantizeU8(col("embedding"), col("vmin"), col("vmax")),
+            lit(0L), (acc, q) => acc + q).as("q_sum"))
+        .orderBy("vec_id"),
+    s"""SELECT vec_id,
+       |  CAST(vmin AS DOUBLE) AS zero_point,
+       |  CAST(vmax - vmin AS DOUBLE) / CAST(255.0 AS DOUBLE) AS scale,
+       |  CAST(list_sum(${sqlQuantizeU8("embedding", "vmin", "vmax")}) AS BIGINT) AS q_sum
+       |FROM (SELECT vec_id, embedding,
+       |        list_min(embedding) AS vmin, list_max(embedding) AS vmax
+       |      FROM embeddings)
+       |ORDER BY vec_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q87_quantize" -> quantize,
     "q50_vector_norms" -> vectorNorms,
     "q80_ivf_index" -> ivfIndexQuery,
     "q69_embedding_dup_groups" -> embeddingDupGroups,
