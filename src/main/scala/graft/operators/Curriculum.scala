@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curriculum ordering: rank every document in a global difficulty order and
+  * cut the order into `n` equal-width buckets — the "train on easy documents
+  * first" schedule of a curriculum-learning pipeline, plus the percentile
+  * position each document holds in the corpus.
+  *
+  * Scale design: the global rank is a distributed prefix sum over
+  * range-sharded data (same two-phase shape as
+  * [[Packing.withGlobalOffsets]]), NOT an unpartitioned
+  * `Window.orderBy(...)` — a global window funnels the whole corpus through
+  * one task. Phase 1 range-partitions on the order columns and collects one
+  * row count per shard (driver state the size of the shard count); phase 2
+  * adds each shard's exclusive prefix to a within-shard `row_number`, so
+  * every task ranks only its own slice. Ranks depend only on the order
+  * columns, so the result is deterministic regardless of where the range
+  * sampler places shard boundaries.
+  *
+  * Buckets use the explicit formula `(rank-1) * n div total + 1` rather than
+  * an engine `NTILE` (whose remainder-distribution differs between
+  * implementations); percentile is the explicit `(rank-1) / (total-1)`. Both
+  * are exact-integer arithmetic plus one deterministic division, so two
+  * engines agree bit-for-bit.
+  */
+object Curriculum {
+
+  /** Each row with its global 1-based rank in `orderCols` order (column
+    * `rank`) and the corpus row count (column `total`). The order must be a
+    * total order (include a unique tie-break column) for the rank to be
+    * well-defined.
+    */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val shard = "graft_cur_shard"
+    val sharded = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn(shard, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shardCounts = sharded.groupBy(shard).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = shardCounts.values.sum
+    val maxShard = if (shardCounts.isEmpty) -1 else shardCounts.keys.max
+    val prefix = new Array[Long](maxShard + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxShard) {
+      prefix(p) = acc
+      acc += shardCounts.getOrElse(p, 0L)
+      p += 1
+    }
+    val prefixLookup: Column =
+      if (maxShard < 0) lit(0L)
+      else element_at(
+        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
+        col(shard))
+    val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
+    sharded
+      .withColumn("rank", prefixLookup + row_number().over(withinShard).cast("long"))
+      .withColumn("total", lit(total))
+      .drop(shard)
+  }
+
+  /** Equal-width curriculum buckets 1..`n` over the global `orderCols` rank,
+    * with the document's exact percentile position (`pct_rank`, 0 for a
+    * single-row corpus).
+    */
+  def buckets(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    withGlobalRank(df, orderCols)
+      // integer div (not double-divide-then-truncate): exact at any scale
+      .withColumn("bucket", expr(s"((rank - 1) * $n) div total + 1"))
+      .withColumn("pct_rank",
+        when(col("total") > 1,
+          (col("rank") - 1).cast("double") / (col("total") - 1))
+          .otherwise(lit(0.0)))
+  }
+}

@@ -47,4 +47,35 @@ object TfIdf {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "score")
   }
+
+  /** Top-`topN` corpus vocabulary by total occurrence count, ties broken by
+    * term — driver state the size of the vocabulary (same scale class as a
+    * broadcast build side), collected once per corpus. The aggregation
+    * partial-combines map-side, so only (term, count) pairs shuffle.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int): Seq[String] =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(topN)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Word-familiarity quality score: the fraction of a document's tokens
+    * that appear in `vocab` (typically [[vocabulary]]'s top-N list) — the
+    * "fraction of words in a common-word list" heuristic that pretraining
+    * pipelines use to down-rank gibberish, boilerplate, and non-prose.
+    * Rational arithmetic over exact counts (hits / tokens), so the score is
+    * reproducible across engines — no log-probability float skew.
+    *
+    * Scoring is a single codegen'd projection (TokenSetHits hash-set probe
+    * per token): zero shuffle, so scoring 100 TB is a map-only pass.
+    */
+  def familiarity(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("tok_cnt"),
+      TextFunctions.tokenSetHits(col(textCol), vocab).cast("long").as("vocab_hits"))
+      .withColumn("familiarity",
+        col("vocab_hits").cast("double") / col("tok_cnt"))
 }

@@ -589,9 +589,81 @@ object Text {
       |SELECT doc_id, term, tf, df, score FROM ranked
       |WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, term""".stripMargin)
 
+  /** Word-familiarity quality scoring (TfIdf.vocabulary + familiarity): the
+    * top-200 corpus vocabulary by occurrence (collected driver state, like a
+    * broadcast build side), then a zero-shuffle scoring pass — fraction of
+    * each document's tokens found in the vocabulary. Exact hits/tokens
+    * rational, no log-probability float skew. The oracle rebuilds the same
+    * vocabulary (count desc, term tie-break) and replays the join-based
+    * count the TokenSetHits expression computes in one pass.
+    */
+  private val wordFamiliarity = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.TfIdf.vocabulary(docs, "text", topN = 200)
+      graft.operators.TfIdf.familiarity(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+      |    ORDER BY cnt DESC, term LIMIT 200)),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS vocab_hits
+      |  FROM toks t JOIN vocab v USING (term) GROUP BY 1),
+      |tc AS (
+      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok_cnt
+      |  FROM documents)
+      |SELECT tc.doc_id, tc.tok_cnt,
+      |  COALESCE(hits.vocab_hits, 0) AS vocab_hits,
+      |  CAST(COALESCE(hits.vocab_hits, 0) AS DOUBLE) / tc.tok_cnt AS familiarity
+      |FROM tc LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin)
+
+  /** Curriculum buckets (Curriculum.buckets): global difficulty order by
+    * (token count, doc_id) cut into 8 equal-width buckets via distributed
+    * prefix-sum rank — no unpartitioned window. The gate aggregates per
+    * bucket and pins the bucket boundaries (min/max difficulty), the head
+    * document, and the exact percentile extremes; the oracle replays the
+    * same explicit rank/bucket arithmetic (engine NTILEs differ in
+    * remainder placement, so neither side uses one).
+    */
+  private val curriculum = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tok_cnt"))
+      graft.operators.Curriculum.buckets(docs, Seq("tok_cnt", "doc_id"), n = 8)
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("tok_cnt")).as("min_tokens"),
+          max(col("tok_cnt")).as("max_tokens"),
+          min(col("pct_rank")).as("min_pr"),
+          max(col("pct_rank")).as("max_pr"))
+        .orderBy("bucket")
+    },
+    """WITH tc AS (
+      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok_cnt
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tok_cnt,
+      |    ROW_NUMBER() OVER (ORDER BY tok_cnt, doc_id) AS rank,
+      |    COUNT(*) OVER () AS total
+      |  FROM tc)
+      |SELECT ((rank - 1) * 8) // total + 1 AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  MIN(tok_cnt) AS min_tokens,
+      |  MAX(tok_cnt) AS max_tokens,
+      |  MIN(CASE WHEN total > 1 THEN CAST(rank - 1 AS DOUBLE) / (total - 1) ELSE 0.0 END) AS min_pr,
+      |  MAX(CASE WHEN total > 1 THEN CAST(rank - 1 AS DOUBLE) / (total - 1) ELSE 0.0 END) AS max_pr
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q85_corpus_shards" -> corpusShards,
     "q86_tfidf" -> tfidfTerms,
+    "q88_word_familiarity" -> wordFamiliarity,
+    "q89_curriculum" -> curriculum,
     "q62_hash_split" -> hashSplit,
     "q82_url_filter" -> urlFilter,
     "q76_stratified_sample" -> stratified,
