@@ -124,9 +124,85 @@ object Storage {
        |FROM orders WHERE year(o_orderdate) = 1997
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 
+  /** Z-order layout (§4 data skipping, extended): orders clustered by the
+    * Morton interleave of (customer bucket, price band) and cut into 16
+    * z-ordered files. The gate pins each file's min/max envelope on BOTH
+    * dimensions — the statistics a scan would prune on — and the z-key
+    * extremes; the oracle replays the identical shift/mask interleave and
+    * rank arithmetic. ZOrderSpec measures the pruning win vs a
+    * single-column sort.
+    */
+  private val zorderLayout = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 256).as("a"),
+        least(floor(col("o_totalprice") / 1000).cast("long"), lit(255L)).as("b"))
+      graft.operators.ZOrder.cluster(o, "a", "b", "o_orderkey", nFiles = 16)
+        .groupBy("file")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("z").as("min_z"), max("z").as("max_z"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"))
+        .orderBy("file")
+    },
+    s"""WITH d AS (
+       |  SELECT o_orderkey, o_custkey % 256 AS a,
+       |    LEAST(CAST(floor(o_totalprice / 1000) AS BIGINT), 255) AS b
+       |  FROM orders),
+       |z AS (SELECT o_orderkey, a, b,
+       |        ${graft.operators.ZOrder.sqlZValue("a", "b")} AS z FROM d),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z, o_orderkey) AS rn,
+       |        COUNT(*) OVER () AS total FROM z)
+       |SELECT ((rn - 1) * 16) // total + 1 AS file, COUNT(*) AS n_rows,
+       |  MIN(z) AS min_z, MAX(z) AS max_z,
+       |  MIN(a) AS min_a, MAX(a) AS max_a,
+       |  MIN(b) AS min_b, MAX(b) AS max_b
+       |FROM r GROUP BY 1 ORDER BY file""".stripMargin)
+
+  /** Malformed-record quarantine at the parse layer (§2.1 S1 hardened, the
+    * parse-time sibling of the reference's quarantine_record semantics,
+    * reference tests/unit/test_ingestion.py:271-282): a CSV with a
+    * deterministic subset of rows corrupted (non-numeric key every 5th row)
+    * is read back PERMISSIVE with an explicit schema and a corrupt-record
+    * column — bad rows quarantine instead of failing the job or silently
+    * vanishing. The oracle knows exactly which rows were corrupted, so it
+    * reproduces both partitions from the source table.
+    */
+  private val csvQuarantine = QueryDef(
+    (s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_quarantine"
+      Tables.nation(s, dir)
+        .select(concat_ws(",",
+          when(col("n_nationkey") % 5 === 0,
+            concat(col("n_nationkey"), lit("x")))
+            .otherwise(col("n_nationkey").cast("string")),
+          col("n_name"), col("n_regionkey").cast("string")).as("line"))
+        .write.mode("overwrite").text(tmp)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+        .withColumn("status",
+          when(col("_corrupt").isNull, "clean").otherwise("quarantined"))
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("long")).as("sum_key"))
+        .orderBy("status")
+    },
+    """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'quarantined' ELSE 'clean' END AS status,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY 1 ORDER BY status""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q58_orc_roundtrip" -> orcRoundtrip,
     "q59_jsonl_roundtrip" -> jsonlRoundtrip,
     "q83_bucketed_join" -> bucketedJoin,
-    "q84_partition_prune" -> partitionPrune)
+    "q84_partition_prune" -> partitionPrune,
+    "q90_zorder_layout" -> zorderLayout,
+    "q91_csv_quarantine" -> csvQuarantine)
 }

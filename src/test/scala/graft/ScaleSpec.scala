@@ -79,6 +79,79 @@ class ScaleSpec extends AnyFunSuite {
     assert(frac > 0.25 && frac < 0.55, s"fraction $frac")
   }
 
+  test("runtime bloom filter from a selective dim filter reaches the fact scan") {
+    // the 100 TB case: a filtered dimension should inject a bloom filter
+    // into the fact side so most fact rows die at the scan, not the join
+    val conf = spark.conf
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtimeFilter.number.threshold" ->
+        conf.get("spark.sql.optimizer.runtimeFilter.number.threshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    // the default 10GB gate targets real clusters; the sf0.001 fact side is
+    // tiny, so open it to let the rule fire and assert the plan shape
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // broadcast joins skip runtime filters (the build side already prunes);
+    // force the shuffle path the filter is designed for
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, SparkTestSession.sfDir)
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, SparkTestSession.sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter on the fact side:\n$plan")
+      assert(joined.count() > 0)
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("AQE splits a skewed join partition") {
+    import spark.implicits._
+    // one hot key holding ~all rows vs a flat side; with aggressive skew
+    // thresholds AQE must mark the sort-merge join as skew=true
+    val conf = spark.conf
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.enabled" ->
+        conf.get("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val skewed = (1 to 60000).map(i =>
+        (if (i % 100 == 0) i.toLong else 7L, s"payload_$i")).toDF("k", "v")
+      val flat = (1L to 60000L).map(i => (i, i * 2)).toDF("k", "w")
+      val joined = skewed.join(flat, "k")
+      // execute THIS dataset's plan — count() would build a separate
+      // aggregate plan and leave joined's AdaptiveSparkPlan unfinalized
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("partitioned table writes prune partitions on read") {
     spark.sql("CREATE DATABASE IF NOT EXISTS scale_test")
     Tables.events(spark, SparkTestSession.sfDir)
