@@ -523,7 +523,109 @@ object Extra {
     """SELECT o_orderpriority, COUNT(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 
+  /** Time-series gap filling: daily event counts per type with missing days
+    * materialized as zero — the densification step before any
+    * trend/seasonality model. The date spine comes from the data's own
+    * min/max (sequence + explode), the type dimension from distinct — both
+    * tiny broadcast sides; the daily aggregate partial-combines map-side, so
+    * densifying 100 TB of events is one agg shuffle plus broadcast joins.
+    */
+  private val gapFill = QueryDef(
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+      val daily = e.groupBy("event_type", "d").agg(count(lit(1)).as("n_events"))
+      val days = e.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      val types = e.select("event_type").distinct()
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "d")
+    },
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT (SELECT MIN(CAST(ts AS DATE)) FROM events)
+      |  UNION ALL
+      |  SELECT d + 1 FROM days WHERE d < (SELECT MAX(CAST(ts AS DATE)) FROM events)),
+      |daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, days.d, COALESCE(daily.n_events, 0) AS n_events
+      |FROM types t CROSS JOIN days
+      |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.d
+      |ORDER BY t.event_type, days.d""".stripMargin)
+
+  /** Full-outer join (§2.5 widened): per-customer order counts for 1996 vs
+    * 1997, keeping customers active in only one year (null on the other
+    * side) — the reconcile-two-periods shape of drift reports.
+    */
+  private val fullOuter = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      def yearCounts(y: Int, as: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy("o_custkey").agg(count(lit(1)).as(as))
+      yearCounts(1996, "n_1996")
+        .join(yearCounts(1997, "n_1997"), Seq("o_custkey"), "full_outer")
+        .orderBy("o_custkey")
+    },
+    """SELECT o_custkey, n_1996, n_1997
+      |FROM (SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+      |      WHERE year(o_orderdate) = 1996 GROUP BY 1) a
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_1997 FROM orders
+      |      WHERE year(o_orderdate) = 1997 GROUP BY 1) b USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin)
+
+  /** Fixed-width histogram of order totals: explicit bin arithmetic
+    * (`floor(x / width)`) spelled identically in both engines rather than a
+    * `width_bucket` builtin (DuckDB has none; and builtin edge semantics
+    * differ across engines). One map-side-combined aggregation.
+    */
+  private val histogram = QueryDef(
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select((floor(col("o_totalprice") / 50000.0)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_orders"))
+        .withColumn("bin_lo", col("bin") * 50000L)
+        .select("bin", "bin_lo", "n_orders")
+        .orderBy("bin"),
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bin_lo,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin)
+
+  /** Explicit GROUPING SETS (§2.4 A9 beyond rollup/cube): the
+    * (flag,status) / (flag) / () lattice with grouping_id, through the SQL
+    * surface like the dbt-style models run.
+    */
+  private val groupingSets = QueryDef(
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("graft_li_gsets")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items,
+        |  CAST(grouping_id() AS INT) AS gid
+        |FROM graft_li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSumDec("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n_items,
+       |  CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q92_gap_fill" -> gapFill,
+    "q93_full_outer" -> fullOuter,
+    "q94_histogram" -> histogram,
+    "q95_grouping_sets" -> groupingSets,
     "q19_scd2" -> scd2Snapshot,
     "q78_upsert_roundtrip" -> upsertRoundtrip,
     "q79_incremental_model" -> incrementalRoundtrip,

@@ -185,6 +185,11 @@ object Storage {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(tmp)
+        // cache: Spark disallows plans whose pruned scan references ONLY
+        // the corrupt-record column (e.g. a count over the status groups);
+        // caching the parsed rows is the documented pattern, and the table
+        // is nation-sized
+        .cache()
         .withColumn("status",
           when(col("_corrupt").isNull, "clean").otherwise("quarantined"))
         .groupBy("status")
