@@ -181,6 +181,54 @@ object TextDedup {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — same contract as [[decontaminate]]
+    * (drop corpus documents sharing any word n-gram with the blocklist),
+    * EXACT result, different scale path: instead of broadcasting the
+    * blocklist's full shingle-hash set, build a Bloom filter over it with
+    * one mergeable-sketch aggregation (BloomAgg — partial bit tables OR'd,
+    * map-side combine does almost all the work), then prefilter the corpus
+    * with a zero-shuffle codegen probe (BloomAnyContain). Only documents
+    * the filter flags — contamination-sized, not corpus-sized — are
+    * re-checked against the exact shingle set, and Bloom filters have no
+    * false negatives, so the final anti-join equals [[decontaminate]]
+    * bit-for-bit.
+    *
+    * When this beats the exact semi-join: a large blocklist (a prior
+    * training corpus, a multi-release eval union) whose distinct shingle
+    * set is too big to broadcast — the bit table is ~2 bytes/shingle at
+    * 1% FPR instead of 8+, and sizing is explicit via `bitsPerItem`.
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String, n: Int,
+      bitsPerItem: Int = 16, numHashFns: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def shingleArr(c: String) = ColumnBridge.column(
+      graft.expressions.ShingleHashes(ColumnBridge.expression(col(c)), n))
+    // sizing pass over the blocklist only (the small side; one cheap job).
+    // Upper bound: per-doc distinct shingles, summed — cross-doc overlap
+    // only makes the filter sparser.
+    val blArrs = blocklist.select(shingleArr(blocklistTextCol).as("__shs"))
+    val approxItems = blArrs.agg(sum(size(col("__shs")))).head.getLong(0)
+    val numBits = graft.expressions.BloomUtil.bitsFor(approxItems, bitsPerItem)
+    val bitsRow = blArrs.agg(ColumnBridge.column(
+      graft.expressions.BloomAgg(ColumnBridge.expression(col("__shs")),
+        numBits, numHashFns).toAggregateExpression()).as("bits")).head
+    val bits = bitsRow.getSeq[Long](0).toArray
+    // zero-shuffle prefilter: corpus scan + compiled probe, pushdown-friendly
+    val candidates = corpus.filter(ColumnBridge.column(
+      graft.expressions.BloomAnyContain(
+        ColumnBridge.expression(shingleArr(textCol)), bits, numHashFns)))
+    // exact verification of the (small) candidate set — removes Bloom false
+    // positives; false negatives don't exist, so this is the full answer
+    val blocked = broadcast(
+      blocklist.select(explode(shingleArr(blocklistTextCol)).as("__sh")).distinct())
+    val contaminatedIds = candidates
+      .select(col(idCol), explode(shingleArr(textCol)).as("__sh"))
+      .join(blocked, Seq("__sh"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Contamination REPORT: for each blocklist document, how many distinct
     * corpus documents share at least one word n-gram with it — the audit
     * view an eval-set owner reads before deciding thresholds, complementing

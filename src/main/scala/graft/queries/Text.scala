@@ -179,6 +179,35 @@ object Text {
       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
       |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Bloom-filter decontamination (TextDedup.decontaminateBloom): the
+    * large-blocklist scale path — mergeable Bloom build (BloomAgg), compiled
+    * zero-shuffle corpus probe (BloomAnyContain), exact verification of the
+    * flagged candidates only. Bloom filters have no false negatives, so the
+    * result is EXACTLY the shingle-overlap semantics and the oracle replays
+    * it with plain string shingles (hash vs string keys classify
+    * identically, as q41/q63 pin). Distinct params from q63 (4-grams,
+    * 5-doc blocklist, per-source tally) so the two decontamination paths
+    * are gated independently.
+    */
+  private val bloomDecontaminate = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 5)
+      graft.operators.TextDedup.decontaminateBloom(
+        docs, "doc_id", "text", bench, "text", n = 4)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)])) s
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)
+      |  WHERE len(t) >= 4),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+      |contaminated AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench))
+      |SELECT source, COUNT(*) AS n_docs FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   /** Rolling-hash document fingerprints (winnowing): per-doc sketch stats
     * over trigram shingles, window 4. The gate variant selects minima over
     * md5-derived hashes so DuckDB reproduces the selection EXACTLY (same
@@ -675,6 +704,7 @@ object Text {
     "q73_mixture_sample" -> mixtureSample,
     "q74_token_chunks" -> tokenChunks,
     "q63_decontaminate" -> decontaminate,
+    "q96_bloom_decontaminate" -> bloomDecontaminate,
     "q66_winnow_fingerprints" -> winnowFp,
     "q67_bpe_tokens" -> bpeTokens,
     "q68_dup_groups" -> dupGroups,
