@@ -621,7 +621,107 @@ object Extra {
        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
+  /** Blocked fuzzy self-join (FuzzyJoin.blockedPairs): entity resolution by
+    * edit distance within (p_type, p_size) blocks — never all-pairs; a
+    * length-band filter and the bounded-DP levenshtein prune before the full
+    * kernel. The gate aggregates pairs at distance 1..3 per type (distance-0
+    * exact dups belong to exact dedup). Both engines implement classic
+    * Levenshtein, so counts and distances match exactly.
+    */
+  private val fuzzyMatch = QueryDef(
+    (s, dir) =>
+      graft.operators.FuzzyJoin.blockedPairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        Seq("p_type", "p_size"), maxDist = 3)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dist")).cast("long").as("total_dist"),
+          min(col("dist")).cast("long").as("min_dist"),
+          max(col("dist")).cast("long").as("max_dist"))
+        .orderBy("p_type"),
+    """WITH pr AS (
+      |  SELECT x.p_type AS p_type, levenshtein(x.p_name, y.p_name) AS dist
+      |  FROM part x JOIN part y
+      |    ON x.p_type = y.p_type AND x.p_size = y.p_size
+      |   AND x.p_partkey < y.p_partkey
+      |   AND abs(length(x.p_name) - length(y.p_name)) <= 3
+      |  WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND 3)
+      |SELECT p_type, COUNT(*) AS n_pairs,
+      |  CAST(SUM(dist) AS BIGINT) AS total_dist,
+      |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+      |  CAST(MAX(dist) AS BIGINT) AS max_dist
+      |FROM pr GROUP BY p_type ORDER BY p_type""".stripMargin)
+
+  /** Snapshot diff (SnapshotDiff.diff): classify keys as added / removed /
+    * changed / unchanged between today's orders snapshot and a
+    * deterministically simulated next-day dump (drop every 101st key,
+    * reprice every 97th, re-insert every 103rd under a shifted key) — the
+    * CDC step for full-dump sources like the reference's CSV drops. One
+    * full-outer join on the key; the gate tallies counts + key checksums
+    * per change class.
+    */
+  private val snapshotDiff = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val neu = o.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.operators.SnapshotDiff.diff(o, neu,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("change_type")
+    },
+    """WITH neu AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 103 = 0),
+      |d AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |         WHEN n.o_orderkey IS NULL THEN 'removed'
+      |         WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+      |          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      |         THEN 'unchanged' ELSE 'changed' END AS change_type
+      |  FROM orders o FULL JOIN neu n ON o.o_orderkey = n.o_orderkey)
+      |SELECT change_type, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Sharded HyperLogLog distinct counting (DataSketches): per-(source,
+    * shard) HLL sketches built independently, then merged per source with
+    * `hll_union_agg` and estimated — the mergeable-sketch pattern that lets
+    * 1000 executors count distincts with one tiny reduce instead of a
+    * corpus shuffle, and lets sketches be persisted and unioned across
+    * days. Estimates aren't SQL-reproducible in DuckDB (different sketch
+    * impl) → rows-only gate; HllMergeSpec pins the accuracy and the
+    * shard-merge = unsharded-sketch invariant.
+    */
+  private val hllShardMerge = QueryDef(
+    (s, dir) => {
+      val sketches = Tables.documents(s, dir)
+        .withColumn("shard",
+          graft.operators.Sampling.hashBucket(col("doc_id"), 8))
+        .groupBy("source", "shard")
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      sketches.groupBy("source")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_distinct_docs"))
+        .orderBy("source")
+    },
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q98_fuzzy_match" -> fuzzyMatch,
+    "q99_snapshot_diff" -> snapshotDiff,
+    "q101_hll_shard_merge" -> hllShardMerge,
     "q92_gap_fill" -> gapFill,
     "q93_full_outer" -> fullOuter,
     "q94_histogram" -> histogram,

@@ -208,6 +208,39 @@ object Text {
       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Sorted-neighborhood near-dup pass (SortedNeighborhood.nearDupPairs):
+    * the third blocking family next to exact shingle joins (q41) and LSH
+    * banding (q42) — global text-order rank via distributed prefix sum,
+    * compare each doc to its 4 successors, verify with the compiled
+    * set-Jaccard kernel. Candidate count is exactly window × N, so the cost
+    * is data-independent (no stop-shingle or bucket-skew blowups). The
+    * oracle replays the same rank/window/Jaccard arithmetic with string
+    * shingles.
+    */
+  private val sortedNeighborhood = QueryDef(
+    (s, dir) =>
+      graft.operators.SortedNeighborhood.nearDupPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        sortCol = "text", window = 4, n = 3, minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b"),
+    """WITH r AS (
+      |  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rank
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, rank, list_distinct(
+      |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+      |  FROM (SELECT doc_id, rank, string_split(trim(text), ' ') t FROM r)),
+      |scored AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    len(list_intersect(a.s, b.s)) AS inter,
+      |    len(a.s) + len(b.s) AS sz_sum
+      |  FROM sh a JOIN sh b ON b.rank BETWEEN a.rank + 1 AND a.rank + 4)
+      |SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+      |  CAST(inter AS DOUBLE) / (sz_sum - inter) AS jaccard
+      |FROM scored
+      |WHERE sz_sum - inter > 0 AND CAST(inter AS DOUBLE) / (sz_sum - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
   /** Rolling-hash document fingerprints (winnowing): per-doc sketch stats
     * over trigram shingles, window 4. The gate variant selects minima over
     * md5-derived hashes so DuckDB reproduces the selection EXACTLY (same
@@ -428,6 +461,36 @@ object Text {
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
       |FROM admitted GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Temperature-flattened mixture (Sampling.temperatureMixture): admit each
+    * source at rate sqrt(w_min)/sqrt(w_s) of its token mass — the
+    * "rebalance sources by w^alpha, alpha=0.5" step of a multilingual /
+    * multi-source training mix, as a deterministic md5-bucket filter.
+    * sqrt and division are correctly-rounded IEEE ops, so the oracle
+    * reproduces every admission threshold bit-for-bit.
+    */
+  private val temperatureMixture = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.temperatureMixture(
+        Tables.documents(s, dir), "doc_id", "source",
+        tokenCount(col("text")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("source"),
+    """WITH tw AS (
+      |  SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE) AS w
+      |  FROM documents GROUP BY 1),
+      |mn AS (SELECT MIN(w) AS wmin FROM tw),
+      |th AS (SELECT source, floor(10000.0 * (sqrt(wmin) / sqrt(w))) AS thresh
+      |       FROM tw CROSS JOIN mn),
+      |adm AS (
+      |  SELECT d.source, d.text FROM documents d JOIN th USING (source)
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |        % 10000 < thresh)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+      |FROM adm GROUP BY 1 ORDER BY source""".stripMargin)
 
   /** Context-window chunking: split each document's token stream into
     * fixed-size chunks (size 32, no overlap) — the sequence-packing /
@@ -702,9 +765,11 @@ object Text {
     "q71_pii_redact" -> piiRedact,
     "q72_dedup_keepset" -> dedupKeepSet,
     "q73_mixture_sample" -> mixtureSample,
+    "q100_temperature_mixture" -> temperatureMixture,
     "q74_token_chunks" -> tokenChunks,
     "q63_decontaminate" -> decontaminate,
     "q96_bloom_decontaminate" -> bloomDecontaminate,
+    "q97_sorted_neighborhood" -> sortedNeighborhood,
     "q66_winnow_fingerprints" -> winnowFp,
     "q67_bpe_tokens" -> bpeTokens,
     "q68_dup_groups" -> dupGroups,
