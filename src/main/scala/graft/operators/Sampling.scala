@@ -43,6 +43,35 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < rate)
   }
 
+  /** Temperature-flattened mixture sampling: downsample each source at rate
+    * `(w_min / w_s)^(1-alpha)` where `w_s` is the source's total weight
+    * (e.g. token count) — the multilingual/multi-source rebalancing step
+    * ("sample source s proportional to w^alpha") materialized as a
+    * deterministic filter. `alpha = 1` keeps everything (natural mix);
+    * `alpha = 0.5` is the common square-root flattening; the largest
+    * sources are cut hardest, the smallest kept whole.
+    *
+    * Only `alpha = 0.5` is exposed: its rate is `sqrt(w_min)/sqrt(w_s)`,
+    * and IEEE `sqrt`/division are correctly rounded, so two engines agree
+    * bit-for-bit on every admission threshold — a float `pow` would not.
+    * Zero driver state: per-source totals and the min ride along as
+    * broadcast tiny-table joins; admission is then a pure filter on
+    * the same md5 bucket as [[split]] (reproducible, auditable per row).
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
+      weight: Column): DataFrame = {
+    val totals = df.groupBy(sourceCol).agg(sum(weight).as("__w"))
+    val minw = totals.agg(min(col("__w")).as("__wmin"))
+    val rated = totals.crossJoin(broadcast(minw))
+      .withColumn("__thresh",
+        floor(lit(10000.0) * (sqrt(col("__wmin").cast("double"))
+          / sqrt(col("__w").cast("double")))))
+      .select(col(sourceCol), col("__thresh"))
+    df.join(broadcast(rated), Seq(sourceCol))
+      .filter(hashBucket(col(keyCol), 10000) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: each row
     * gets a stable shard (md5 bucket of its key) and a stable position
     * within the shard (rank by md5 of the key, tie-broken by the key) — the
