@@ -36,6 +36,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (a, b) = (once(name, fn), once(name, fn))
+      // release per-query persisted intermediates (sketch/rank caches):
+      // without this, orphaned blocks from 90+ queries accumulate in one
+      // session and later queries absorb eviction + GC pressure that isn't
+      // theirs (observed 3-6x inflation on the alphabetical tail)
+      spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
