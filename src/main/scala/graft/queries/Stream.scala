@@ -114,7 +114,26 @@ object Stream {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin)
 
+  /** Stream-static enrichment (EventStreams.enrichWithDim) on finite input:
+    * events joined to the customer dimension (broadcast, stateless), rolled
+    * up per market segment × event type. EventStreamsSpec asserts the same
+    * function produces identical rows under readStream micro-batching.
+    */
+  private val streamEnrich = QueryDef(
+    (s, dir) =>
+      EventStreams.enrichWithDim(
+        Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.core.OracleArith.sumDec(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type"),
+    s"""SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       |  ${graft.core.OracleArith.sqlSumDec("value")} AS sum_value
+       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q102_stream_enrich" -> streamEnrich,
     "q55_sessions" -> sessions,
     "q56_sliding_windows" -> slidingWindows,
     "q57_purchase_view_join" -> purchaseViewJoin,

@@ -155,6 +155,17 @@ object EventStreams {
       .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** Stream-static enrichment: join the event stream to a dimension table
+    * (broadcast — the static side is re-planned per micro-batch, and a
+    * broadcast keeps every batch a map-only stage; a shuffled stream-static
+    * join would re-shuffle each micro-batch). Left join: events without a
+    * dimension row survive with nulls, the usual contract for late-arriving
+    * dimensions. Stateless — needs no watermark.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Streaming ingest into a medallion table: each micro-batch appends
     * through the TableFormat seam (schema evolution included) — the
     * streaming twin of graft.ingest.Ingestor. Caller starts/stops the query.

@@ -47,6 +47,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stream-static enrichment under readStream matches the batch join") {
+    val dim = Tables.customer(spark, SparkTestSession.sfDir)
+    val streamed = runToMemory(
+      EventStreams.enrichWithDim(
+        EventStreams.readEvents(spark, eventsDir), dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_mktsegment"),
+      "enrich_out")
+    val batch = EventStreams.enrichWithDim(
+      Tables.events(spark, SparkTestSession.sfDir), dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_mktsegment")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a replayed stream") {
     val deduped = runToMemory(
       EventStreams.dedupWithinWatermark(
