@@ -718,7 +718,41 @@ object Extra {
     },
     None)
 
+  /** Robust MAD outlier rule (Outliers.madOutliers): per-priority order
+    * totals flagged at |x − median| > 3·MAD — the skew-immune drift/anomaly
+    * quality check. Exact interpolated medians, so DuckDB's median()
+    * reproduces every flag; the gate tallies flags and pins the per-group
+    * median and MAD themselves.
+    */
+  private val madOutliers = QueryDef(
+    (s, dir) =>
+      graft.operators.Outliers.madOutliers(
+        Tables.orders(s, dir).select("o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"), "o_totalprice", k = 3.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          first(col("median")).as("median"),
+          first(col("mad")).as("mad"))
+        .orderBy("o_orderpriority"),
+    """WITH med AS (
+      |  SELECT o_orderpriority, median(o_totalprice) AS med
+      |  FROM orders GROUP BY 1),
+      |dev AS (
+      |  SELECT o.o_orderpriority, o.o_totalprice, m.med,
+      |    abs(o.o_totalprice - m.med) AS dv
+      |  FROM orders o JOIN med m USING (o_orderpriority)),
+      |mad AS (
+      |  SELECT o_orderpriority, median(dv) AS mad FROM dev GROUP BY 1)
+      |SELECT d.o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN abs(d.o_totalprice - d.med) > 3.0 * a.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  any_value(d.med) AS median, any_value(a.mad) AS mad
+      |FROM dev d JOIN mad a USING (o_orderpriority)
+      |GROUP BY 1 ORDER BY d.o_orderpriority""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q103_mad_outliers" -> madOutliers,
     "q98_fuzzy_match" -> fuzzyMatch,
     "q99_snapshot_diff" -> snapshotDiff,
     "q101_hll_shard_merge" -> hllShardMerge,
