@@ -492,6 +492,30 @@ object Text {
       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
       |FROM adm GROUP BY 1 ORDER BY source""".stripMargin)
 
+  /** Exact heavy hitters via count-min prefilter (HeavyHitters.heavyTokens):
+    * terms with corpus frequency ≥ 1% of the token stream — the
+    * stop-word/stop-shingle discovery pass, with sketch-bounded memory
+    * instead of a full-vocabulary combine. CMS never underestimates, so the
+    * exact verify pass makes the result equal a plain groupBy + HAVING,
+    * which is exactly what the oracle runs.
+    */
+  private val heavyTokens = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val minFreq = docs
+        .agg(((sum(tokenCount(col("text"))) + 99L) / 100L).cast("long"))
+        .head.getLong(0)
+      graft.operators.HeavyHitters.heavyTokens(docs, "text", minFreq)
+        .orderBy("term")
+    },
+    """WITH tot AS (
+      |  SELECT (SUM(len(string_split(trim(text), ' '))) + 99) // 100 AS t
+      |  FROM documents),
+      |tf AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS freq FROM tf
+      |GROUP BY term HAVING COUNT(*) >= (SELECT t FROM tot)
+      |ORDER BY term""".stripMargin)
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size chunks (size 32, no overlap) — the sequence-packing /
     * costing pass before tokenization. The generator (explode) is its own
@@ -766,6 +790,7 @@ object Text {
     "q72_dedup_keepset" -> dedupKeepSet,
     "q73_mixture_sample" -> mixtureSample,
     "q100_temperature_mixture" -> temperatureMixture,
+    "q104_heavy_tokens" -> heavyTokens,
     "q74_token_chunks" -> tokenChunks,
     "q63_decontaminate" -> decontaminate,
     "q96_bloom_decontaminate" -> bloomDecontaminate,
