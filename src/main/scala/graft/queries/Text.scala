@@ -516,6 +516,40 @@ object Text {
       |GROUP BY term HAVING COUNT(*) >= (SELECT t FROM tot)
       |ORDER BY term""".stripMargin)
 
+  /** Vocabulary build + corpus encoding (Vocabulary.dictionary/encode):
+    * stable frequency-ranked term ids, documents rewritten as id sequences
+    * — verified via a per-doc position-weighted checksum (sum of pos·vid),
+    * which pins every id at every position without shipping the arrays.
+    * The oracle rebuilds the same dictionary (count desc, term) and replays
+    * the checksum.
+    */
+  private val vocabEncode = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dict = graft.operators.Vocabulary.dictionary(docs, "text")
+      graft.operators.Vocabulary.encode(docs, "doc_id", "text", dict)
+        .filter(col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("pos") * col("vid")).as("checksum"),
+          min(col("vid")).as("min_vid"),
+          max(col("vid")).as("max_vid"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS term
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+      |tf AS (SELECT term, COUNT(*) AS freq FROM pos GROUP BY 1),
+      |vocab AS (
+      |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS vid
+      |  FROM tf)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(pos * vid) AS BIGINT) AS checksum,
+      |  MIN(vid) AS min_vid, MAX(vid) AS max_vid
+      |FROM pos JOIN vocab USING (term)
+      |WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size chunks (size 32, no overlap) — the sequence-packing /
     * costing pass before tokenization. The generator (explode) is its own
@@ -791,6 +825,7 @@ object Text {
     "q73_mixture_sample" -> mixtureSample,
     "q100_temperature_mixture" -> temperatureMixture,
     "q104_heavy_tokens" -> heavyTokens,
+    "q105_vocab_encode" -> vocabEncode,
     "q74_token_chunks" -> tokenChunks,
     "q63_decontaminate" -> decontaminate,
     "q96_bloom_decontaminate" -> bloomDecontaminate,
