@@ -77,6 +77,49 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("bloom decontamination prefilter is a filter over the scan, no join") {
+    // the corpus side of the prefilter must stay a scan + compiled probe;
+    // the only joins allowed belong to the candidate-verify + final anti
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+    val p = SparkEntry.queries("q96_bloom_decontaminate")(
+      spark, SparkTestSession.sfDir).queryExecution.executedPlan.toString
+    // exactly the verify semi-join + the anti-join reach a join operator —
+    // a third join would mean the prefilter regressed to a join
+    assert(p.sliding("Join".length).count(_ == "Join") <= 4, p.take(3000))
+    assert(docs != null)
+  }
+
+  test("sorted-neighborhood rank windows are sharded, never one global partition") {
+    val p = graft.operators.SortedNeighborhood.nearDupPairs(
+      graft.core.Tables.documents(spark, SparkTestSession.sfDir),
+      "doc_id", "text", sortCol = "text", window = 2, n = 3, minJaccard = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(3000))
+  }
+
+  test("fuzzy matching joins on the block key, no cartesian expansion") {
+    val p = plan("q98_fuzzy_match")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("temperature mixture broadcasts the rate table onto a scan-side filter") {
+    val p = plan("q100_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("heavy-hitter verify pass shuffles only after the sketch prefilter") {
+    // the exact-count groupBy must sit above a Filter containing the probe,
+    // so non-candidates never reach the exchange
+    val p = plan("q104_heavy_tokens")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("Filter"), p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
