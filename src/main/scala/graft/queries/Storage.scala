@@ -76,11 +76,17 @@ object Storage {
       val ot = s"graft_gate_bkt_orders_$tag"
       val lt = s"graft_gate_bkt_lineitem_$tag"
       Housekeeping.dropStaleTables(s, "graft_gate_bkt_", tag)
+      // pre-partition on the bucket hash so each task owns exactly one
+      // bucket and writes ONE file — unaligned input partitions make every
+      // task write a file per bucket (numPartitions × buckets small files,
+      // the classic bucketed-write blowup)
       Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .format("parquet").saveAsTable(ot)
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .format("parquet").saveAsTable(lt)

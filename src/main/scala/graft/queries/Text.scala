@@ -809,7 +809,60 @@ object Text {
       |  MAX(CASE WHEN total > 1 THEN CAST(rank - 1 AS DOUBLE) / (total - 1) ELSE 0.0 END) AS max_pr
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  /** Composed round-5 pipeline: temperature-flattened admission →
+    * Bloom-filter decontamination → exact dedup → per-source corpus stats —
+    * the operators a pretraining data run chains, verified END TO END in one
+    * gate (each stage is also gated alone: q100, q96, q40). The oracle
+    * replays the full chain: sqrt-threshold admission, 5-gram overlap
+    * removal against the benchmark docs, then canonical-per-fingerprint.
+    */
+  private val corpusPipeline2 = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val admitted = graft.operators.Sampling.temperatureMixture(
+        docs, "doc_id", "source", tokenCount(col("text")).cast("long"))
+      val bench = docs.filter(col("doc_id") < 3)
+      val clean = graft.operators.TextDedup.decontaminateBloom(
+        admitted, "doc_id", "text", bench, "text", n = 5)
+      graft.operators.TextDedup.dropExactDuplicates(clean, "doc_id", "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("source")
+    },
+    """WITH tw AS (
+      |  SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE) AS w
+      |  FROM documents GROUP BY 1),
+      |mn AS (SELECT MIN(w) AS wmin FROM tw),
+      |th AS (SELECT source, floor(10000.0 * (sqrt(wmin) / sqrt(w))) AS thresh
+      |       FROM tw CROSS JOIN mn),
+      |adm AS (
+      |  SELECT d.* FROM documents d JOIN th USING (source)
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |        % 10000 < thresh),
+      |bsh AS (SELECT DISTINCT unnest(
+      |    [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh
+      |  FROM (SELECT string_split(trim(text), ' ') t FROM documents WHERE doc_id < 3)
+      |  WHERE len(t) >= 5),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(
+      |      [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh
+      |    FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM adm)
+      |    WHERE len(t) >= 5)
+      |  WHERE sh IN (SELECT sh FROM bsh)),
+      |clean AS (
+      |  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      |  FROM adm WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |keepers AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY fp)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+      |FROM clean WHERE doc_id IN (SELECT doc_id FROM keepers)
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q106_corpus_pipeline2" -> corpusPipeline2,
     "q85_corpus_shards" -> corpusShards,
     "q86_tfidf" -> tfidfTerms,
     "q88_word_familiarity" -> wordFamiliarity,

@@ -103,6 +103,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("checkpointed ingest resumes exactly-once across restarts") {
+    // stop the query, add a new file, start a NEW query instance on the SAME
+    // checkpoint: the source must skip everything already committed (no
+    // re-ingest of file 0) and pick up only the new file — the exactly-once
+    // resume contract a production ingest relies on after a crash/deploy
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt").toString
+    val tbl = "graft_stream_resume_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src = java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("0.parquet"))
+    def run(): Unit = {
+      val q = EventStreams.sinkToTable(
+        EventStreams.readEvents(spark, dir.toString),
+        graft.sources.ParquetTableFormat, tbl, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val total = Tables.events(spark, SparkTestSession.sfDir).count()
+    run()
+    assert(spark.table(tbl).count() == total)
+    java.nio.file.Files.copy(src, dir.resolve("1.parquet"))
+    run()
+    // file 1 ingested once, file 0 NOT replayed (refresh: the catalog caches
+    // the table's file listing from the first count)
+    spark.catalog.refreshTable(tbl)
+    assert(spark.table(tbl).count() == 2 * total)
+  }
+
   test("sessionization state carries across micro-batches") {
     // split events by time into two files; maxFilesPerTrigger=1 forces two
     // micro-batches, so sessions spanning the cut exercise state handoff
