@@ -29,4 +29,31 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval OVERLAP join — both sides are interval relations, matched when
+    * `[a_lo, a_hi) ∩ [b_lo, b_hi) ≠ ∅`. Same bin trick applied to both
+    * sides: each interval explodes into the bins it covers, bins equi-join
+    * (hash, co-partitioned — never a nested loop), and the exact overlap
+    * predicate re-checks. A pair overlapping k shared bins would appear k
+    * times, so the join keeps only the pair's FIRST shared bin (the max of
+    * the two start bins) — an arithmetic dedup, no distinct shuffle.
+    * Cost: Σ widths/binWidth rows per side; pick binWidth near the median
+    * interval width so each interval explodes into O(1) bins.
+    */
+  def binnedIntervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, binWidth: Double): DataFrame = {
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("__bin"))
+      // exact overlap (half-open)
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      // first-shared-bin dedup: emit the pair only from the bin where both
+      // intervals are first simultaneously present
+      .filter(col("__bin") === greatest(
+        floor(col(aLo) / binWidth).cast("long"),
+        floor(col(bLo) / binWidth).cast("long")))
+      .drop("__bin")
+  }
 }

@@ -751,7 +751,50 @@ object Extra {
       |FROM dev d JOIN mad a USING (o_orderpriority)
       |GROUP BY 1 ORDER BY d.o_orderpriority""".stripMargin)
 
+  /** Interval overlap join (RangeJoin.binnedIntervalOverlap): two interval
+    * relations deterministically derived from orders (validity windows in
+    * epoch days), matched on overlap through bin-exploded equi-joins — a
+    * hash join with arithmetic first-shared-bin dedup, never a nested loop.
+    * The oracle runs the plain overlap-predicate join (DuckDB's IEJoin
+    * handles oracle scale), pinning identical pair sets.
+    */
+  private val intervalOverlap = QueryDef(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      val a = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          col("d").cast("double").as("a_lo"),
+          (col("d") + 1 + col("o_orderkey") % 7).cast("double").as("a_hi"))
+      val b = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          (col("d") - col("o_orderkey") % 5).cast("double").as("b_lo"),
+          (col("d") - col("o_orderkey") % 5 + 1 + col("o_orderkey") % 3).cast("double").as("b_hi"))
+      graft.operators.RangeJoin.binnedIntervalOverlap(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 4.0)
+        .groupBy((col("a_hi") - col("a_lo")).cast("long").as("a_width"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_id") + col("b_id")).cast("long").as("checksum"))
+        .orderBy("a_width")
+    },
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderkey AS a_id, CAST(d AS DOUBLE) AS a_lo,
+      |    CAST(d + 1 + o_orderkey % 7 AS DOUBLE) AS a_hi
+      |  FROM o WHERE o_orderkey % 10 = 0),
+      |b AS (
+      |  SELECT o_orderkey AS b_id, CAST(d - o_orderkey % 5 AS DOUBLE) AS b_lo,
+      |    CAST(d - o_orderkey % 5 + 1 + o_orderkey % 3 AS DOUBLE) AS b_hi
+      |  FROM o WHERE o_orderkey % 13 = 0)
+      |SELECT CAST(a_hi - a_lo AS BIGINT) AS a_width, COUNT(*) AS n_pairs,
+      |  CAST(SUM(a_id + b_id) AS BIGINT) AS checksum
+      |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+      |GROUP BY 1 ORDER BY a_width""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
     "q98_fuzzy_match" -> fuzzyMatch,
     "q99_snapshot_diff" -> snapshotDiff,
