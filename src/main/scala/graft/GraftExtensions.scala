@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVecDot, LongArrayMatchFrac, MinHashSig, NgramFreqStats, ShingleHashes, SimHash64, TokenSetHits, Winnow}
+import graft.expressions.{FloatVecDot, LongArrayMatchFrac, LongSetJaccard, MinHashSig, NgramFreqStats, ShingleHashes, SimHash64, TokenSetHits, Winnow}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so the `spark.sql` surface (and dbt-style SQL-string models)
@@ -21,9 +21,10 @@ import graft.expressions.{FloatVecDot, LongArrayMatchFrac, MinHashSig, NgramFreq
   * minhash_match_frac(array<bigint>, array<bigint>) → double,
   * minhash_sig(text, n, k) → array<bigint>, winnow(array<bigint>, w) →
   * array<bigint>, ngram_freq_stats(array<string>, n) → struct,
-  * token_set_hits(text, array<string>) → int. (NearestCell and WrapMulAdd
-  * stay Column-only: their parameters are driver-held matrices/constants a
-  * SQL literal can't express.)
+  * token_set_hits(text, array<string>) → int, long_set_jaccard(array<bigint>,
+  * array<bigint>) → double. (NearestCell, WrapMulAdd, BloomAnyContain and
+  * CmsEstimateTerm stay Column-only: their parameters are driver-held
+  * matrices/sketches a SQL literal can't express.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -58,7 +59,10 @@ object GraftExtensions {
     ("token_set_hits",
       "token_set_hits(text, words) - count of whitespace tokens present in a constant word array",
       args => TokenSetHits(args(0),
-        stringArrayLiteralArg(args(1), "token_set_hits", "words"))))
+        stringArrayLiteralArg(args(1), "token_set_hits", "words"))),
+    ("long_set_jaccard",
+      "long_set_jaccard(a, b) - set Jaccard of two bigint-array hash sets",
+      args => LongSetJaccard(args(0), args(1))))
 
   /** A function argument that must be a constant array of strings. */
   private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {

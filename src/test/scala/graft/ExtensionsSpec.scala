@@ -83,6 +83,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) == 3)
   }
 
+  test("long_set_jaccard computes set overlap from SQL") {
+    val row = spark.sql(
+      "SELECT long_set_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j, " +
+        "long_set_jaccard(array(1L), array(9L)) AS disjoint").head
+    assert(row.getDouble(0) == 0.5 && row.getDouble(1) == 0.0)
+  }
+
   test("token_set_hits rejects a non-constant word array at plan time") {
     val e = intercept[Exception] {
       spark.sql("SELECT token_set_hits('a b', ws) FROM (SELECT array('a') AS ws)").collect()

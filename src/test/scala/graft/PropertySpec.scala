@@ -172,6 +172,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom law on generated sets: membership ⇒ contains (never a false negative)") {
+    import graft.expressions.BloomUtil
+    val genSets = for {
+      ins <- Gen.listOfN(300, Gen.long)
+      probes <- Gen.listOfN(300, Gen.long)
+    } yield (ins, probes)
+    forAll(genSets, n = 15) { case (ins, probes) =>
+      val bits = new Array[Long](BloomUtil.bitsFor(ins.size.toLong, 16) >>> 6)
+      ins.foreach(h => BloomUtil.set(bits, h, 6))
+      assert(ins.forall(h => BloomUtil.contains(bits, h, 6)))
+      // false positives are allowed but must be rare at 16 bits/item
+      val inSet = ins.toSet
+      val fp = probes.filterNot(inSet).count(h => BloomUtil.contains(bits, h, 6))
+      assert(fp <= 3, s"$fp false positives in ${probes.size} probes")
+    }
+  }
+
+  test("count-min law on generated streams: estimate >= truth, merge = whole") {
+    import graft.expressions.CountMinUtil
+    val genStream = Gen.listOfN(500, Gen.chooseNum(-50L, 50L))
+    forAll(genStream, n = 15) { stream =>
+      val (w, d) = (256, 4)
+      val whole = new Array[Long](w * d)
+      stream.foreach(k => CountMinUtil.add(whole, w, d, k))
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, n0) =>
+        assert(CountMinUtil.estimate(whole, w, d, k) >= n0)
+      }
+      val merged = stream.grouped(97).map { shard =>
+        val c = new Array[Long](w * d)
+        shard.foreach(k => CountMinUtil.add(c, w, d, k))
+        c
+      }.reduce { (a, b) => a.indices.foreach(i => a(i) += b(i)); a }
+      assert(merged.sameElements(whole))
+    }
+  }
+
+  test("set-Jaccard kernel equals the set-arithmetic reference on generated arrays") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val genPair = for {
+      a <- Gen.listOfN(40, Gen.chooseNum(0L, 30L))
+      b <- Gen.listOfN(40, Gen.chooseNum(0L, 30L))
+    } yield (a.distinct, b.distinct)
+    forAll(genPair, n = 15) { case (a, b) =>
+      val want =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else {
+          val inter = a.toSet.intersect(b.toSet).size
+          inter.toDouble / (a.size + b.size - inter)
+        }
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(ColumnBridge.column(graft.expressions.LongSetJaccard(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))))
+        .head.getDouble(0)
+      assert(got == want, s"a=$a b=$b")
+    }
+  }
+
   test("winnowing guarantee on generated docs: shared run ⇒ shared fingerprint") {
     import graft.functions.TextFunctions
     val word = Gen.oneOf((1 to 30).map(i => s"w$i"))
