@@ -208,7 +208,10 @@ object TextDedup {
     // Upper bound: per-doc distinct shingles, summed — cross-doc overlap
     // only makes the filter sparser.
     val blArrs = blocklist.select(shingleArr(blocklistTextCol).as("__shs"))
-    val approxItems = blArrs.agg(sum(size(col("__shs")))).head.getLong(0)
+    // coalesce: SUM over an empty blocklist is NULL — an empty blocklist is
+    // legal (first release of an eval suite) and must flag nothing
+    val approxItems = blArrs
+      .agg(coalesce(sum(size(col("__shs"))), lit(0L))).head.getLong(0)
     val numBits = graft.expressions.BloomUtil.bitsFor(approxItems, bitsPerItem)
     val bitsRow = blArrs.agg(ColumnBridge.column(
       graft.expressions.BloomAgg(ColumnBridge.expression(col("__shs")),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior of the round-5 operators: empty corpora,
+  * single-source mixtures, and empty snapshot sides must return empty/sane
+  * results, not throw — at 100 TB a filter upstream routinely leaves a
+  * partition (or a whole input) empty.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+  private lazy val someDocs =
+    Seq((1L, "a b c d e f", "s0"), (2L, "g h i j k l", "s1"))
+      .toDF("doc_id", "text", "source")
+
+  test("sorted-neighborhood on an empty corpus") {
+    assert(graft.operators.SortedNeighborhood.nearDupPairs(
+      emptyDocs, "doc_id", "text", "text", window = 3, n = 3, minJaccard = 0.5)
+      .count() == 0)
+  }
+
+  test("bloom decontamination with an empty blocklist keeps everything") {
+    val out = graft.operators.TextDedup.decontaminateBloom(
+      someDocs, "doc_id", "text", emptyDocs, "text", n = 3)
+    assert(out.count() == 2)
+  }
+
+  test("bloom decontamination of an empty corpus") {
+    assert(graft.operators.TextDedup.decontaminateBloom(
+      emptyDocs, "doc_id", "text", someDocs, "text", n = 3).count() == 0)
+  }
+
+  test("temperature mixture with a single source keeps it whole") {
+    val one = Seq((1L, "a b c", "only"), (2L, "d e f", "only"))
+      .toDF("doc_id", "text", "source")
+    assert(graft.operators.Sampling.temperatureMixture(
+      one, "doc_id", "source", lit(1L)).count() == 2)
+  }
+
+  test("snapshot diff with an empty old side classifies everything added") {
+    val neu = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val old = Seq.empty[(Long, Double)].toDF("k", "v")
+    val got = graft.operators.SnapshotDiff.diff(old, neu, Seq("k"), Seq("v"))
+      .select("change_type").as[String].collect()
+    assert(got.length == 2 && got.forall(_ == "added"))
+  }
+
+  test("heavy hitters on an empty corpus") {
+    assert(graft.operators.HeavyHitters.heavyTokens(
+      emptyDocs, "text", minFreq = 1L).count() == 0)
+  }
+
+  test("vocabulary of an empty corpus is empty; encode of empty input is empty") {
+    val dict = graft.operators.Vocabulary.dictionary(emptyDocs, "text")
+    assert(dict.count() == 0)
+    assert(graft.operators.Vocabulary.encode(
+      emptyDocs, "doc_id", "text", dict).count() == 0)
+  }
+
+  test("interval overlap with an empty side") {
+    val a = Seq((1L, 0.0, 5.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq.empty[(Long, Double, Double)].toDF("b_id", "b_lo", "b_hi")
+    assert(graft.operators.RangeJoin.binnedIntervalOverlap(
+      a, "a_lo", "a_hi", b, "b_lo", "b_hi", 2.0).count() == 0)
+  }
+
+  test("MAD outliers on a constant group flag nothing (MAD = 0)") {
+    val df = Seq.fill(10)(("g", 5.0)).toDF("g", "v")
+    val out = graft.operators.Outliers.madOutliers(df, Seq("g"), "v", 3.0)
+    assert(out.filter(col("is_outlier")).count() == 0)
+  }
+
+  test("fuzzy join on an empty table") {
+    val df = Seq.empty[(Long, String, String)].toDF("id", "name", "blk")
+    assert(graft.operators.FuzzyJoin.blockedPairs(
+      df, "id", "name", Seq("blk"), maxDist = 2).count() == 0)
+  }
+}
