@@ -80,6 +80,10 @@ case class CountMinAgg(child: Expression, width: Int, depth: Int,
   require(width >= 64 && (width & (width - 1)) == 0,
     s"width must be a power of two >= 64, got $width")
   require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+  // width*depth is used as an Int array size and in d*width indexing —
+  // guard the product, not just the factors (1<<28 × 8 overflows Int)
+  require(width.toLong * depth <= (1L << 28),
+    s"width*depth must be <= 2^28 longs (2 GiB buffer), got ${width.toLong * depth}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def declaredInputTypes: Seq[DataType] =

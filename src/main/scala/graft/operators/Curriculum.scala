@@ -28,16 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object Curriculum {
 
+  /** Live shard caches per session — see the [[withGlobalRank]] lifecycle
+    * note for why these cannot be released automatically.
+    */
+  private val registry =
+    scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.ListBuffer[DataFrame]]
+
+  /** Unpersist every shard cache this session accumulated through
+    * rank-based operators (Curriculum, SortedNeighborhood, Vocabulary).
+    * Call only after the ranked results have been fully consumed — a plan
+    * still pending over a released cache recomputes with FRESH sampled
+    * boundaries and would rank inconsistently.
+    */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.synchronized {
+      registry.remove(spark).foreach(_.foreach(_.unpersist(false)))
+    }
+
   /** Each row with its global 1-based rank in `orderCols` order (column
     * `rank`) and the corpus row count (column `total`). The order must be a
     * total order (include a unique tie-break column) for the rank to be
     * well-defined.
+    *
+    * Cache lifecycle: the range-sharded corpus is persisted because the
+    * per-shard counts (phase 1) and the within-shard ranking (phase 2) MUST
+    * see the same sampled shard boundaries — a recompute would resample
+    * them and desynchronize the prefix map, so the cache is a correctness
+    * pin, not an optimization, and is deliberately NOT auto-released.
+    * Long-lived sessions calling rank-based operators repeatedly should
+    * call [[releaseCaches]] once the ranked results are fully consumed
+    * (the Bench/Verify drivers clear the cache between queries).
     */
   def withGlobalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val shard = "graft_cur_shard"
     val sharded = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registry.synchronized {
+      registry.getOrElseUpdate(df.sparkSession,
+        scala.collection.mutable.ListBuffer.empty) += sharded
+    }
     val shardCounts = sharded.groupBy(shard).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = shardCounts.values.sum

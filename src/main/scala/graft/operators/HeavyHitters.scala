@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.expressions.{CmsEstimateTerm, CountMinAgg, ShingleHashes}
-import graft.functions.TextFunctions
 
 /** Exact heavy hitters over a heavy-tail key space with sketch-bounded
   * memory: a count-min sketch (one mergeable aggregation, fixed
@@ -40,8 +39,13 @@ object HeavyHitters {
         .toAggregateExpression()).as("sk"))
       .head.getSeq[Long](0).toArray
     // pass 2: per-occurrence terms, sketch prefilter (no false negatives),
-    // exact count of the surviving candidates only
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // exact count of the surviving candidates only. The split MUST mirror
+    // the sketch pass's tokenizer (TextHashing: runs of non-[space/tab/
+    // CR/LF] bytes, no empty tokens) — `tokens()`'s \s+ split also breaks
+    // on \f/\x0B and emits "" for blank text, and any divergence here makes
+    // the prefilter a false-negative source for exactly those terms
+    df.select(explode(split(col(textCol), "[ \t\n\r]+")).as("term"))
+      .filter(length(col("term")) > 0)
       .filter(ColumnBridge.column(CmsEstimateTerm(
         ColumnBridge.expression(col("term")), sketch, width, depth)) >= minFreq)
       .groupBy("term")

@@ -19,6 +19,8 @@ object RangeJoin {
   def binnedPointInInterval(fact: DataFrame, valueCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
+    require(binWidth > 0 && !binWidth.isInfinite,
+      s"binWidth must be a positive finite number, got $binWidth")
     val binned = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
@@ -42,6 +44,8 @@ object RangeJoin {
     */
   def binnedIntervalOverlap(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0 && !binWidth.isInfinite,
+      s"binWidth must be a positive finite number, got $binWidth")
     def binned(df: DataFrame, lo: String, hi: String) =
       df.withColumn("__bin", explode(sequence(
         floor(col(lo) / binWidth).cast("long"),

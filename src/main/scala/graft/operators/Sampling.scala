@@ -61,11 +61,18 @@ object Sampling {
   def temperatureMixture(df: DataFrame, keyCol: String, sourceCol: String,
       weight: Column): DataFrame = {
     val totals = df.groupBy(sourceCol).agg(sum(weight).as("__w"))
-    val minw = totals.agg(min(col("__w")).as("__wmin"))
+    // w_min over POSITIVE weights only: a zero/negative-total source would
+    // otherwise poison every threshold through sqrt(0 or neg) = 0/NaN and
+    // silently empty the whole mixture; such sources carry no admissible
+    // mass and are dropped (threshold 0) without touching the others
+    val minw = totals.filter(col("__w") > 0)
+      .agg(min(col("__w")).as("__wmin"))
     val rated = totals.crossJoin(broadcast(minw))
       .withColumn("__thresh",
-        floor(lit(10000.0) * (sqrt(col("__wmin").cast("double"))
-          / sqrt(col("__w").cast("double")))))
+        when(col("__w") > 0,
+          floor(lit(10000.0) * (sqrt(col("__wmin").cast("double"))
+            / sqrt(col("__w").cast("double")))))
+          .otherwise(lit(0L)))
       .select(col(sourceCol), col("__thresh"))
     df.join(broadcast(rated), Seq(sourceCol))
       .filter(hashBucket(col(keyCol), 10000) < col("__thresh"))

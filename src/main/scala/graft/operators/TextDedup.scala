@@ -222,9 +222,13 @@ object TextDedup {
       graft.expressions.BloomAnyContain(
         ColumnBridge.expression(shingleArr(textCol)), bits, numHashFns)))
     // exact verification of the (small) candidate set — removes Bloom false
-    // positives; false negatives don't exist, so this is the full answer
-    val blocked = broadcast(
-      blocklist.select(explode(shingleArr(blocklistTextCol)).as("__sh")).distinct())
+    // positives; false negatives don't exist, so this is the full answer.
+    // NO broadcast hint here: the blocklist shingle set is exactly what this
+    // operator assumes is too big to broadcast — the semi-join shuffles the
+    // contamination-sized candidate expansion against it (AQE still
+    // broadcasts small blocklists on its own)
+    val blocked =
+      blocklist.select(explode(shingleArr(blocklistTextCol)).as("__sh")).distinct()
     val contaminatedIds = candidates
       .select(col(idCol), explode(shingleArr(textCol)).as("__sh"))
       .join(blocked, Seq("__sh"), "left_semi")

@@ -26,7 +26,7 @@ object Storage {
     */
   private val orcRoundtrip = QueryDef(
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_supplier"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_supplier_${Housekeeping.appTag(s)}"
       Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .groupBy("s_nationkey")
@@ -46,7 +46,7 @@ object Storage {
     */
   private val jsonlRoundtrip = QueryDef(
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer_${Housekeeping.appTag(s)}"
       Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         .write.mode("overwrite").json(tmp)
@@ -113,7 +113,7 @@ object Storage {
     */
   private val partitionPrune = QueryDef(
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${Housekeeping.appTag(s)}"
       Tables.orders(s, dir)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -178,7 +178,7 @@ object Storage {
     */
   private val csvQuarantine = QueryDef(
     (s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_quarantine"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_quarantine_${Housekeeping.appTag(s)}"
       Tables.nation(s, dir)
         .select(concat_ws(",",
           when(col("n_nationkey") % 5 === 0,

@@ -60,6 +60,20 @@ class CountMinSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold found no heavy terms — weak test")
   }
 
+  test("exotic whitespace and blank docs cannot desync sketch and exact passes") {
+    // \f is NOT a separator for the one-pass tokenizer; blank docs emit no
+    // tokens at all — the exact pass must agree, or the CMS prefilter
+    // underestimates exactly those terms and drops true heavy hitters
+    val tricky = Seq(
+      (1L, "aa\fbb aa\fbb aa\fbb", "s"), // "aa\fbb" is ONE token, 3 times
+      (2L, "   ", "s"),                  // no tokens
+      (3L, "aa\fbb x", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = HeavyHitters.heavyTokens(tricky, "text", minFreq = 3L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa\fbb" -> 4L))
+  }
+
   test("an undersized sketch still yields the exact result (only more candidates)") {
     val want = HeavyHitters.heavyTokens(docs, "text", minFreq = 500L)
       .as[(String, Long)].collect().toMap

@@ -43,6 +43,19 @@ class TemperatureMixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("a zero-weight source is dropped without poisoning the others") {
+    val df = Seq(
+      (1L, "a b c", "real"), (2L, "d e f", "real"),
+      (3L, "", "hollow"), (4L, "", "hollow"))
+      .toDF("doc_id", "text", "source")
+    val w = when(col("text") === "", 0L).otherwise(3L)
+    val kept = Sampling.temperatureMixture(df, "doc_id", "source", w)
+      .select("source").as[String].collect()
+    assert(kept.nonEmpty && kept.forall(_ == "real"),
+      s"expected only 'real' rows, got ${kept.toSeq}")
+    assert(kept.length == 2, "the (now-minimum) positive source must survive whole")
+  }
+
   test("membership is deterministic across invocations and repartitionings") {
     val a = Sampling.temperatureMixture(docs, "doc_id", "source", tokens)
       .select("doc_id").as[Long].collect().sorted
