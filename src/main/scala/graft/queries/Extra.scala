@@ -793,7 +793,30 @@ object Extra {
       |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
       |GROUP BY 1 ORDER BY a_width""".stripMargin)
 
+  /** Native top-k-per-group (plans.TopKPerGroupPlan through
+    * TopK.perGroupNative): top-3 orders per priority by total price — one
+    * hash exchange + per-group bounded heaps, NO sort (PlanShapeSpec
+    * asserts the sort-free plan; q33 gates the window formulation of the
+    * same shape). Ties break on the order key, so the oracle's ROW_NUMBER
+    * reproduces the exact row set.
+    */
+  private val topkNative = QueryDef(
+    (s, dir) =>
+      graft.operators.TopK.perGroupNative(
+        Tables.orders(s, dir)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        groupCol = "o_orderpriority", orderCol = "o_totalprice",
+        tieCol = "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "o_orderkey"),
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
     "q98_fuzzy_match" -> fuzzyMatch,
