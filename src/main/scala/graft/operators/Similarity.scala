@@ -25,8 +25,25 @@ object Similarity {
   private def withNorm(df: DataFrame, embCol: String, out: String): DataFrame =
     df.withColumn(out, sqrt(normSq(col(embCol))))
 
+  /** Per-query top-k + rank over a scored candidate frame: the heap-based
+    * native exec ([[graft.plans.TopKPerGroupPlan]]) selects the k best
+    * candidates WITHOUT sorting the candidate set (O(n log k)); ranks are
+    * then assigned by a window over the k-per-query survivors only — a
+    * frame of size k × queries, negligible. Same rows and tie-break
+    * ((cos_sim desc, vec_id)) as the row_number formulation it replaced.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = TopK.perGroupNative(
+      scored.select("query_id", "vec_id", "cos_sim"),
+      "query_id", "cos_sim", "vec_id", k)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. Queries are
-    * broadcast; per-query ranking is a window over the candidate set.
+    * broadcast; per-query selection is the native heap exec over the
+    * candidate set.
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(withNorm(
@@ -37,11 +54,7 @@ object Similarity {
       .join(q, col("query_id") =!= col("vec_id")) // all query-candidate pairs, self excluded
       .withColumn("cos_sim",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine ≥ threshold, blocked by a partition column (e.g.
@@ -76,14 +89,12 @@ object Similarity {
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "q_emb", "q_norm")
       .withColumn("bucket", hyperplaneBucket(col("q_emb"), bits)))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-    bucketed.join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+    rankTopK(
+      bucketed.join(q, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim",
+          dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm"))),
+      k)
   }
 
   /** IVF coarse quantizer: centroids are the per-cell mean vector. Here the
@@ -194,14 +205,12 @@ object Similarity {
     val q = broadcast(
       withNorm(queries, "q_emb", "q_norm").join(probePairs, "query_id"))
     val c = withNorm(corpus, "embedding", "c_norm")
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-    c.join(q, c("cell") === q("probe_cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+    rankTopK(
+      c.join(q, c("cell") === q("probe_cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim",
+          dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm"))),
+      k)
   }
 
   /** IVF probe: assign each query to its nearest `nprobe` centroids
@@ -222,14 +231,11 @@ object Similarity {
         .filter(col("probe_rank") <= nprobe)
         .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell")))
     val c = withNorm(corpus, "embedding", "c_norm")
-    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("vec_id"))
-    c
-      .join(probed, c(cellCol) === probed("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos_sim"))
+    rankTopK(
+      c.join(probed, c(cellCol) === probed("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim",
+          dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm"))),
+      k)
   }
 }
