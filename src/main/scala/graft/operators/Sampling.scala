@@ -100,15 +100,24 @@ object Sampling {
     * chosen deterministically: rank rows inside each group by the md5 of
     * their key (a stable pseudo-random total order both engines compute
     * identically), tie-broken by the key itself. The balanced-subset
-    * primitive for eval sets and per-source caps — one shuffle on the group
-    * key, heap-free, reproducible across runs, engines and partitionings
-    * (a `LIMIT`-per-group or RNG sample is neither).
+    * primitive for eval sets and per-source caps — reproducible across
+    * runs, engines and partitionings (a `LIMIT`-per-group or RNG sample is
+    * neither).
+    *
+    * Selection goes through the native heap exec
+    * ([[graft.plans.TopKPerGroupPlan]]): one shuffle on the group key and
+    * NO per-group sort of the full corpus — a group's billion rows are
+    * scanned once into an N-bounded heap; only the N survivors are sorted
+    * to assign `sample_rank`.
     */
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
       nPerGroup: Int): DataFrame = {
+    val withH = df.withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= nPerGroup)
+      .orderBy(col("__h"), col(keyCol))
+    TopK.perGroupNative(withH, groupCol, "__h", keyCol, nPerGroup,
+      descending = false)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .drop("__h")
   }
 }
