@@ -861,8 +861,72 @@ object Text {
       |FROM clean WHERE doc_id IN (SELECT doc_id FROM keepers)
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Quality-filter AUDIT: per-document accept/reject with a named reason
+    * for every rule (length band, stopword presence, word-shape, top-word
+    * and duplicate-trigram repetition) — the auditable form of a
+    * pretraining quality gate, where "how many docs died, and to which
+    * rule" is the report data curators actually read. One zero-shuffle
+    * projection (length/stopword/shape are plain expressions, the
+    * repetition signals one NgramFreqStats pass) followed by a tally; the
+    * oracle replays every rule.
+    */
+  private val qualityReasons = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).between(50, 5000).as("len_ok"),
+          (stopwordRatio(col("text"), stopwords) > 0.0).as("stop_ok"),
+          avgWordLen(col("text")).between(2.0, 12.0).as("shape_ok"),
+          repetitionSignals(col("text")).as("r"))
+        .select(col("source"), col("len_ok"), col("stop_ok"), col("shape_ok"),
+          (col("r.top_word_frac") < 0.2).as("topword_ok"),
+          (col("r.dup_trigram_frac") < 0.5).as("duptri_ok"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("len_ok") && col("stop_ok") && col("shape_ok") &&
+            col("topword_ok") && col("duptri_ok"), 1L).otherwise(0L)).as("n_accepted"),
+          sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_fail"),
+          sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_stop_fail"),
+          sum(when(!col("shape_ok"), 1L).otherwise(0L)).as("n_shape_fail"),
+          sum(when(!col("topword_ok"), 1L).otherwise(0L)).as("n_topword_fail"),
+          sum(when(!col("duptri_ok"), 1L).otherwise(0L)).as("n_duptri_fail"))
+        .orderBy("source"),
+    """WITH toks AS (SELECT doc_id, source, text, string_split(trim(text), ' ') t FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) g FROM toks),
+      |uc AS (SELECT doc_id, g, COUNT(*) c FROM uni GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) total, MAX(c) maxc FROM uc GROUP BY 1),
+      |tri AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) g
+      |        FROM toks WHERE len(t) >= 3),
+      |tc AS (SELECT doc_id, g, COUNT(*) c FROM tri GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) total,
+      |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) dupc FROM tc GROUP BY 1),
+      |flags AS (
+      |  SELECT k.source,
+      |    length(k.text) BETWEEN 50 AND 5000 AS len_ok,
+      |    CAST(len(list_filter(k.t, x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+      |      / len(k.t) > 0.0 AS stop_ok,
+      |    CAST(length(replace(trim(k.text), ' ', '')) AS DOUBLE) / len(k.t)
+      |      BETWEEN 2.0 AND 12.0 AS shape_ok,
+      |    (CASE WHEN coalesce(us.total, 0) = 0 THEN 0.0
+      |          ELSE CAST(us.maxc AS DOUBLE) / us.total END) < 0.2 AS topword_ok,
+      |    (CASE WHEN coalesce(ts.total, 0) = 0 THEN 0.0
+      |          ELSE CAST(ts.dupc AS DOUBLE) / ts.total END) < 0.5 AS duptri_ok
+      |  FROM toks k LEFT JOIN us ON k.doc_id = us.doc_id
+      |  LEFT JOIN ts ON k.doc_id = ts.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN len_ok AND stop_ok AND shape_ok AND topword_ok AND duptri_ok
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+      |  CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+      |  CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_fail,
+      |  CAST(SUM(CASE WHEN NOT shape_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_shape_fail,
+      |  CAST(SUM(CASE WHEN NOT topword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_topword_fail,
+      |  CAST(SUM(CASE WHEN NOT duptri_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_duptri_fail
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q106_corpus_pipeline2" -> corpusPipeline2,
+    "q109_quality_reasons" -> qualityReasons,
     "q85_corpus_shards" -> corpusShards,
     "q86_tfidf" -> tfidfTerms,
     "q88_word_familiarity" -> wordFamiliarity,
