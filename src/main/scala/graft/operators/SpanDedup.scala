@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.ShingleHashes
+
+/** Exact duplicated-SPAN detection and removal — substring-granular
+  * deduplication (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", ACL'22), the complement of the document-granular ops in
+  * [[TextDedup]]/[[DupGroups]]: two documents that share a long quoted
+  * passage but are otherwise distinct should lose the passage, not a whole
+  * document. Reference scope: extends the dedup contract of
+  * tests/unit/test_ingestion.py:131-156 from row identity to intra-document
+  * span identity.
+  *
+  * Mechanics: every k-token window is hashed positionally (one fused
+  * [[ShingleHashes]] projection, `distinct = false` so position i maps to
+  * the window starting at token i). A window is *duplicated* when its hash
+  * occurs in at least `minDocFreq` distinct documents — `minDocFreq = 2` is
+  * span dedup, a high threshold (e.g. 1% of the corpus) is boilerplate
+  * detection (headers, license blocks, navigation chrome). Overlapping
+  * duplicated windows are merged into maximal token intervals per document
+  * with one running-max window pass.
+  *
+  * Scale design: the corpus-×-windows expansion is the one unavoidable
+  * global pass (identical shape to n-gram Jaccard); everything after it is
+  * duplicated-window-sized, not corpus-sized. The doc-frequency aggregate
+  * is a map-side-combining groupBy on a 64-bit hash; the hits frame keeps
+  * only (doc, pos) of duplicated windows; the span merge shuffles hits once
+  * by document; and [[stripSpans]] rebuilds text with a per-document
+  * higher-order filter over a collected span array (spans per doc are few —
+  * merged maximal intervals, bounded by n_tokens / k), never re-shuffling
+  * the corpus.
+  */
+object SpanDedup {
+
+  private def positionalWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), posexplode(ColumnBridge.column(ShingleHashes(
+        ColumnBridge.expression(col(textCol)), k, distinct = false))))
+      .toDF(idCol, "pos", "h")
+
+  /** (idCol, pos) of every k-token window whose hash occurs in at least
+    * `minDocFreq` distinct documents. With `keepFirstDoc = true` the
+    * occurrences inside the *lowest* document id holding each window are
+    * treated as canonical and excluded — the keep-one side of span dedup.
+    * (Canonicality is doc-level: a window repeated within its canonical
+    * document keeps all those occurrences; cross-document copies are the
+    * target, matching the reference's cross-row dedup contract.)
+    */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocFreq: Int = 2, keepFirstDoc: Boolean = false): DataFrame = {
+    val wins = positionalWindows(df, idCol, textCol, k)
+    // duplicated-window set: map-side partial agg on the 64-bit hash; only
+    // hashes clearing the doc-frequency bar survive to the join
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("min_doc"))
+      .filter(col("df") >= minDocFreq)
+      .select("h", "min_doc")
+    val hits = wins.join(dup, Seq("h"))
+    val kept = if (keepFirstDoc) hits.filter(col(idCol) =!= col("min_doc")) else hits
+    kept.select(col(idCol), col("pos"))
+  }
+
+  /** Merge window start positions into maximal [span_start, span_end) token
+    * intervals per document: windows at p and q (p ≤ q) overlap or touch
+    * iff q ≤ p + k, so a single ordered pass with a running max of
+    * (pos + k) over preceding rows labels span islands; one aggregate
+    * per (doc, island) yields the intervals.
+    */
+  private def mergeSpans(hits: DataFrame, idCol: String, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k).as("span_end"))
+  }
+
+  /** Maximal duplicated-token intervals per document:
+    * (idCol, span_id, span_start, span_end), token-indexed, end-exclusive.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDocFreq: Int = 2, keepFirstDoc: Boolean = false): DataFrame =
+    mergeSpans(duplicatedWindows(df, idCol, textCol, k, minDocFreq, keepFirstDoc),
+      idCol, k)
+
+  /** Per-document duplication audit: span count, duplicated-token count and
+    * fraction — the report a corpus owner reads to pick strip thresholds.
+    * Documents with no duplicated span are absent (inner semantics).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDocFreq: Int = 2): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, k, minDocFreq)
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    df.select(col(idCol),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+  }
+
+  /** Corpus with duplicated spans stripped, keeping the occurrences in the
+    * lowest document id per window (so every duplicated passage survives
+    * exactly once at document granularity). Returns every input row with
+    * `textCol` rewritten and a kept-token count; documents made entirely of
+    * duplicated text come back empty rather than disappearing — dropping
+    * them is the caller's policy decision.
+    *
+    * The rebuild is one left join of the corpus against its per-document
+    * span arrays (collect_list over merged intervals — few per doc) and a
+    * codegen higher-order filter over the token array; the corpus itself is
+    * scanned once and never shuffled.
+    */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDocFreq: Int = 2): DataFrame = {
+    val spanArrs = dupSpans(df, idCol, textCol, k, minDocFreq, keepFirstDoc = true)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(trim(col(textCol)), " ")
+    val spans = coalesce(col("__spans"),
+      array().cast("array<struct<span_start:int,span_end:int>>"))
+    val keptToks = filter(toks, (_: Column, i: Column) =>
+      !exists(spans, sp =>
+        i >= sp.getField("span_start") && i < sp.getField("span_end")))
+    df.join(spanArrs, Seq(idCol), "left")
+      .withColumn(textCol, concat_ws(" ", keptToks))
+      .withColumn("kept_tokens",
+        when(length(col(textCol)) === 0, lit(0))
+          .otherwise(size(split(col(textCol), " "))).cast("long"))
+      .drop("__spans")
+  }
+}

@@ -924,7 +924,82 @@ object Text {
       |  CAST(SUM(CASE WHEN NOT duptri_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_duptri_fail
       |FROM flags GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Duplicated-span audit (Lee et al. substring dedup): per-doc count and
+    * mass of maximal 8-token spans shared verbatim with another document.
+    * The oracle mirrors the positional-window pipeline with string windows;
+    * the Spark path groups on 64-bit positional shingle hashes — identical
+    * results absent a 2^-64 collision.
+    */
+  private val dupSpans = QueryDef(
+    (s, dir) =>
+      graft.operators.SpanDedup
+        .dupSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
+      |                              for i in range(1, len(t) - 6)]) AS u
+      |       FROM toks WHERE len(t) >= 8),
+      |win AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM sh),
+      |dupw AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM win JOIN dupw USING (w)),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM sp GROUP BY 1, 2),
+      |stats AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens FROM spans GROUP BY 1)
+      |SELECT d.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+      |  CAST(dup_tokens AS BIGINT) AS dup_tokens,
+      |  CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(dup_tokens AS DOUBLE) / len(string_split(trim(d.text), ' ')) AS dup_frac
+      |FROM stats JOIN documents d USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+
+  /** Span-granular dedup applied: strip cross-document duplicated 8-token
+    * spans, keeping each passage's occurrences in its lowest document id.
+    * Every document survives (possibly emptied) — dropping emptied rows is
+    * caller policy, and the gate checks the rebuilt text byte-for-byte.
+    */
+  private val stripSpans = QueryDef(
+    (s, dir) =>
+      graft.operators.SpanDedup
+        .stripSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("text").as("clean_text"), col("kept_tokens"))
+        .orderBy("doc_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
+      |                              for i in range(1, len(t) - 6)]) AS u
+      |       FROM toks WHERE len(t) >= 8),
+      |win AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM sh),
+      |dupw AS (SELECT w, MIN(doc_id) AS min_doc FROM win GROUP BY w
+      |         HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT win.doc_id, pos FROM win JOIN dupw USING (w)
+      |         WHERE win.doc_id > dupw.min_doc),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM sp GROUP BY 1, 2),
+      |tokpos AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, tok := t[i])
+      |                                  for i in range(1, len(t) + 1)]) AS u FROM toks),
+      |toku AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toku k
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |                           WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.e)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |               COUNT(*) AS kept_tokens FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+      |       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens
+      |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q110_dup_spans" -> dupSpans,
+    "q111_strip_spans" -> stripSpans,
     "q106_corpus_pipeline2" -> corpusPipeline2,
     "q109_quality_reasons" -> qualityReasons,
     "q85_corpus_shards" -> corpusShards,
