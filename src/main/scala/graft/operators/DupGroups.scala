@@ -182,4 +182,53 @@ object DupGroups {
     connectedComponents(pairs, "vec_a", "vec_b")
       .select(col("vertex").as("vec_id"), col("label").as("group_id"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-duplicate
+    * clusters with LEARNED blocking — when no natural block column exists,
+    * k-means cells play that role, so candidate pairs are Σ cell² instead
+    * of corpus². Training is [[Similarity.kmeansCentroids]] (one map-side-
+    * combined groupBy per Lloyd iteration, centroids as driver state),
+    * assignment a zero-shuffle codegen argmax, and the intra-cell pair
+    * generation + closure reuse [[embeddingDupGroups]]'s machinery.
+    *
+    * Like all blocked dedup, pairs crossing a cell boundary are missed —
+    * the paper's accepted trade-off; raise recall with fewer/looser cells.
+    * The corpus is persisted for the duration (k-means scans it once per
+    * iteration, pairing twice).
+    */
+  def semanticDupGroups(corpus: DataFrame, kCells: Int, threshold: Double,
+      iters: Int = 3): DataFrame = {
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Similarity.assignCells(cached,
+      Similarity.kmeansCentroids(cached, kCells, iters))
+    embeddingDupGroups(assigned, "cell", threshold)
+  }
+
+  /** SemDeDup applied: one canonical vector (minimum vec_id) per semantic
+    * cluster plus all singletons — same keep-set contract as
+    * [[dropNearDuplicates]], one broadcast anti-join of the loser list.
+    */
+  def semanticDedup(corpus: DataFrame, kCells: Int, threshold: Double,
+      iters: Int = 3): DataFrame = {
+    val losers = semanticDupGroups(corpus, kCells, threshold, iters)
+      .filter(col("vec_id") =!= col("group_id"))
+      .select("vec_id")
+    corpus.join(broadcast(losers), Seq("vec_id"), "left_anti")
+  }
+
+  /** MinHash near-duplicate clusters — the full sketch-path composition
+    * (signatures → LSH bands → estimated-Jaccard verify → closure) in one
+    * call: the scale form of [[nearDupGroups]], which needs the exact
+    * shingle-set join. Nothing all-pairs: candidates come from band-bucket
+    * grouping, verification reads only candidate signature pairs.
+    */
+  def minHashDupGroups(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val sigs = TextDedup.minHashSignatures(df, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = TextDedup.minHashVerify(
+      TextDedup.lshCandidatePairs(sigs, bands), sigs, minJaccard)
+    connectedComponents(verified, "doc_a", "doc_b")
+      .select(col("vertex").as(idCol), col("label").as("group_id"))
+  }
 }

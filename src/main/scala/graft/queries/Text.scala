@@ -997,7 +997,21 @@ object Text {
       |       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens
       |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 
+  /** Sketch-path dedup end-to-end: MinHash signatures → LSH bands →
+    * estimated-Jaccard verify → transitive closure, in one composed call.
+    * Rows-only gate (sketches aren't SQL-reproducible); recall vs the exact
+    * n-gram closure is asserted in SemDedupSpec.
+    */
+  private val minhashDupGroups = QueryDef(
+    (s, dir) =>
+      graft.operators.DupGroups.minHashDupGroups(
+        Tables.documents(s, dir), "doc_id", "text",
+        n = 3, k = 128, bands = 32, minJaccard = 0.5)
+        .orderBy("doc_id"),
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q113_minhash_dup_groups" -> minhashDupGroups,
     "q110_dup_spans" -> dupSpans,
     "q111_strip_spans" -> stripSpans,
     "q106_corpus_pipeline2" -> corpusPipeline2,

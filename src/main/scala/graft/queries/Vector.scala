@@ -158,7 +158,20 @@ object Vector {
        |      FROM embeddings)
        |ORDER BY vec_id""".stripMargin)
 
+  /** SemDeDup: k-means-blocked semantic dup clusters, keep-one applied.
+    * Rows-only gate (Lloyd iterations aren't SQL-expressible); recall vs
+    * the exact all-pairs closure is asserted in SemDedupSpec.
+    */
+  private val semdedup = QueryDef(
+    (s, dir) =>
+      graft.operators.DupGroups.semanticDedup(
+        Tables.embeddings(s, dir), kCells = 4, threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id"),
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q112_semdedup" -> semdedup,
     "q87_quantize" -> quantize,
     "q50_vector_norms" -> vectorNorms,
     "q80_ivf_index" -> ivfIndexQuery,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.DupGroups
+
+/** Composed dedup paths (SemDeDup k-means blocking, MinHash sketch closure)
+  * against their exact counterparts on the sf0.001 tables.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("semanticDupGroups recovers most exact-closure members; dedup keeps canonicals") {
+    val vecs = Tables.embeddings(spark, SparkTestSession.sfDir).cache()
+    // exact ground truth: all-pairs closure via a constant block column
+    val exact = DupGroups.embeddingDupGroups(
+      vecs.withColumn("blk", lit(1)), "blk", threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    val got = DupGroups.semanticDupGroups(vecs, kCells = 4, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "threshold should produce some semantic dups")
+    // blocked closure can only miss cross-cell pairs, never invent members
+    assert(got.keySet.subsetOf(exact.keySet))
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} members")
+
+    val kept = DupGroups.semanticDedup(vecs, kCells = 4, threshold = 0.3)
+    // every cluster's canonical survives; every flagged loser is gone
+    val losers = got.filter { case (v, g) => v != g }.keySet
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(losers.forall(!keptIds.contains(_)))
+    assert(keptIds.size.toLong === vecs.count() - losers.size)
+  }
+
+  test("minHashDupGroups matches the exact n-gram closure with high recall") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).cache()
+    val exact = DupGroups.nearDupGroups(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.5, maxDocFreq = 100000L)
+      .as[(Long, Long)].collect().toMap
+    val got = DupGroups.minHashDupGroups(
+      docs, "doc_id", "text", n = 3, k = 128, bands = 32, minJaccard = 0.45)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    val recall = exact.keySet.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"member recall $recall over ${exact.size}")
+    // estimated-Jaccard verification keeps the sketch path honest: no
+    // more than a small multiple of the exact membership
+    assert(got.size <= exact.size * 2)
+  }
+}
