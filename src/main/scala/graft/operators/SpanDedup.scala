@@ -117,8 +117,9 @@ object SpanDedup {
     *
     * The rebuild is one left join of the corpus against its per-document
     * span arrays (collect_list over merged intervals — few per doc) and a
-    * codegen higher-order filter over the token array; the corpus itself is
-    * scanned once and never shuffled.
+    * codegen higher-order filter over the token array. The span-array side
+    * is affected-document-sized: broadcast when duplication is sparse, a
+    * single doc_id-keyed shuffle join when it isn't — AQE picks at runtime.
     */
   def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
       minDocFreq: Int = 2): DataFrame = {

@@ -120,6 +120,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p.take(3000))
   }
 
+  test("span dedup: doc-frequency agg is two-phase, span merge never single-partition") {
+    val p = plan("q110_dup_spans")
+    // the corpus-×-windows expansion must partial-aggregate before its
+    // exchange, and the interval-merge window must shard by document
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("span strip rebuild joins hash-wise, never nested-loop") {
+    val p = plan("q111_strip_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
