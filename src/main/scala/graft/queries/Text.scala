@@ -1010,7 +1010,37 @@ object Text {
         .orderBy("doc_id"),
     None)
 
+  /** Unigram LM perplexity scoring (CCNet-style): train token log-probs on
+    * the corpus, score each document by mean negative log-likelihood via
+    * the zero-shuffle broadcast kernel. The oracle rebuilds the LM in SQL
+    * and folds each document's log-probs in token order (list built ORDER
+    * BY position), matching the kernel's summation order bit-for-bit.
+    */
+  private val unigramNll = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (terms, logps, oov) =
+        graft.operators.UnigramLm.collectLm(
+          graft.operators.UnigramLm.train(docs, "text"))
+      graft.operators.UnigramLm
+        .scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, unnest([struct_pack(pos := i, tok := t[i])
+      |                                     for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |lp AS (SELECT tok, ln(cnt / total) lp FROM unig, tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) s, COUNT(*) n
+      |        FROM tok JOIN lp USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q114_unigram_nll" -> unigramNll,
     "q113_minhash_dup_groups" -> minhashDupGroups,
     "q110_dup_spans" -> dupSpans,
     "q111_strip_spans" -> stripSpans,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.UnigramLm
+
+/** Unigram LM scoring: analytic values on a hand-built corpus, OOV floor
+  * semantics, and join-path/broadcast-path agreement on real documents.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("uniform corpus scores exactly ln(V) per token") {
+    // 4 equally-frequent tokens → every token has p = 1/4, nll = ln 4
+    val docs = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    val (terms, logps, oov) = UnigramLm.collectLm(UnigramLm.train(docs, "text"))
+    assert(terms.sorted === Seq("a", "b", "c", "d"))
+    val nll = UnigramLm.scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      .select("nll").as[Double].collect()
+    assert(nll.forall(v => math.abs(v - math.log(4)) < 1e-12))
+  }
+
+  test("frequent-token documents score lower nll than rare-token documents") {
+    val docs = Seq(
+      (1L, "x x x x x x x x x y"), // mostly the frequent token
+      (2L, "y y")                  // the rare one (still seen in training)
+    ).toDF("doc_id", "text")
+    val (terms, logps, oov) = UnigramLm.collectLm(UnigramLm.train(docs, "text"))
+    val byDoc = UnigramLm.scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) < byDoc(2L))
+  }
+
+  test("OOV tokens take the half-count floor, not a crash or zero") {
+    val train = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val (terms, logps, oov) = UnigramLm.collectLm(UnigramLm.train(train, "text"))
+    assert(oov === math.log(0.5 / 4))
+    val score = Seq((9L, "zzz zzz")).toDF("doc_id", "text")
+    val nll = UnigramLm.scoreBroadcast(score, "doc_id", "text", terms, logps, oov)
+      .select("nll").as[Double].head()
+    assert(math.abs(nll - (-oov)) < 1e-12) // every token at the floor
+  }
+
+  test("join path agrees with the broadcast kernel within float reassociation") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val lm = UnigramLm.train(docs, "text")
+    val (terms, logps, oov) = UnigramLm.collectLm(lm)
+    val b = UnigramLm.scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val j = UnigramLm.scoreJoin(docs, "doc_id", "text", lm, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(b.keySet === j.keySet)
+    // distributed ln (StrictMath) and join-order summation may drift in the
+    // last ulps, never materially
+    assert(b.forall { case (id, v) => math.abs(v - j(id)) < 1e-9 })
+  }
+}
