@@ -105,6 +105,12 @@ object Similarity {
     // dimension read from the data, not assumed; callers in a loop pass the
     // probed value through dimHint to avoid re-executing their lineage
     val dim = if (dimHint >= 0) dimHint else embeddingDim(corpus)
+    // empty corpus (or zero-dim embeddings): no cells, not an agg over an
+    // empty column list — `sums.head` below would otherwise throw
+    if (dim == 0)
+      return corpus.sparkSession.emptyDataFrame
+        .withColumn("cell", lit(0))
+        .withColumn("centroid", array().cast("array<float>"))
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1)).as(s"s$i"))
     corpus.groupBy(col(cellCol).as("cell"))

@@ -1039,7 +1039,45 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** CCNet head/middle/tail: cut the corpus into perplexity terciles with
+    * the distributed-rank bucketer over the LM score — the data-selection
+    * move of Wenzek et al. (keep the head, sample the middle, drop the
+    * tail). Per-bucket counts and nll ranges only: order statistics of
+    * bitwise-reproducible scores, no float summation.
+    */
+  private val pplBuckets = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (terms, logps, oov) =
+        graft.operators.UnigramLm.collectLm(
+          graft.operators.UnigramLm.train(docs, "text"))
+      val scored = graft.operators.UnigramLm
+        .scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      graft.operators.Curriculum.buckets(scored, Seq("nll", "doc_id"), n = 3)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+        .orderBy("bucket")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, unnest([struct_pack(pos := i, tok := t[i])
+      |                                     for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |lp AS (SELECT tok, ln(cnt / total) lp FROM unig, tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) s, COUNT(*) n
+      |        FROM tok JOIN lp USING (tok) GROUP BY doc_id),
+      |scored AS (SELECT doc_id, -s / n AS nll FROM agg),
+      |r AS (SELECT nll, ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS rank,
+      |             COUNT(*) OVER () AS total FROM scored)
+      |SELECT ((rank - 1) * 3) // total + 1 AS bucket,
+      |  COUNT(*) AS n_docs, MIN(nll) AS min_nll, MAX(nll) AS max_nll
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q115_ppl_buckets" -> pplBuckets,
     "q114_unigram_nll" -> unigramNll,
     "q113_minhash_dup_groups" -> minhashDupGroups,
     "q110_dup_spans" -> dupSpans,

@@ -80,4 +80,28 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.FuzzyJoin.blockedPairs(
       df, "id", "name", Seq("blk"), maxDist = 2).count() == 0)
   }
+
+  test("span dedup on an empty corpus: no spans, strip is a no-op frame") {
+    assert(graft.operators.SpanDedup.dupSpans(
+      emptyDocs, "doc_id", "text", k = 8).count() == 0)
+    assert(graft.operators.SpanDedup.stripSpans(
+      emptyDocs, "doc_id", "text", k = 8).count() == 0)
+  }
+
+  test("unigram LM on an empty corpus trains empty; scoring floors to OOV") {
+    val lm = graft.operators.UnigramLm.train(emptyDocs, "text")
+    assert(lm.count() == 0)
+    // an empty LM still scores (everything at the OOV floor), never throws
+    val out = graft.operators.UnigramLm.scoreBroadcast(
+      someDocs, "doc_id", "text", Seq.empty, Seq.empty, math.log(0.5))
+      .select("nll").as[Double].collect()
+    assert(out.length == 2 && out.forall(v => math.abs(v + math.log(0.5)) < 1e-12))
+  }
+
+  test("semantic dedup of an empty embedding corpus") {
+    val vecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.operators.DupGroups.semanticDupGroups(
+      vecs, kCells = 4, threshold = 0.3).count() == 0)
+  }
 }
