@@ -47,6 +47,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("frozen-LM quality scoring composes onto a document stream unchanged") {
+    // deployment shape: LM trained offline (batch), scoring applied to a
+    // live ingest stream — scoreBroadcast is a stateless projection, so the
+    // same call works under readStream with identical results
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"),
+      docsDir.resolve("part-0.parquet"))
+    val batchDocs = Tables.documents(spark, SparkTestSession.sfDir)
+    val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(
+      graft.operators.UnigramLm.train(batchDocs, "text"))
+    val streamDocs = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = runToMemory(
+      graft.operators.UnigramLm.scoreBroadcast(
+        streamDocs, "doc_id", "text", terms, logps, oov), "lm_stream_out")
+    val batch = graft.operators.UnigramLm.scoreBroadcast(
+      batchDocs, "doc_id", "text", terms, logps, oov)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stream-static enrichment under readStream matches the batch join") {
     val dim = Tables.customer(spark, SparkTestSession.sfDir)
     val streamed = runToMemory(

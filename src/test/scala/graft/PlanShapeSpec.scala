@@ -134,6 +134,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("unigram LM broadcast scoring is a zero-shuffle projection") {
+    // the lexicon rides inside the TokenWeightSum kernel: scoring must stay
+    // scan + project + filter — no exchange, no join
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+    val p = graft.operators.UnigramLm.scoreBroadcast(
+      docs, "doc_id", "text", Seq("the"), Seq(-1.0), -2.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
