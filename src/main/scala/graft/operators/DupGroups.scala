@@ -199,9 +199,15 @@ object DupGroups {
   def semanticDupGroups(corpus: DataFrame, kCells: Int, threshold: Double,
       iters: Int = 3): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = Similarity.assignCells(cached,
-      Similarity.kmeansCentroids(cached, kCells, iters))
-    embeddingDupGroups(assigned, "cell", threshold)
+    // connectedComponents materializes its labels (driver union-find local
+    // relation or eager localCheckpoints) before returning, so by the time
+    // embeddingDupGroups comes back nothing lazy references the cache —
+    // release it instead of pinning a corpus-sized block set per call
+    try {
+      val assigned = Similarity.assignCells(cached,
+        Similarity.kmeansCentroids(cached, kCells, iters))
+      embeddingDupGroups(assigned, "cell", threshold)
+    } finally cached.unpersist()
   }
 
   /** SemDeDup applied: one canonical vector (minimum vec_id) per semantic
@@ -224,11 +230,16 @@ object DupGroups {
     */
   def minHashDupGroups(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    // minHashSignatures persists its result internally (it feeds both the
+    // banding and the verify probe) — no second persist here; the closure's
+    // labels are materialized by connectedComponents, so the signature
+    // cache can be released before returning
     val sigs = TextDedup.minHashSignatures(df, idCol, textCol, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = TextDedup.minHashVerify(
-      TextDedup.lshCandidatePairs(sigs, bands), sigs, minJaccard)
-    connectedComponents(verified, "doc_a", "doc_b")
-      .select(col("vertex").as(idCol), col("label").as("group_id"))
+    try {
+      val verified = TextDedup.minHashVerify(
+        TextDedup.lshCandidatePairs(sigs, bands), sigs, minJaccard)
+      connectedComponents(verified, "doc_a", "doc_b")
+        .select(col("vertex").as(idCol), col("label").as("group_id"))
+    } finally sigs.unpersist()
   }
 }

@@ -53,7 +53,12 @@ object SpanDedup {
     */
   def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocFreq: Int = 2, keepFirstDoc: Boolean = false): DataFrame = {
+    // the corpus-×-windows expansion feeds BOTH the doc-frequency aggregate
+    // and the hits join — persist it so the shingle explode (the operator's
+    // dominant cost) runs once per action, same discipline as
+    // TextDedup.ngramJaccardPairs' shingle expansion
     val wins = positionalWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicated-window set: map-side partial agg on the 64-bit hash; only
     // hashes clearing the doc-frequency bar survive to the join
     val dup = wins.groupBy("h")
@@ -126,7 +131,10 @@ object SpanDedup {
     val spanArrs = dupSpans(df, idCol, textCol, k, minDocFreq, keepFirstDoc = true)
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    val toks = split(trim(col(textCol)), " ")
+    // whitespace-RUN tokenization, matching the window positions from
+    // ShingleHashes' tokenizer — a single-space split would misalign on
+    // tabs/newlines/consecutive spaces and strip the wrong tokens
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val spans = coalesce(col("__spans"),
       array().cast("array<struct<span_start:int,span_end:int>>"))
     val keptToks = filter(toks, (_: Column, i: Column) =>

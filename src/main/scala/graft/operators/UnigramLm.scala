@@ -30,30 +30,45 @@ import graft.functions.TextFunctions
   */
 object UnigramLm {
 
-  /** Token unigram counts with corpus-relative log-probabilities:
-    * (term, cnt, logp = ln(cnt / total)). One explode (projection, no
-    * shuffle) + one map-side-combined groupBy; the total joins back as a
-    * broadcast single row. The distributed `logp` uses Spark's ln for
-    * [[scoreJoin]]-scale use; [[collectLm]] recomputes it on the driver
-    * for the bit-reproducible broadcast path.
+  /** Token unigram counts: (term, cnt). One explode (projection, no
+    * shuffle) + one map-side-combined groupBy. The empty term — `tokens`'s
+    * artifact on empty/whitespace-only documents — is excluded: it is not
+    * a token and would otherwise pollute the vocabulary. This is all
+    * [[collectLm]] needs; [[train]] layers the distributed log-probs on
+    * top for the join path.
+    */
+  def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Trained LM with corpus-relative log-probabilities:
+    * (term, cnt, logp = ln(cnt / total)); the total joins back as a
+    * broadcast single row. The counts frame backs both the total aggregate
+    * and the output projection, so it is persisted (vocabulary-sized —
+    * broadcast-class, not corpus-class) rather than exploded twice. The
+    * distributed `logp` uses Spark's ln for [[scoreJoin]]-scale use;
+    * [[collectLm]] recomputes it on the driver for the bit-reproducible
+    * broadcast path.
     */
   def train(docs: DataFrame, textCol: String): DataFrame = {
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val counts = termCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("term"), col("cnt"),
         log(col("cnt").cast("double") / col("total").cast("double")).as("logp"))
   }
 
-  /** Collect a trained LM to driver state: (terms, logps) aligned, plus the
-    * OOV log-prob floor ln(0.5 / total) — half a count, the standard
-    * additive-smoothing floor for unseen tokens.
+  /** Collect a trained LM ([[train]] or just [[termCounts]]) to driver
+    * state: (terms, logps) aligned, plus the OOV log-prob floor
+    * ln(0.5 / total) — half a count, the standard additive-smoothing floor
+    * for unseen tokens. An empty LM floors against total = 1 (every token
+    * OOV at ln 0.5) instead of degenerating to ±Infinity.
     */
   def collectLm(lm: DataFrame): (Seq[String], Seq[Double], Double) = {
     val rows = lm.select(col("term"), col("cnt")).collect()
-    val total = rows.iterator.map(_.getLong(1)).sum.toDouble
+    val total = math.max(rows.iterator.map(_.getLong(1)).sum, 1L).toDouble
     val terms = rows.map(_.getString(0)).toSeq
     // driver-side Math.log: bitwise-equal to DuckDB ln on these inputs
     // (verified), unlike StrictMath-backed distributed ln
@@ -63,15 +78,19 @@ object UnigramLm {
 
   /** Mean negative log-likelihood per document via the broadcast kernel:
     * (idCol, n_tokens, nll). Zero shuffle — a single projection pass.
+    * Empty/whitespace-only documents are unscorable and are dropped — not
+    * scored: `tokenCount` counts their split artifact as one token while
+    * the kernel sees zero, which would hand junk documents a perfect
+    * nll = 0 (and the head perplexity bucket).
     */
   def scoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], logps: Seq[Double], oovLogP: Double): DataFrame =
-    docs.select(col(idCol),
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         ColumnBridge.column(graft.expressions.TokenWeightSum(
           ColumnBridge.expression(col(textCol)), terms, logps, oovLogP))
           .as("__lpsum"))
-      .filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"),
         (-col("__lpsum") / col("n_tokens")).as("nll"))
 
@@ -81,7 +100,8 @@ object UnigramLm {
     */
   def scoreJoin(docs: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, oovLogP: Double): DataFrame =
-    docs.select(col(idCol),
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
       .groupBy(idCol)

@@ -1021,7 +1021,7 @@ object Text {
       val docs = Tables.documents(s, dir)
       val (terms, logps, oov) =
         graft.operators.UnigramLm.collectLm(
-          graft.operators.UnigramLm.train(docs, "text"))
+          graft.operators.UnigramLm.termCounts(docs, "text"))
       graft.operators.UnigramLm
         .scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
         .orderBy("doc_id")
@@ -1050,7 +1050,7 @@ object Text {
       val docs = Tables.documents(s, dir)
       val (terms, logps, oov) =
         graft.operators.UnigramLm.collectLm(
-          graft.operators.UnigramLm.train(docs, "text"))
+          graft.operators.UnigramLm.termCounts(docs, "text"))
       val scored = graft.operators.UnigramLm
         .scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
       graft.operators.Curriculum.buckets(scored, Seq("nll", "doc_id"), n = 3)

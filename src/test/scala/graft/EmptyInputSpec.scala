@@ -91,11 +91,24 @@ class EmptyInputSpec extends AnyFunSuite {
   test("unigram LM on an empty corpus trains empty; scoring floors to OOV") {
     val lm = graft.operators.UnigramLm.train(emptyDocs, "text")
     assert(lm.count() == 0)
-    // an empty LM still scores (everything at the OOV floor), never throws
+    // collectLm of an empty LM floors total at 1 → oov = ln 0.5, never ±Inf
+    val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(lm)
+    assert(terms.isEmpty && logps.isEmpty && oov === math.log(0.5))
     val out = graft.operators.UnigramLm.scoreBroadcast(
-      someDocs, "doc_id", "text", Seq.empty, Seq.empty, math.log(0.5))
+      someDocs, "doc_id", "text", terms, logps, oov)
       .select("nll").as[Double].collect()
     assert(out.length == 2 && out.forall(v => math.abs(v + math.log(0.5)) < 1e-12))
+  }
+
+  test("empty and whitespace-only documents are unscorable, not perfect-scored") {
+    val docs = Seq((1L, "a b", "s"), (2L, "", "s"), (3L, "   ", "s"))
+      .toDF("doc_id", "text", "source")
+    val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(
+      graft.operators.UnigramLm.termCounts(docs, "text"))
+    assert(terms.sorted === Seq("a", "b")) // no empty-string vocab pollution
+    val scored = graft.operators.UnigramLm.scoreBroadcast(
+      docs, "doc_id", "text", terms, logps, oov)
+    assert(scored.select("doc_id").as[Long].collect().toSet === Set(1L))
   }
 
   test("semantic dedup of an empty embedding corpus") {

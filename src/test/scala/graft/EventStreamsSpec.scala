@@ -57,7 +57,7 @@ class EventStreamsSpec extends AnyFunSuite {
       docsDir.resolve("part-0.parquet"))
     val batchDocs = Tables.documents(spark, SparkTestSession.sfDir)
     val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(
-      graft.operators.UnigramLm.train(batchDocs, "text"))
+      graft.operators.UnigramLm.termCounts(batchDocs, "text"))
     val streamDocs = spark.readStream.schema(batchDocs.schema)
       .parquet(docsDir.toString)
     val streamed = runToMemory(

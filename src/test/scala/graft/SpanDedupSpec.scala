@@ -62,6 +62,21 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(flagged === Set(1L, 2L, 6L))
   }
 
+  test("strip positions stay aligned on text with irregular whitespace") {
+    // window positions come from whitespace-RUN tokenization; the rebuild
+    // must tokenize the same way or a double space / tab shifts the strip
+    // window onto the wrong tokens
+    val df = Seq(
+      (1L, s"z1 $shared z2"),
+      (2L, s"a  b\t$shared") // double space + tab before the copied span
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.stripSpans(df, "doc_id", "text", k = 8)
+      .select($"doc_id", $"text", $"kept_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === s"z1 $shared z2") // canonical untouched
+    assert(out(1) === ((2L, "a b", 2L)))   // span gone, a and b kept
+  }
+
   test("documents shorter than the window never produce spans or change text") {
     val df = Seq((7L, "a b c"), (8L, "a b c")).toDF("doc_id", "text")
     assert(SpanDedup.dupSpans(df, "doc_id", "text", k = 8).isEmpty)
