@@ -189,6 +189,28 @@ object Similarity {
     corpus.drop("cell").withColumn("cell",
       nearestCell(col("embedding"), cents.map(_._1), cents.map(_._2)))
 
+  /** Prototypicality score (Sorscher et al., "Beyond neural scaling laws",
+    * NeurIPS'22): cosine of every vector to its own trained cell centroid —
+    * the data-pruning signal where low scorers are outliers/noise and the
+    * extreme high scorers are redundant prototypes. Returns the corpus with
+    * `cell` and `proto_sim` columns; rank/threshold policy is the caller's
+    * (compose with [[Curriculum.buckets]] for percentile pruning).
+    *
+    * Plan shape: k-means training (one map-side-combined groupBy per Lloyd
+    * iteration), then ONE broadcast join of the corpus against the k-row
+    * centroid table — the corpus never shuffles. The corpus is persisted
+    * for the duration (training scans it per iteration) and stays cached
+    * for the caller's downstream actions.
+    */
+  def prototypicality(corpus: DataFrame, kCells: Int, iters: Int = 3): DataFrame = {
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = kmeansLocal(cached, kCells, iters)
+    assignCellsLocal(cached, cents)
+      .join(broadcast(toCentroidDF(corpus.sparkSession, cents)), "cell")
+      .withColumn("proto_sim", cosine(col("embedding"), col("centroid")))
+      .drop("centroid")
+  }
+
   /** IVF with trained (k-means) cells: train, assign, probe. The corpus is
     * persisted for the duration — training scans it once per iteration.
     */

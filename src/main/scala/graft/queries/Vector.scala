@@ -170,7 +170,19 @@ object Vector {
         .orderBy("vec_id"),
     None)
 
+  /** Prototypicality pruning signal: cosine to own k-means centroid.
+    * Rows-only gate (Lloyd training isn't SQL-expressible); the
+    * own-centroid-is-nearest invariant is asserted in SimilaritySpec.
+    */
+  private val prototypicality = QueryDef(
+    (s, dir) =>
+      Similarity.prototypicality(Tables.embeddings(s, dir), kCells = 8)
+        .select(col("vec_id"), col("cell"), col("proto_sim"))
+        .orderBy("vec_id"),
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q116_prototypicality" -> prototypicality,
     "q112_semdedup" -> semdedup,
     "q87_quantize" -> quantize,
     "q50_vector_norms" -> vectorNorms,

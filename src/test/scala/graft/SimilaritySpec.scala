@@ -85,6 +85,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("prototypicality: own centroid is the nearest, scores are valid cosines") {
+    val proto = Similarity.prototypicality(emb, kCells = 8, iters = 3)
+    assert(proto.count() == emb.count())
+    val rows = proto.select("vec_id", "cell", "proto_sim")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.forall { case (_, _, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+    // the assigned cell is the argmax: proto_sim must dominate the cosine
+    // to EVERY other centroid (catches a crossed cell↔centroid join)
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+      .as[(Int, Array[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val embs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    rows.take(50).foreach { case (id, cell, s) =>
+      cents.foreach { case (c, cent) =>
+        assert(s >= cos(embs(id), cent) - 1e-9,
+          s"vec $id assigned cell $cell ($s) but cell $c is closer")
+      }
+    }
+  }
+
   test("LSH KNN results are true cosines, verifiable against brute force") {
     val exact = Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), k = 5)
       .select("query_id", "neighbor_id", "cos_sim")
