@@ -27,7 +27,15 @@ object Packing {
   /** Each row with its exclusive global running total of `weightCol` in
     * `idCol` order, as column `offset`.
     */
-  def withGlobalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+  def withGlobalOffsets(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    withGlobalOffsets(df, Seq(idCol), weightCol)
+
+  /** Multi-column order form: the running total follows the lexicographic
+    * `orderCols` order (which must be a total order — include a unique
+    * tie-break column), same two-phase sharded prefix sum.
+    */
+  def withGlobalOffsets(df: DataFrame, orderCols: Seq[String],
+      weightCol: String): DataFrame = {
     val shard = "graft_pack_shard"
     // persisted: phase 1 (shard totals) and phase 2 (per-shard windows) both
     // read the same materialized shards — one corpus scan, and the shard
@@ -37,7 +45,7 @@ object Packing {
     // `df.unpersist()`-sweep via spark.sharedState or simply let LRU reclaim
     // it — long-running services should write the packed result out and drop
     // the lineage
-    val sharded = df.repartitionByRange(col(idCol))
+    val sharded = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per shard — driver state the size of the shard count, the
@@ -59,7 +67,7 @@ object Packing {
       else element_at(
         map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
         col(shard))
-    val withinShard = Window.partitionBy(shard).orderBy(idCol)
+    val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     sharded
       .withColumn("offset",

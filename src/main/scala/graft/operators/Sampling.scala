@@ -120,4 +120,28 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Token-budget corpus selection — the "data recipe" cut: charge
+    * documents against a `budget` of `weightCol` (tokens) in `orderCols`
+    * order (best-quality first; must be a total order) and keep each one
+    * whose charge still fits. Every document's weight is charged at its
+    * rank position whether or not it is kept, so an oversized document at
+    * the boundary is dropped without redistributing its charge — that keeps
+    * the kept total ≤ budget AND the cut a single parallel prefix sum; a
+    * true greedy refill (reclaiming skipped documents' charge) is an
+    * inherently sequential walk that cannot shard.
+    *
+    * Scale shape: the cumulative weight comes from
+    * [[Packing.withGlobalOffsets]]'s two-phase sharded prefix sum (no
+    * global window, no single-task funnel); the budget test is then a
+    * stateless filter. Deterministic for a fixed order — same cut on every
+    * run, engine, and partitioning.
+    *
+    * Returned columns include `offset` (exclusive running total at the
+    * document's position in the quality order) for budget auditing.
+    */
+  def tokenBudgetFill(df: DataFrame, orderCols: Seq[String],
+      weightCol: String, budget: Long): DataFrame =
+    Packing.withGlobalOffsets(df, orderCols, weightCol)
+      .filter(col("offset") + col(weightCol) <= budget)
 }

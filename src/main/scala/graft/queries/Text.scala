@@ -1076,7 +1076,50 @@ object Text {
       |  COUNT(*) AS n_docs, MIN(nll) AS min_nll, MAX(nll) AS max_nll
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  /** Token-budget data recipe: rank by word familiarity (descending, exact
+    * rational score), charge token counts in rank order, keep what fits a
+    * 12k-token budget. The oracle replays the rank-ordered cumulative sum
+    * with a window; the Spark path is the sharded two-phase prefix sum —
+    * same deterministic cut.
+    */
+  private val tokenBudget = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.TfIdf.vocabulary(docs, "text", topN = 10)
+      val scored = graft.operators.TfIdf.familiarity(docs, "doc_id", "text", vocab)
+        .withColumn("neg_fam", -col("familiarity"))
+      graft.operators.Sampling
+        .tokenBudgetFill(scored, Seq("neg_fam", "doc_id"), "tok_cnt", budget = 12000L)
+        .select(col("doc_id"), col("tok_cnt"), col("familiarity"),
+          col("offset").as("cum_before"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+      |    ORDER BY cnt DESC, term LIMIT 10)),
+      |hits AS (
+      |  SELECT t.doc_id, COUNT(*) AS vocab_hits
+      |  FROM toks t JOIN vocab v USING (term) GROUP BY 1),
+      |tc AS (
+      |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok_cnt
+      |  FROM documents),
+      |scored AS (
+      |  SELECT tc.doc_id, tc.tok_cnt,
+      |    CAST(COALESCE(hits.vocab_hits, 0) AS DOUBLE) / tc.tok_cnt AS familiarity
+      |  FROM tc LEFT JOIN hits USING (doc_id)),
+      |cum AS (
+      |  SELECT doc_id, tok_cnt, familiarity,
+      |    COALESCE(SUM(tok_cnt) OVER (ORDER BY -familiarity, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM scored)
+      |SELECT doc_id, tok_cnt, familiarity, CAST(cum_before AS BIGINT) AS cum_before
+      |FROM cum WHERE cum_before + tok_cnt <= 12000 ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q117_token_budget" -> tokenBudget,
     "q115_ppl_buckets" -> pplBuckets,
     "q114_unigram_nll" -> unigramNll,
     "q113_minhash_dup_groups" -> minhashDupGroups,

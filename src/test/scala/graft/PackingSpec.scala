@@ -52,4 +52,31 @@ class PackingSpec extends AnyFunSuite {
     val df = Seq.empty[(Long, Long)].toDF("id", "w")
     assert(Packing.sequencePacking(df, "id", "w", capacity = 10).count() == 0L)
   }
+
+  test("multi-column offsets follow the lexicographic order") {
+    // order by (grp, id): offsets must walk grp-major
+    val df = Seq((1L, 2, 10L), (2L, 1, 5L), (3L, 1, 7L), (4L, 2, 3L))
+      .toDF("id", "grp", "w").repartition(3)
+    val got = graft.operators.Packing
+      .withGlobalOffsets(df, Seq("grp", "id"), "w")
+      .select($"id", $"offset").as[(Long, Long)].collect().toMap
+    // order: (1,2)->5, (1,3)->7, (2,1)->10, (2,4)->3 ⇒ offsets 0,5,12,22
+    assert(got === Map(2L -> 0L, 3L -> 5L, 1L -> 12L, 4L -> 22L))
+  }
+
+  test("token budget fill keeps within budget and skips oversize at the boundary") {
+    // quality order = id asc; budget 10: id1(w4, off0 keep), id2(w5, off4
+    // keep), id3(w3, off9 overflow skip), id4(w1, off12 overflow skip)
+    val df = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 1L)).toDF("id", "w")
+    val kept = graft.operators.Sampling
+      .tokenBudgetFill(df, Seq("id"), "w", budget = 10L)
+      .select($"id", $"offset").as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 0L, 2L -> 4L))
+    // kept mass never exceeds the budget on any input
+    val rows = (1L to 200L).map(i => (i, (i * 37 % 11) + 1))
+    val total = graft.operators.Sampling
+      .tokenBudgetFill(rows.toDF("id", "w"), Seq("id"), "w", budget = 250L)
+      .agg(org.apache.spark.sql.functions.sum("w")).as[Long].head()
+    assert(total <= 250L)
+  }
 }
