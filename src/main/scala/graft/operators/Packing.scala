@@ -50,8 +50,12 @@ object Packing {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per shard — driver state the size of the shard count, the
     // same scale class as a broadcast build side or IVF centroid set
+    // cast BEFORE summing, matching the within-shard window below — casting
+    // the sum instead would make fractional weights contribute to the next
+    // shard's prefix but not to their own shard's running totals, producing
+    // partitioning-dependent offsets
     val shardSums = sharded.groupBy(shard)
-      .agg(sum(col(weightCol)).cast("long").as("s"))
+      .agg(sum(col(weightCol).cast("long")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxShard = if (shardSums.isEmpty) -1 else shardSums.keys.max
     val prefix = new Array[Long](maxShard + 1)

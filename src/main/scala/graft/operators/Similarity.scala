@@ -205,8 +205,11 @@ object Similarity {
   def prototypicality(corpus: DataFrame, kCells: Int, iters: Int = 3): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansLocal(cached, kCells, iters)
+    // LEFT join: a row whose assignment is null (null/malformed embedding)
+    // must surface as unscorable (null cell + proto_sim), not vanish — the
+    // pruning policy downstream decides what to do with it
     assignCellsLocal(cached, cents)
-      .join(broadcast(toCentroidDF(corpus.sparkSession, cents)), "cell")
+      .join(broadcast(toCentroidDF(corpus.sparkSession, cents)), Seq("cell"), "left")
       .withColumn("proto_sim", cosine(col("embedding"), col("centroid")))
       .drop("centroid")
   }
