@@ -1118,7 +1118,68 @@ object Text {
       |SELECT doc_id, tok_cnt, familiarity, CAST(cum_before AS BIGINT) AS cum_before
       |FROM cum WHERE cum_before + tok_cnt <= 12000 ORDER BY doc_id""".stripMargin)
 
+  /** Composed pipeline v3 — the round's new operators chained end-to-end,
+    * every stage oracle-exact: strip cross-document duplicated spans
+    * (keep-first-doc), train the unigram LM on the STRIPPED corpus, score
+    * each surviving document, then cut a 10k-token budget walking best
+    * (lowest) nll first. Exactly the shape of a pretraining data refresh:
+    * dedup before scoring so boilerplate can't teach the LM, score before
+    * selection so the budget buys quality.
+    */
+  private val corpusPipeline3 = QueryDef(
+    (s, dir) => {
+      val stripped = graft.operators.SpanDedup
+        .stripSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(
+        graft.operators.UnigramLm.termCounts(stripped, "text"))
+      val scored = graft.operators.UnigramLm
+        .scoreBroadcast(stripped, "doc_id", "text", terms, logps, oov)
+      graft.operators.Sampling
+        .tokenBudgetFill(scored, Seq("nll", "doc_id"), "n_tokens", budget = 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("nll"),
+          col("offset").as("cum_before"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
+      |                              for i in range(1, len(t) - 6)]) AS u
+      |       FROM toks WHERE len(t) >= 8),
+      |win AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM sh),
+      |dupw AS (SELECT w, MIN(doc_id) AS min_doc FROM win GROUP BY w
+      |         HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT win.doc_id, pos FROM win JOIN dupw USING (w)
+      |         WHERE win.doc_id > dupw.min_doc),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM sp GROUP BY 1, 2),
+      |tokpos AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, tok := t[i])
+      |                                  for i in range(1, len(t) + 1)]) AS u FROM toks),
+      |toku AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toku k
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |                           WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.e)),
+      |ktok AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+      |                tok FROM kept WHERE tok <> ''),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM ktok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |lp AS (SELECT tok, ln(cnt / total) lp FROM unig, tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) lpsum, COUNT(*) n
+      |        FROM ktok JOIN lp USING (tok) GROUP BY doc_id),
+      |scored AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -lpsum / n AS nll FROM agg),
+      |cum AS (SELECT doc_id, n_tokens, nll,
+      |          COALESCE(SUM(n_tokens) OVER (ORDER BY nll, doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |        FROM scored)
+      |SELECT doc_id, n_tokens, nll, CAST(cum_before AS BIGINT) AS cum_before
+      |FROM cum WHERE cum_before + n_tokens <= 10000 ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q118_corpus_pipeline3" -> corpusPipeline3,
     "q117_token_budget" -> tokenBudget,
     "q115_ppl_buckets" -> pplBuckets,
     "q114_unigram_nll" -> unigramNll,
