@@ -127,8 +127,42 @@ object SpanDedup {
     * single doc_id-keyed shuffle join when it isn't — AQE picks at runtime.
     */
   def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
-      minDocFreq: Int = 2): DataFrame = {
-    val spanArrs = dupSpans(df, idCol, textCol, k, minDocFreq, keepFirstDoc = true)
+      minDocFreq: Int = 2): DataFrame =
+    rebuildWithoutSpans(df, idCol, textCol,
+      dupSpans(df, idCol, textCol, k, minDocFreq, keepFirstDoc = true))
+
+  /** Surgical decontamination: strip the spans of `corpus` that share a
+    * k-token window with `blocklist` (eval sets, canaries), keeping the
+    * rest of each document — the span-granular form of
+    * [[TextDedup.decontaminate]], for when dropping whole documents over
+    * one quoted benchmark line is too lossy. Same broadcast discipline:
+    * the blocklist's distinct window-hash set is tiny and broadcast; the
+    * corpus is one positional-window scan + semi-join probe, and only
+    * contaminated positions reach the interval merge.
+    */
+  def stripContaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blocklistTextCol: String, k: Int): DataFrame = {
+    val blocked = broadcast(
+      blocklist.select(explode(ColumnBridge.column(ShingleHashes(
+        ColumnBridge.expression(col(blocklistTextCol)), k))).as("h")).distinct())
+    val hits = positionalWindows(corpus, idCol, textCol, k)
+      .join(blocked, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    rebuildWithoutSpans(corpus, idCol, textCol, mergeSpans(hits, idCol, k))
+  }
+
+  /** Rebuild `textCol` excluding the tokens covered by `spans`
+    * ((idCol, span_start, span_end) intervals): one left join of the corpus
+    * against its per-document span arrays (collect_list over merged
+    * intervals — few per doc) and a codegen higher-order filter over the
+    * token array. The span-array side is affected-document-sized:
+    * broadcast when spans are sparse, a single id-keyed shuffle join when
+    * they aren't — AQE picks at runtime. Every input row survives
+    * (possibly emptied), with a `kept_tokens` count.
+    */
+  private def rebuildWithoutSpans(df: DataFrame, idCol: String, textCol: String,
+      spanFrame: DataFrame): DataFrame = {
+    val spanArrs = spanFrame
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     // whitespace-RUN tokenization, matching the window positions from

@@ -1178,7 +1178,55 @@ object Text {
       |SELECT doc_id, n_tokens, nll, CAST(cum_before AS BIGINT) AS cum_before
       |FROM cum WHERE cum_before + n_tokens <= 10000 ORDER BY doc_id""".stripMargin)
 
+  /** Surgical span decontamination: remove only the 8-token windows shared
+    * with the benchmark set (docs 0-2), keep the rest of each document —
+    * the span-granular counterpart of q63's whole-document drop. Output is
+    * the affected documents with their rebuilt text, byte-checked.
+    */
+  private val stripContamination = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") < 3)
+      val withN = docs.withColumn("__orig_tokens",
+        tokenCount(col("text")).cast("long"))
+      graft.operators.SpanDedup
+        .stripContaminatedSpans(withN, "doc_id", "text", bench, "text", k = 8)
+        .filter(col("kept_tokens") < col("__orig_tokens"))
+        .select(col("doc_id"), col("text").as("clean_text"), col("kept_tokens"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
+      |                              for i in range(1, len(t) - 6)]) AS u
+      |       FROM toks WHERE len(t) >= 8),
+      |win AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM sh),
+      |bench AS (SELECT DISTINCT w FROM win WHERE doc_id < 3),
+      |hits AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM bench)),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM sp GROUP BY 1, 2),
+      |tokpos AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, tok := t[i])
+      |                                  for i in range(1, len(t) + 1)]) AS u FROM toks),
+      |toku AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toku k
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |                           WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.e)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |               COUNT(*) AS kept_tokens FROM kept GROUP BY doc_id),
+      |base AS (SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+      |                CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |                CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents d LEFT JOIN reb r USING (doc_id))
+      |SELECT doc_id, clean_text, kept_tokens FROM base
+      |WHERE kept_tokens < n_tokens ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q119_strip_contamination" -> stripContamination,
     "q118_corpus_pipeline3" -> corpusPipeline3,
     "q117_token_budget" -> tokenBudget,
     "q115_ppl_buckets" -> pplBuckets,

@@ -85,6 +85,26 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out.forall(_ == (("a b c", 3L))))
   }
 
+  test("surgical decontamination strips only blocklisted spans, not documents") {
+    val corpus = Seq(
+      (1L, s"c1 c2 $shared c3"),         // contains the benched window
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9") // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"b1 $shared b2")).toDF("doc_id", "text")
+    val out = SpanDedup.stripContaminatedSpans(
+      corpus, "doc_id", "text", bench, "text", k = 8)
+      .select($"doc_id", $"text", $"kept_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // doc 1 loses exactly the benched window, keeps its own frame
+    assert(out(0) === ((1L, "c1 c2 c3", 3L)))
+    // clean doc untouched — whole-document drop would have been wrong here
+    assert(out(1) === ((2L, "d1 d2 d3 d4 d5 d6 d7 d8 d9", 9L)))
+    // empty blocklist strips nothing
+    val none = SpanDedup.stripContaminatedSpans(corpus, "doc_id", "text",
+      bench.limit(0), "text", k = 8)
+    assert(none.filter($"kept_tokens" =!= graft.functions.TextFunctions.tokenCount($"text").cast("long")).isEmpty)
+  }
+
   test("corpus invariants: strip removes exactly the non-canonical dup mass") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", k = 8)
