@@ -19,6 +19,25 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Tokens POSITIONALLY ALIGNED with the one-pass hashing kernel
+    * (graft.expressions.TextHashing): delimiters are runs of
+    * space/\t/\n/\r only, empty artifacts removed, so element i here IS
+    * the token whose hash sits at window position i in ShingleHashes.
+    * [[tokens]] is NOT that: `trim` strips only spaces (a leading \t/\n
+    * leaves an empty first element, shifting every position by one) and
+    * `\s` also breaks on \f/\x0B, which the kernel treats as token bytes.
+    * Any operator that maps kernel positions back onto text (span strip,
+    * CMS verify, LM token counts) must tokenize through here.
+    */
+  def hashAlignedTokens(text: Column): Column =
+    filter(split(text, "[ \t\n\r]+"), t => t =!= "")
+
+  /** Count of [[hashAlignedTokens]] — the token count the hashing kernel
+    * actually sees (0 for empty/whitespace-only text, where [[tokenCount]]
+    * counts the split artifact as 1).
+    */
+  def hashAlignedTokenCount(text: Column): Column = size(hashAlignedTokens(text))
+
   /** A BPE-ish subword proxy: alphanumeric runs + individual punctuation,
     * approximating how byte-pair tokenizers split mixed text.
     */

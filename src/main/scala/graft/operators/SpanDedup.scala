@@ -107,7 +107,11 @@ object SpanDedup {
       count(lit(1)).as("n_spans"),
       sum(col("span_end") - col("span_start")).as("dup_tokens"))
     df.select(col(idCol),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        // aligned count: dup_tokens counts kernel tokens, so the
+        // denominator must too (tokenCount over-counts by the empty
+        // artifact on leading-\t/\n docs → dup_frac > 1 possible)
+        graft.functions.TextFunctions.hashAlignedTokenCount(col(textCol))
+          .cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol))
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
         (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
@@ -165,10 +169,13 @@ object SpanDedup {
     val spanArrs = spanFrame
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    // whitespace-RUN tokenization, matching the window positions from
-    // ShingleHashes' tokenizer — a single-space split would misalign on
-    // tabs/newlines/consecutive spaces and strip the wrong tokens
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // tokenization MUST be positionally identical to ShingleHashes'
+    // kernel (TextHashing: runs of space/\t\n\r, empties dropped) or the
+    // filter strips the WRONG tokens — tokens()'s trim-then-\s+ split
+    // shifts every position by one on a leading \t/\n and breaks on
+    // \f/\x0B where the kernel does not (same divergence HeavyHitters
+    // documents); SpanDedupSpec pins the edge cases
+    val toks = graft.functions.TextFunctions.hashAlignedTokens(col(textCol))
     val spans = coalesce(col("__spans"),
       array().cast("array<struct<span_start:int,span_end:int>>"))
     val keptToks = filter(toks, (_: Column, i: Column) =>

@@ -31,15 +31,16 @@ import graft.functions.TextFunctions
 object UnigramLm {
 
   /** Token unigram counts: (term, cnt). One explode (projection, no
-    * shuffle) + one map-side-combined groupBy. The empty term — `tokens`'s
-    * artifact on empty/whitespace-only documents — is excluded: it is not
-    * a token and would otherwise pollute the vocabulary. This is all
-    * [[collectLm]] needs; [[train]] layers the distributed log-probs on
-    * top for the join path.
+    * shuffle) + one map-side-combined groupBy. Tokenized through
+    * [[TextFunctions.hashAlignedTokens]] — the SAME rule as the scoring
+    * kernel ([[graft.expressions.TokenWeightSum]]), so the vocabulary the
+    * LM trains on is exactly the token stream it later scores (a \s+
+    * split would emit empty artifacts and break on \f/\x0B where the
+    * kernel does not). This is all [[collectLm]] needs; [[train]] layers
+    * the distributed log-probs on top for the join path.
     */
   def termCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
+    docs.select(explode(TextFunctions.hashAlignedTokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
   /** Trained LM with corpus-relative log-probabilities:
@@ -78,35 +79,41 @@ object UnigramLm {
 
   /** Mean negative log-likelihood per document via the broadcast kernel:
     * (idCol, n_tokens, nll). Zero shuffle — a single projection pass.
-    * Empty/whitespace-only documents are unscorable and are dropped — not
-    * scored: `tokenCount` counts their split artifact as one token while
-    * the kernel sees zero, which would hand junk documents a perfect
-    * nll = 0 (and the head perplexity bucket).
+    * `n_tokens` counts through [[TextFunctions.hashAlignedTokens]] — the
+    * kernel's own tokenizer — so the mean divides by exactly the number
+    * of weights the kernel summed (a trim/\s+ count diverges on
+    * leading-\t/\n and \f/\x0B documents and would skew their nll).
+    * Documents the kernel sees zero tokens in (empty/whitespace-only) are
+    * unscorable and are dropped — scoring them would hand junk documents
+    * a perfect nll = 0 (and the head perplexity bucket).
     */
   def scoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], logps: Seq[Double], oovLogP: Double): DataFrame =
-    docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+    docs.select(col(idCol),
+        TextFunctions.hashAlignedTokenCount(col(textCol)).cast("long").as("n_tokens"),
         ColumnBridge.column(graft.expressions.TokenWeightSum(
           ColumnBridge.expression(col(textCol)), terms, logps, oovLogP))
           .as("__lpsum"))
+      .filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"),
         (-col("__lpsum") / col("n_tokens")).as("nll"))
 
   /** Join-path scoring for beyond-broadcast vocabularies: explode tokens,
     * hash-join the LM table, re-aggregate per document. OOV tokens take
-    * `oovLogP` via the left join's null branch.
+    * `oovLogP` via the left join's null branch. Token stream is the same
+    * [[TextFunctions.hashAlignedTokens]] as [[termCounts]]/the kernel;
+    * zero-token documents explode to no rows and drop naturally — the
+    * same unscorable-row contract as [[scoreBroadcast]].
     */
   def scoreJoin(docs: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, oovLogP: Double): DataFrame =
-    docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    docs.select(col(idCol),
+        explode(TextFunctions.hashAlignedTokens(col(textCol))).as("term"))
       .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("logp"), lit(oovLogP))).as("__lpsum"))
       .select(col(idCol), col("n_tokens"),
         (-col("__lpsum") / col("n_tokens")).as("nll"))
+
 }

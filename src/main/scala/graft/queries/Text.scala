@@ -145,7 +145,7 @@ object Text {
         .agg(count(lit(1)).as("n_docs"),
           sum(tokenCount(col("text"))).as("total_tokens"))
         .orderBy("split"),
-    """SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90
+    """SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
       |            THEN 'train' ELSE 'holdout' END AS split,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
@@ -454,7 +454,7 @@ object Text {
         .orderBy("source"),
     """WITH admitted AS (
       |  SELECT * FROM documents
-      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 <
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
       |    CASE WHEN source IN ('src0', 'src1') THEN 100
       |         WHEN source IN ('src2', 'src3') THEN 50
       |         ELSE 25 END)
@@ -486,7 +486,7 @@ object Text {
       |       FROM tw CROSS JOIN mn),
       |adm AS (
       |  SELECT d.source, d.text FROM documents d JOIN th USING (source)
-      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       |        % 10000 < thresh)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
@@ -701,7 +701,7 @@ object Text {
         .orderBy("shard"),
     """WITH s AS (
       |  SELECT doc_id, text,
-      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS shard,
+      |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INTEGER) AS shard,
       |    md5(CAST(doc_id AS VARCHAR)) AS h
       |  FROM documents),
       |p AS (
@@ -838,7 +838,7 @@ object Text {
       |       FROM tw CROSS JOIN mn),
       |adm AS (
       |  SELECT d.* FROM documents d JOIN th USING (source)
-      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       |        % 10000 < thresh),
       |bsh AS (SELECT DISTINCT unnest(
       |    [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh

@@ -77,6 +77,26 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1) === ((2L, "a b", 2L)))   // span gone, a and b kept
   }
 
+  test("rebuild tokenizer matches the hashing kernel on leading \\t/\\n and embedded \\f") {
+    // TextHashing delimits on runs of space/\t/\n/\r and never emits empty
+    // tokens: a LEADING \t/\n must not shift positions (trim-then-\s+ would
+    // emit an empty token 0), and \f is a token byte, not a delimiter (\s+
+    // would split there). Misalignment strips the wrong tokens silently.
+    val df = Seq(
+      (1L, s"k1 k2 $shared k3"),  // canonical — untouched
+      (2L, s"\tp1 $shared"),      // leading tab: span at kernel positions 1..9
+      (3L, s"\nq1 $shared"),      // leading newline: same shape
+      (4L, s"r1\fr2 $shared")     // \f inside one kernel token
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.stripSpans(df, "doc_id", "text", k = 8)
+      .select($"doc_id", $"text", $"kept_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === s"k1 k2 $shared k3")
+    assert(out(1) === ((2L, "p1", 1L)))
+    assert(out(2) === ((3L, "q1", 1L)))
+    assert(out(3) === ((4L, "r1\fr2", 1L)))
+  }
+
   test("documents shorter than the window never produce spans or change text") {
     val df = Seq((7L, "a b c"), (8L, "a b c")).toDF("doc_id", "text")
     assert(SpanDedup.dupSpans(df, "doc_id", "text", k = 8).isEmpty)

@@ -44,6 +44,28 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(math.abs(nll - (-oov)) < 1e-12) // every token at the floor
   }
 
+  test("n_tokens matches the kernel tokenizer on leading \\t/\\n and embedded \\f") {
+    // the kernel (TokenWeightSum) delimits on space/\t/\n/\r runs only;
+    // n_tokens must count the SAME tokens or the mean NLL divides by the
+    // wrong denominator (leading-\t docs: off-by-one; \f docs: \s+ splits
+    // a token the kernel keeps whole)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "\ta b"),      // kernel sees 2 tokens, trim-\s+ saw 3 (empty artifact)
+      (3L, "a\fb c"),     // kernel sees 2 tokens ("a\fb", "c"), \s+ saw 3
+      (4L, "\t \n")       // kernel sees 0 tokens → unscorable, dropped
+    ).toDF("doc_id", "text")
+    val (terms, logps, oov) = UnigramLm.collectLm(UnigramLm.train(docs, "text"))
+    val out = UnigramLm.scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map(1L -> 4L, 2L -> 2L, 3L -> 2L), s"got $out")
+    // and the join path agrees exactly on these counts
+    val j = UnigramLm.scoreJoin(docs, "doc_id", "text",
+        UnigramLm.train(docs, "text"), oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(j === out)
+  }
+
   test("join path agrees with the broadcast kernel within float reassociation") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val lm = UnigramLm.train(docs, "text")
