@@ -54,6 +54,12 @@ object Bench {
     println(json)
     val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // LAST line: a short summary that always fits a bounded stdout-tail
+    // capture — the full per-query line above is ~4 KB and harnesses that
+    // keep only the final ~2 KB would otherwise see an unparseable middle
+    // of it. Same "metric"/"value" contract; per-query detail stays in the
+    // full line and the file copy.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

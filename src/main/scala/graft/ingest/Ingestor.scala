@@ -53,7 +53,15 @@ final case class IngestResult(
   * - Errors are isolated per entity and reported in the result, not thrown
   *   (ingestion.py:149-176 semantics).
   */
-final class Ingestor(format: TableFormat, batchId: String) {
+/** @param stampTimestamp fixed ingestion timestamp to stamp instead of
+  *   `current_timestamp()` — injected by deterministic tests and the
+  *   correctness gate (a wall-clock stamp cannot be oracle-compared);
+  *   production callers leave it None. An Instant, not a java.sql
+  *   Timestamp, so the stamped value is the same UTC instant regardless
+  *   of the JVM's default zone.
+  */
+final class Ingestor(format: TableFormat, batchId: String,
+    stampTimestamp: Option[java.time.Instant] = None) {
 
   def ingest(spark: SparkSession, spec: IngestSpec): IngestResult =
     try {
@@ -73,7 +81,8 @@ final class Ingestor(format: TableFormat, batchId: String) {
       // the source is scanned exactly once
       val obsRead = new org.apache.spark.sql.Observation(s"read_${spec.name}")
       val stamped = raw
-        .withColumn("ingestion_timestamp", current_timestamp())
+        .withColumn("ingestion_timestamp",
+          stampTimestamp.map(lit(_)).getOrElse(current_timestamp()))
         .withColumn("source_file", lit(spec.path))
         .withColumn("ingestion_batch_id", lit(batchId))
         .observe(obsRead, count(lit(1)).as("rows_read"))

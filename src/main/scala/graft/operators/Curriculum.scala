@@ -28,24 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Curriculum {
 
-  /** Live shard caches per session — see the [[withGlobalRank]] lifecycle
-    * note for why these cannot be released automatically.
-    */
-  private val registry =
-    scala.collection.mutable.Map.empty[
-      org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.ListBuffer[DataFrame]]
-
-  /** Unpersist every shard cache this session accumulated through
-    * rank-based operators (Curriculum, SortedNeighborhood, Vocabulary).
+  /** Unpersist every shard cache this session accumulated through the
+    * prefix-sum operators (Curriculum, Packing, and the rank-based ops
+    * built on them: SortedNeighborhood, Vocabulary, tokenBudgetFill).
     * Call only after the ranked results have been fully consumed — a plan
     * still pending over a released cache recomputes with FRESH sampled
-    * boundaries and would rank inconsistently.
+    * boundaries and would rank inconsistently. Registry bookkeeping
+    * (including self-pruning after an external `clearCache()`) lives in
+    * [[ShardCaches]].
     */
   def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
-    registry.synchronized {
-      registry.remove(spark).foreach(_.foreach(_.unpersist(false)))
-    }
+    ShardCaches.release(spark)
 
   /** Each row with its global 1-based rank in `orderCols` order (column
     * `rank`) and the corpus row count (column `total`). The order must be a
@@ -66,10 +59,7 @@ object Curriculum {
     val sharded = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registry.synchronized {
-      registry.getOrElseUpdate(df.sparkSession,
-        scala.collection.mutable.ListBuffer.empty) += sharded
-    }
+    ShardCaches.register(sharded)
     val shardCounts = sharded.groupBy(shard).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = shardCounts.values.sum

@@ -41,13 +41,13 @@ object Packing {
     // read the same materialized shards — one corpus scan, and the shard
     // boundaries the prefix map was built from are bitwise the ones the
     // window phase sees. The cache backs the RETURNED frame, so it cannot be
-    // released here; callers that materialize the result and move on should
-    // `df.unpersist()`-sweep via spark.sharedState or simply let LRU reclaim
-    // it — long-running services should write the packed result out and drop
-    // the lineage
+    // released here; it is registered so Curriculum.releaseCaches (or an
+    // external clearCache, which the registry self-prunes after) reclaims
+    // it once the packed result is fully consumed
     val sharded = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(sharded)
     // one row per shard — driver state the size of the shard count, the
     // same scale class as a broadcast build side or IVF centroid set
     // cast BEFORE summing, matching the within-shard window below — casting

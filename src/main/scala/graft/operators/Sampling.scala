@@ -114,7 +114,10 @@ object Sampling {
     * ([[graft.plans.TopKPerGroupPlan]]): one shuffle on the group key and
     * NO per-group sort of the full corpus — a group's billion rows are
     * scanned once into an N-bounded heap; only the N survivors are sorted
-    * to assign `sample_rank`.
+    * to assign `sample_rank`. Memory note: the heap exec keeps
+    * nPerGroup rows per distinct group per partition on-heap (no spill) —
+    * right for strata like source/lang/domain; for near-row-cardinality
+    * group keys route through [[TopK.perGroupWindow]] instead.
     */
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
       nPerGroup: Int): DataFrame = {

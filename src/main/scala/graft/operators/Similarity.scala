@@ -31,6 +31,10 @@ object Similarity {
     * then assigned by a window over the k-per-query survivors only — a
     * frame of size k × queries, negligible. Same rows and tie-break
     * ((cos_sim desc, vec_id)) as the row_number formulation it replaced.
+    * Memory note: the heap exec holds k rows per query per partition
+    * on-heap — fine here because query sets are broadcast-class by
+    * construction; a near-corpus-sized query set should use
+    * [[TopK.perGroupWindow]] (spilling sort) instead.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = TopK.perGroupNative(

@@ -149,6 +149,12 @@ object SpanDedup {
     val blocked = broadcast(
       blocklist.select(explode(ColumnBridge.column(ShingleHashes(
         ColumnBridge.expression(col(blocklistTextCol)), k))).as("h")).distinct())
+    // unlike duplicatedWindows, the corpus windows expansion here has
+    // exactly ONE consumer (the semi-join probe), so it needs no persist:
+    // the rebuild's second corpus read is a plain scan without the shingle
+    // explode. Benchmarked at sf0.1 this runs at parity with stripSpans
+    // (0.9-1.3 s both, isolated and in-suite) — an earlier 5x reading was
+    // suite-order noise, not a repeated expansion.
     val hits = positionalWindows(corpus, idCol, textCol, k)
       .join(blocked, Seq("h"), "left_semi")
       .select(col(idCol), col("pos"))

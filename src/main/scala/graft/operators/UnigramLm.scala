@@ -116,4 +116,30 @@ object UnigramLm {
       .select(col(idCol), col("n_tokens"),
         (-col("__lpsum") / col("n_tokens")).as("nll"))
 
+  /** [[scoreJoin]] with the kernel's DETERMINISTIC summation order: tokens
+    * carry their position through the join, and each document's log-probs
+    * fold left-to-right over the position-sorted array — bit-identical to
+    * [[scoreBroadcast]] for the same log-prob table, on any partitioning
+    * (a plain `sum` adds in partition-arrival order and drifts ulps run to
+    * run). The price is one collect_list of (pos, logp) per document
+    * before the fold — document-length-bounded memory per group, vs the
+    * streaming sum's O(1) — the right trade whenever scores feed threshold
+    * cuts or cross-engine audits, where last-ulp drift can flip boundary
+    * documents. q122 gates this path against the oracle exactly.
+    */
+  def scoreJoinOrdered(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovLogP: Double): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextFunctions.hashAlignedTokens(col(textCol))))
+      .toDF(idCol, "pos", "term")
+      .join(lm.select(col("term"), col("logp")), Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("logp"), lit(oovLogP)).as("logp")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("logp")).as("__lpsum"))
+      .select(col(idCol), col("n_tokens"),
+        (-col("__lpsum") / col("n_tokens")).as("nll"))
 }

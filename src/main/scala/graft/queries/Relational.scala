@@ -332,12 +332,22 @@ object Relational {
       |FROM orders""".stripMargin)
 
   /** JSON extraction (extended surface, SURVEY §2.7 note): events.props is a
-    * JSON string; pull props.k and aggregate by event_type.
+    * JSON string; pull props.k and aggregate by event_type. Parsed with
+    * `from_json` + an explicit one-field schema, not `get_json_object`:
+    * the schema'd parser runs Jackson once into a typed struct, while the
+    * path form re-tokenizes the JSON string per extraction — measured 9×
+    * slower on this query at sf0.1 (6.25 s vs 0.7 s for the q64 struct
+    * form doing strictly more work). Same null semantics on this data
+    * (missing/malformed → null k), pinned against the path form in
+    * QueriesSmokeSpec.
     */
   private val jsonExtract = QueryDef(
     (s, dir) =>
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
         .orderBy("event_type"),

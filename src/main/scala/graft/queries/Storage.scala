@@ -209,11 +209,80 @@ object Storage {
       |  CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT) AS sum_key
       |FROM nation GROUP BY 1 ORDER BY status""".stripMargin)
 
+  /** Append + mergeSchema sink (§2.1 S3, reference scripts/ingestion.py:
+    * 94-98 `mergeSchema=true`): two batches with DIFFERENT schemas append
+    * to one table — batch 2 drops a column and adds a new one — and the
+    * read-back must hold the union-by-name schema with nulls where a batch
+    * had no value. This is the schema-evolution contract Delta gives the
+    * reference for free; [[graft.sources.ParquetTableFormat]] emulates it
+    * (rewrite-at-union on drift), and the gate proves the emulation's
+    * semantics, not just that it doesn't throw (TableFormatSpec's job).
+    */
+  private val mergeSchemaAppend = QueryDef(
+    (s, dir) => {
+      val fmt = graft.sources.ParquetTableFormat
+      val tag = Housekeeping.appTag(s)
+      val tbl = s"graft_gate_merge_$tag"
+      Housekeeping.dropStaleTables(s, "graft_gate_merge_", tag)
+      s.sql(s"DROP TABLE IF EXISTS $tbl") // append sink: re-runs must reset
+      val nation = Tables.nation(s, dir)
+      fmt.appendMergeSchema(s,
+        nation.filter(col("n_nationkey") < 13).select("n_nationkey", "n_name"),
+        tbl) // creates at the batch-1 schema
+      fmt.appendMergeSchema(s,
+        nation.filter(col("n_nationkey") >= 13).select("n_nationkey", "n_regionkey"),
+        tbl) // drift: n_name gone, n_regionkey new → union-by-name widen
+      fmt.read(s, tbl).orderBy("n_nationkey")
+    },
+    """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+      |FROM nation WHERE n_nationkey < 13
+      |UNION ALL
+      |SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey
+      |FROM nation WHERE n_nationkey >= 13
+      |ORDER BY n_nationkey""".stripMargin)
+
+  /** Ingestion metadata stamping (§2.6 C5-C6, reference scripts/
+    * ingestion.py:77-80): the CSV → stamp → dedup → bronze-append flow run
+    * end to end with an INJECTED fixed timestamp (a wall-clock stamp can't
+    * be oracle-compared; the injection seam is the Ingestor's
+    * stampTimestamp). The oracle is the source table plus literal stamp
+    * columns. source_file is stamped too but holds a session-unique tmp
+    * path, so the gate projects it out (PipelineSpec covers it).
+    */
+  private val ingestStamp = QueryDef(
+    (s, dir) => {
+      val fmt = graft.sources.ParquetTableFormat
+      val tag = Housekeeping.appTag(s)
+      val tbl = s"graft_gate_stamp_$tag"
+      Housekeeping.dropStaleTables(s, "graft_gate_stamp_", tag)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stamp_$tag"
+      Tables.nation(s, dir).write.mode("overwrite").option("header", "true").csv(tmp)
+      val ingestor = new graft.ingest.Ingestor(fmt, batchId = "gate_batch_001",
+        stampTimestamp = Some(java.time.Instant.parse("2024-01-15T10:30:00Z")))
+      val res = ingestor.ingest(s, graft.ingest.IngestSpec(
+        name = "nation", path = tmp, targetTable = tbl,
+        schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "n_nationkey INT, n_name STRING, n_regionkey INT")),
+        dedupKeys = Seq("n_nationkey"), orderCol = Some("n_regionkey")))
+      require(res.ok, s"gate ingest failed: ${res.error}")
+      fmt.read(s, tbl)
+        .select("n_nationkey", "n_name", "n_regionkey",
+          "ingestion_timestamp", "ingestion_batch_id")
+        .orderBy("n_nationkey")
+    },
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  TIMESTAMP '2024-01-15 10:30:00' AS ingestion_timestamp,
+      |  'gate_batch_001' AS ingestion_batch_id
+      |FROM nation ORDER BY n_nationkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q58_orc_roundtrip" -> orcRoundtrip,
     "q59_jsonl_roundtrip" -> jsonlRoundtrip,
     "q83_bucketed_join" -> bucketedJoin,
     "q84_partition_prune" -> partitionPrune,
     "q90_zorder_layout" -> zorderLayout,
-    "q91_csv_quarantine" -> csvQuarantine)
+    "q91_csv_quarantine" -> csvQuarantine,
+    "q120_merge_schema" -> mergeSchemaAppend,
+    "q121_ingest_stamp" -> ingestStamp)
 }

@@ -50,8 +50,15 @@ object Stream {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY media_id""".stripMargin)
 
-  /** Stub decode + resize plumbing — rows-only (decoder features are
-    * engine-side); asserted value-wise in MultimodalSpec.
+  /** Stub decode + resize plumbing. The stub decoder is DETERMINISTIC
+    * (dimensions from the JVM byte-array hash, frame count likewise), so
+    * the oracle replays it: `java.util.Arrays.hashCode(byte[])` is the
+    * 31-polynomial fold with int32 wraparound, rebuilt in SQL as a
+    * list_reduce over per-char code points (the synthetic documents are
+    * pure ASCII, so chars ARE the UTF-8 bytes) with an explicit floor-mod
+    * 2^32 wrap — DuckDB's % is remainder, and a remainder wrap corrupts
+    * every modulus that does not divide 2^32 (caught on n_frames' mod
+    * 300). Feature vectors stay engine-side, asserted in MultimodalSpec.
     */
   private val decodedMedia = QueryDef(
     (s, dir) => {
@@ -65,7 +72,34 @@ object Stream {
           "out_width", "out_height", "n_frames")
         .orderBy("media_id")
     },
-    None)
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |    list_reduce(
+      |      list_prepend(CAST(1 AS BIGINT),
+      |        [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (((31 * a + b + 2147483648) % 4294967296 + 4294967296)
+      |                 % 4294967296) - 2147483648) AS jh
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id AS media_id, kind, byte_len,
+      |    CAST(64 + ((jh % 1024) + 1024) % 1024 AS INTEGER) AS width,
+      |    CAST(64 + ((CAST(floor(jh / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
+      |      AS INTEGER) AS height,
+      |    CAST(CASE WHEN kind = 'video'
+      |      THEN 1 + ((CAST(floor(jh / 1048576.0) AS BIGINT) % 300) + 300) % 300
+      |      ELSE 1 END AS INTEGER) AS n_frames
+      |  FROM h)
+      |SELECT media_id, kind, byte_len, width, height,
+      |  CAST(CASE WHEN greatest(width, height) > 256
+      |    THEN floor(width * (256.0 / greatest(width, height)))
+      |    ELSE width END AS INTEGER) AS out_width,
+      |  CAST(CASE WHEN greatest(width, height) > 256
+      |    THEN floor(height * (256.0 / greatest(width, height)))
+      |    ELSE height END AS INTEGER) AS out_height,
+      |  n_frames
+      |FROM d ORDER BY media_id""".stripMargin)
 
   /** Sliding windows (1 h window, 15 min slide) as a batch computation:
     * each event belongs to 4 overlapping windows — explode the covering

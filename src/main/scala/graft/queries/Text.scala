@@ -1039,6 +1039,44 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** The LM's JOIN scoring path on the oracle — the beyond-broadcast-
+    * vocabulary route (explode + hash join + re-aggregate) that q114's
+    * broadcast kernel does not exercise. Exact, not tolerance-based: the
+    * log-prob table is computed on the DRIVER (collectLm's Math.log is
+    * bitwise DuckDB-ln-equal; Spark's distributed log is StrictMath) and
+    * the ordered variant (UnigramLm.scoreJoinOrdered) folds each
+    * document's log-probs in POSITION order, matching the oracle's
+    * list_sum(list(lp ORDER BY pos)) bit for bit — a round()-tolerance
+    * gate was rejected because this corpus has documents within 1e-9 of a
+    * 6-decimal rounding boundary, exactly where arrival-order drift flips
+    * the rounded value. The plain streaming scoreJoin stays spec-bounded
+    * against the kernel (UnigramLmSpec, 1e-9).
+    */
+  private val lmScoreJoin = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (terms, logps, _) = graft.operators.UnigramLm.collectLm(
+        graft.operators.UnigramLm.termCounts(docs, "text"))
+      import s.implicits._
+      val lm = terms.zip(logps).toDF("term", "logp")
+      // oov floor is irrelevant: the LM is trained on the corpus it scores
+      graft.operators.UnigramLm.scoreJoinOrdered(docs, "doc_id", "text", lm,
+        oovLogP = Double.NegativeInfinity)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, unnest([struct_pack(pos := i, tok := t[i])
+      |                                     for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |lp AS (SELECT tok, ln(cnt / total) lp FROM unig, tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) s, COUNT(*) n
+      |        FROM tok JOIN lp USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
   /** CCNet head/middle/tail: cut the corpus into perplexity terciles with
     * the distributed-rank bucketer over the LM score — the data-selection
     * move of Wenzek et al. (keep the head, sample the middle, drop the
@@ -1275,5 +1313,6 @@ object Text {
     "q40_fingerprint_dedup" -> fingerprintDedup,
     "q41_ngram_jaccard" -> ngramJaccard,
     "q42_minhash_lsh" -> minhashLsh,
-    "q43_simhash_pairs" -> simhashPairs)
+    "q43_simhash_pairs" -> simhashPairs,
+    "q122_lm_score_join" -> lmScoreJoin)
 }

@@ -48,6 +48,26 @@ class PackingSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L, false)))
   }
 
+  test("shard-cache registry self-prunes after an external clearCache") {
+    // the Bench/Verify harnesses drop blocks with spark.catalog.clearCache()
+    // rather than releaseCaches(); the registry must not grow one dead plan
+    // reference per prefix-sum invocation in such sessions
+    // distinct inputs per call (like distinct queries in one session):
+    // identical plans would re-register the SAME cache entry, and the old
+    // frames' storage-level lookup would then see the new entry as live
+    for (i <- 1 to 3) {
+      val df = (1L to (50L + i)).map(j => (j, 1L)).toDF("id", "w")
+      Packing.withGlobalOffsets(df, "id", "w").count()
+      spark.catalog.clearCache()
+    }
+    val df = (1L to 60L).map(j => (j, 1L)).toDF("id", "w")
+    Packing.withGlobalOffsets(df, "id", "w").count() // registers + sweeps
+    assert(graft.operators.ShardCaches.liveCount(spark) <= 1,
+      "dead cache entries survived the sweep")
+    graft.operators.Curriculum.releaseCaches(spark)
+    assert(graft.operators.ShardCaches.liveCount(spark) === 0)
+  }
+
   test("empty input yields an empty result, not a crash") {
     val df = Seq.empty[(Long, Long)].toDF("id", "w")
     assert(Packing.sequencePacking(df, "id", "w", capacity = 10).count() == 0L)

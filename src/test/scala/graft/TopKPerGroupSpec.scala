@@ -32,6 +32,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("perGroupWindow (the spill-safe fallback) matches the native exec") {
+    // the documented escape hatch for near-row-cardinality group keys must
+    // stay output-identical: same ranking, tie-break, and null-row drop
+    val withNulls = orders.union(
+      Seq(("1-URGENT", 999999L, null.asInstanceOf[java.lang.Double]))
+        .toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice").cast("double")))
+    Seq(1, 5).foreach { k =>
+      val native = TopK.perGroupNative(withNulls, "o_orderpriority",
+        "o_totalprice", "o_orderkey", k)
+        .as[(String, Long, Double)].collect().toSet
+      val window = TopK.perGroupWindow(withNulls, "o_orderpriority",
+        "o_totalprice", "o_orderkey", k)
+        .as[(String, Long, Double)].collect().toSet
+      assert(native == window, s"k=$k")
+    }
+  }
+
   test("the physical plan has no Sort and exactly one exchange") {
     val p = TopK.perGroupNative(orders, "o_orderpriority",
       "o_totalprice", "o_orderkey", 3)

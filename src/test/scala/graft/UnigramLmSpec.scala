@@ -66,6 +66,21 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(j === out)
   }
 
+  test("ordered join path is BITWISE equal to the broadcast kernel") {
+    // same driver-computed log-probs + same left-to-right positional fold
+    // → identical doubles on any partitioning, no tolerance needed
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val (terms, logps, oov) = UnigramLm.collectLm(UnigramLm.termCounts(docs, "text"))
+    val lm = terms.zip(logps).toDF("term", "logp")
+    val b = UnigramLm.scoreBroadcast(docs, "doc_id", "text", terms, logps, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val j = UnigramLm.scoreJoinOrdered(docs.repartition(11), "doc_id", "text", lm, oov)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(b.keySet === j.keySet)
+    assert(b.forall { case (id, v) => v == j(id) },
+      "ordered fold must reproduce the kernel bit for bit")
+  }
+
   test("join path agrees with the broadcast kernel within float reassociation") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val lm = UnigramLm.train(docs, "text")
