@@ -43,7 +43,11 @@ object Packing {
     // window phase sees. The cache backs the RETURNED frame, so it cannot be
     // released here; it is registered so Curriculum.releaseCaches (or an
     // external clearCache, which the registry self-prunes after) reclaims
-    // it once the packed result is fully consumed
+    // it once the packed result is fully consumed. NOTE releaseCaches is a
+    // session-wide sweep over every prefix-sum cache: calling it with a
+    // packed/ranked result still PENDING recomputes that result over
+    // freshly-sampled shard boundaries (inconsistent offsets) — consume
+    // all such results first, as its scaladoc requires
     val sharded = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn(shard, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

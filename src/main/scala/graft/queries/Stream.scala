@@ -58,7 +58,9 @@ object Stream {
     * pure ASCII, so chars ARE the UTF-8 bytes) with an explicit floor-mod
     * 2^32 wrap — DuckDB's % is remainder, and a remainder wrap corrupts
     * every modulus that does not divide 2^32 (caught on n_frames' mod
-    * 300). Feature vectors stay engine-side, asserted in MultimodalSpec.
+    * 300). Empty text is special-cased to the JVM's empty-array hash of 1:
+    * DuckDB string_split('', '') yields [''] and unicode('') is -1, which
+    * would fold to 30. Feature vectors stay engine-side (MultimodalSpec).
     */
   private val decodedMedia = QueryDef(
     (s, dir) => {
@@ -76,11 +78,11 @@ object Stream {
       |  SELECT doc_id,
       |    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-      |    list_reduce(
+      |    CASE WHEN length(text) = 0 THEN 1 ELSE list_reduce(
       |      list_prepend(CAST(1 AS BIGINT),
       |        [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
       |      (a, b) -> (((31 * a + b + 2147483648) % 4294967296 + 4294967296)
-      |                 % 4294967296) - 2147483648) AS jh
+      |                 % 4294967296) - 2147483648) END AS jh
       |  FROM documents),
       |d AS (
       |  SELECT doc_id AS media_id, kind, byte_len,

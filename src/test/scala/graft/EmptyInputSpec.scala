@@ -117,4 +117,41 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.DupGroups.semanticDupGroups(
       vecs, kCells = 4, threshold = 0.3).count() == 0)
   }
+
+  test("ordered LM join path: empty corpus, zero-token and null-text rows") {
+    val lm = Seq(("a", -1.0), ("b", -2.0)).toDF("term", "logp")
+    assert(graft.operators.UnigramLm.scoreJoinOrdered(
+      emptyDocs, "doc_id", "text", lm, oovLogP = -3.0).count() == 0)
+    val docs = Seq((1L, "a b", "s"), (2L, "\t \n", "s"),
+        (3L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.UnigramLm.scoreJoinOrdered(
+      docs, "doc_id", "text", lm, oovLogP = -3.0)
+      .as[(Long, Long, Double)].collect()
+    // zero-token and null-text rows explode to nothing and drop — the same
+    // unscorable contract as the kernel path
+    assert(out.toSeq === Seq((1L, 2L, 1.5)))
+  }
+
+  test("spill-safe top-k fallback on empty input and all-null order values") {
+    val empty = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(graft.operators.TopK.perGroupWindow(empty, "g", "v", "id", 3).count() == 0)
+    val nulls = Seq(("g1", 1L, null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "id", "v").select($"g", $"id", $"v".cast("double"))
+    assert(graft.operators.TopK.perGroupWindow(nulls, "g", "v", "id", 3).count() == 0)
+  }
+
+  test("merge-schema append of an empty evolved batch leaves the table intact") {
+    val fmt = graft.sources.ParquetTableFormat
+    val tbl = "graft_test_empty_merge"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    fmt.appendMergeSchema(spark, someDocs.select("doc_id", "text"), tbl)
+    fmt.appendMergeSchema(spark,
+      emptyDocs.select("doc_id", "source"), tbl) // evolved but EMPTY batch
+    val out = fmt.read(spark, tbl)
+    assert(out.columns.toSet === Set("doc_id", "text", "source"))
+    assert(out.count() == 2 &&
+      out.filter($"source".isNotNull).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

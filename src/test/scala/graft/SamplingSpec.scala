@@ -19,16 +19,19 @@ class SamplingSpec extends AnyFunSuite {
   private val n = 200000L
   private lazy val keys = spark.range(n).toDF("k").cache()
 
-  test("empirical admission at 10k buckets is within 1% relative of nominal") {
+  test("empirical admission at 10k buckets is within 2% relative of nominal") {
     // thresholds spanning the residue classes the 16-bit draw over-admits
     for (t <- Seq(1000, 2500, 5000)) {
       val admitted = keys
         .filter(Sampling.hashBucket(col("k"), 10000) < t).count()
       val got = admitted.toDouble / n
       val want = t / 10000.0
-      // binomial noise at n=200k: sigma <= 0.0011 absolute, well under the
-      // 1% relative gate for these rates; the 16-bit bias was ~6.8%
-      assert(math.abs(got - want) / want < 0.01,
+      // gate at 2% relative: binomial noise at n=200k and t=1000 is
+      // sigma ≈ 0.67% RELATIVE (this fixed key set realizes 0.8%), so a
+      // 1% gate would sit ~1.5 sigma out and re-roll on any change to the
+      // key set; 2% keeps 3-sigma headroom while still failing the 16-bit
+      // draw's ~6.8% bias by a wide margin
+      assert(math.abs(got - want) / want < 0.02,
         s"threshold $t: admitted $got, nominal $want " +
           f"(rel err ${math.abs(got - want) / want}%.4f)")
     }
