@@ -145,6 +145,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("q15 JSON extraction prunes the events scan to the two used columns") {
+    // from_json must not widen the scan: 100 TB of events has many columns,
+    // and the aggregation touches only event_type + props
+    val p = plan("q15_json")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      p.take(2000))
+  }
+
+  test("ordered LM join scoring: hash join + sharded aggregation, no global funnel") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+    val lm = Seq(("the", -1.0)).toDF("term", "logp")
+    val p = graft.operators.UnigramLm.scoreJoinOrdered(
+      docs, "doc_id", "text", lm, -2.0)
+      .queryExecution.executedPlan.toString
+    // LM probe must be a hash join (broadcast at this size), and nothing in
+    // the plan may collapse to one partition — the per-doc ordered fold is
+    // a grouped aggregate, not a global window
+    assert(p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
