@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{FloatVecDot, LongArrayMatchFrac, LongSetJaccard, MinHashSig, NgramFreqStats, ShingleHashes, SimHash64, TokenSetHits, Winnow}
+import graft.expressions.{AlignedTokenCount, FloatVecDot, LongArrayMatchFrac, LongSetJaccard, MinHashSig, NgramFreqStats, ShingleHashes, SimHash64, TokenSetHits, Winnow}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so the `spark.sql` surface (and dbt-style SQL-string models)
@@ -22,7 +22,8 @@ import graft.expressions.{FloatVecDot, LongArrayMatchFrac, LongSetJaccard, MinHa
   * minhash_sig(text, n, k) → array<bigint>, winnow(array<bigint>, w) →
   * array<bigint>, ngram_freq_stats(array<string>, n) → struct,
   * token_set_hits(text, array<string>) → int, long_set_jaccard(array<bigint>,
-  * array<bigint>) → double. (NearestCell, WrapMulAdd, BloomAnyContain and
+  * array<bigint>) → double, aligned_token_count(text) → int.
+  * (NearestCell, WrapMulAdd, BloomAnyContain and
   * CmsEstimateTerm stay Column-only: their parameters are driver-held
   * matrices/sketches a SQL literal can't express.)
   */
@@ -62,7 +63,10 @@ object GraftExtensions {
         stringArrayLiteralArg(args(1), "token_set_hits", "words"))),
     ("long_set_jaccard",
       "long_set_jaccard(a, b) - set Jaccard of two bigint-array hash sets",
-      args => LongSetJaccard(args(0), args(1))))
+      args => LongSetJaccard(args(0), args(1))),
+    ("aligned_token_count",
+      "aligned_token_count(text) - token count under the hashing kernels' tokenizer (space/tab/CR/LF runs)",
+      args => AlignedTokenCount(args.head)))
 
   /** A function argument that must be a constant array of strings. */
   private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {

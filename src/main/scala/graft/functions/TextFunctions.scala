@@ -34,9 +34,14 @@ object TextFunctions {
 
   /** Count of [[hashAlignedTokens]] — the token count the hashing kernel
     * actually sees (0 for empty/whitespace-only text, where [[tokenCount]]
-    * counts the split artifact as 1).
+    * counts the split artifact as 1). One-pass codegen expression
+    * (graft.expressions.AlignedTokenCount), not size-of-filtered-split:
+    * this count rides next to the scoring kernels on full corpus scans.
     */
-  def hashAlignedTokenCount(text: Column): Column = size(hashAlignedTokens(text))
+  def hashAlignedTokenCount(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.AlignedTokenCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** A BPE-ish subword proxy: alphanumeric runs + individual punctuation,
     * approximating how byte-pair tokenizers split mixed text.

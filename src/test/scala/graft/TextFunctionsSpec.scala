@@ -16,6 +16,29 @@ class TextFunctionsSpec extends AnyFunSuite {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("t").select(c.as("r")).head.getAs[T]("r")
 
+  test("aligned token count: one-pass expression == filtered-split formulation") {
+    // the codegen kernel must agree with the Column form it replaced on
+    // every delimiter edge the two tokenizer families disagree about
+    val cases = Seq(
+      "a b c", "  a  b  ", "\ta b", "\na\rb", "a\fb c", "", " ", "\t \n",
+      "one", "ab", "trailing \t")
+    val df = cases.toDF("t")
+    val got = df.select(
+      hashAlignedTokenCount(col("t")).as("fast"),
+      size(filter(split(col("t"), "[ \t\n\r]+"), x => x =!= "")).as("ref"))
+      .collect()
+    got.zip(cases).foreach { case (r, c) =>
+      assert(r.getInt(0) === r.getInt(1), s"mismatch on ${c.replace("\n", "\\n")}")
+    }
+    // null in → null out, matching size(null-array)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(hashAlignedTokenCount(col("t")).as("r")).head
+    assert(n.isNullAt(0))
+    // and the SQL registration exposes the same kernel
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT aligned_token_count('\ta b')").head.getInt(0) === 2)
+  }
+
   test("subwordCount splits alphanumeric runs and punctuation") {
     // "don't stop" → don / ' / t / stop
     assert(one[Int](subwordCount(col("t")), "don't stop") == 4)
