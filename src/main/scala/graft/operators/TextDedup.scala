@@ -38,6 +38,35 @@ object TextDedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingestion dedup: from `batch`, drop rows whose normalized
+    * content fingerprint already exists in `corpus`, then keep one row per
+    * remaining fingerprint (lowest id wins) — the per-dump dedup step of a
+    * rolling corpus build, where each new crawl snapshot is deduped against
+    * everything already ingested before appending.
+    *
+    * Scale shape: only (16-byte fingerprint, id) ever shuffles. The
+    * existing corpus reduces to a distinct fingerprint set, the batch
+    * anti-joins it on the fingerprint key, and the surviving winners
+    * semi-join back to the batch — text rides only the final batch-sized
+    * semi-join. No broadcast assumption: at corpus scale the existing
+    * fingerprint side is itself huge, so the anti-join shuffles both sides
+    * on the key (AQE still broadcasts small corpora on its own). A
+    * Bloom-sketch prefilter ([[decontaminateBloom]]'s pattern) could cut
+    * the probe cost further, but exactness of "already ingested" needs the
+    * full set — a false positive would silently drop novel content.
+    */
+  def dedupIncrement(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val existing = corpus
+      .select(fingerprint(col(textCol)).as("__fp")).distinct()
+    val winners = batch
+      .select(col(idCol), fingerprint(col(textCol)).as("__fp"))
+      .join(existing, Seq("__fp"), "left_anti")
+      .groupBy("__fp").agg(min(col(idCol)).as("__keep"))
+      .select(col("__keep").as(idCol))
+    batch.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs sharing at least
     * one shingle. `maxDocFreq` drops shingles present in more than that many
     * documents (stop-shingles) — without it, a low-entropy corpus degenerates

@@ -1077,6 +1077,119 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
+    * 0-299 are the already-ingested corpus; the incoming batch is docs
+    * 200-499 re-keyed to id+10000 (a new dump overlapping the last one —
+    * the realistic crawl shape). Batch docs 200-299 duplicate ingested
+    * content and must drop via the fingerprint anti-join; 300-499 are
+    * novel and survive. Output: per-language survivor counts + first id.
+    */
+  private val incrementalDedup = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 200)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      graft.operators.TextDedup.dedupIncrement(batch, corpus, "doc_id", "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
+        .orderBy("lang")
+    },
+    """WITH fp AS (SELECT doc_id, lang,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id < 300),
+      |batch AS (SELECT doc_id + 10000 AS doc_id, lang, f FROM fp WHERE doc_id >= 200),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM batch
+      |         WHERE f NOT IN (SELECT f FROM corpus) GROUP BY f)
+      |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+      |FROM batch WHERE doc_id IN (SELECT doc_id FROM keep)
+      |GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** DSIR importance scoring (Dsir.score): hashed {1,2}-gram bucket
+    * distributions estimated for the target (English docs) and the raw
+    * corpus, each document scored by the sum of its features' log
+    * importance ratios via the zero-shuffle ArrayWeightSum kernel. The
+    * oracle rebuilds the bucketed distributions in SQL (same 32-bit md5
+    * bucket draw), computes the same smoothed ln-ratio weights, and folds
+    * each document's weights in feature-position order — bit-for-bit.
+    */
+  private val dsirScore = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Dsir.trainWeights(
+        docs.filter(col("lang") === "en"), docs, "text",
+        maxN = 2, numBuckets = 10000)
+      graft.operators.Dsir.score(docs, "doc_id", "text", w, maxN = 2)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+      |              FROM documents WHERE trim(text) != ''),
+      |fs AS (SELECT doc_id, lang,
+      |         list_concat(t, [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS f
+      |       FROM toks),
+      |feat AS (SELECT doc_id, lang, u.pos AS pos,
+      |           CAST('0x' || substring(md5(u.g), 1, 8) AS BIGINT) % 10000 AS b
+      |         FROM (SELECT doc_id, lang,
+      |                 unnest([struct_pack(pos := i, g := f[i]) for i in range(1, len(f) + 1)]) AS u
+      |               FROM fs)),
+      |tc AS (SELECT b, COUNT(*) AS c FROM feat WHERE lang = 'en' GROUP BY b),
+      |rc AS (SELECT b, COUNT(*) AS c FROM feat GROUP BY b),
+      |tt AS (SELECT COUNT(*) AS c FROM feat WHERE lang = 'en'),
+      |rt AS (SELECT COUNT(*) AS c FROM feat),
+      |w AS (SELECT r.b,
+      |        ln((COALESCE(t.c, 0) + 0.5) / (tt.c + 0.5 * 10000)) -
+      |        ln((r.c + 0.5) / (rt.c + 0.5 * 10000)) AS w
+      |      FROM rc r LEFT JOIN tc t USING (b), tt, rt),
+      |agg AS (SELECT doc_id, list_sum(list(w ORDER BY pos)) AS s, COUNT(*) AS n
+      |        FROM feat JOIN w USING (b) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_features, s AS dsir_logw
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
+  /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
+    * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
+    * sort. Scores are bitwise reproducible (q124 pins them), so the
+    * selected SET is oracle-exact; the faithful Gumbel-top-k resampler
+    * (Dsir.resampleGumbel) is spec-tested instead — its per-row
+    * -ln(-ln(u)) goes through Spark's StrictMath log, which is not
+    * guaranteed bitwise-equal to DuckDB ln at selection boundaries.
+    */
+  private val dsirSelect = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Dsir.trainWeights(
+        docs.filter(col("lang") === "en"), docs, "text",
+        maxN = 2, numBuckets = 10000)
+      val scored = graft.operators.Dsir.score(docs, "doc_id", "text", w, maxN = 2)
+      graft.operators.Dsir.selectTopK(scored, "doc_id", k = 50)
+        .select("doc_id", "dsir_logw")
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+      |              FROM documents WHERE trim(text) != ''),
+      |fs AS (SELECT doc_id, lang,
+      |         list_concat(t, [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS f
+      |       FROM toks),
+      |feat AS (SELECT doc_id, lang, u.pos AS pos,
+      |           CAST('0x' || substring(md5(u.g), 1, 8) AS BIGINT) % 10000 AS b
+      |         FROM (SELECT doc_id, lang,
+      |                 unnest([struct_pack(pos := i, g := f[i]) for i in range(1, len(f) + 1)]) AS u
+      |               FROM fs)),
+      |tc AS (SELECT b, COUNT(*) AS c FROM feat WHERE lang = 'en' GROUP BY b),
+      |rc AS (SELECT b, COUNT(*) AS c FROM feat GROUP BY b),
+      |tt AS (SELECT COUNT(*) AS c FROM feat WHERE lang = 'en'),
+      |rt AS (SELECT COUNT(*) AS c FROM feat),
+      |w AS (SELECT r.b,
+      |        ln((COALESCE(t.c, 0) + 0.5) / (tt.c + 0.5 * 10000)) -
+      |        ln((r.c + 0.5) / (rt.c + 0.5 * 10000)) AS w
+      |      FROM rc r LEFT JOIN tc t USING (b), tt, rt),
+      |agg AS (SELECT doc_id, list_sum(list(w ORDER BY pos)) AS s
+      |        FROM feat JOIN w USING (b) GROUP BY doc_id)
+      |SELECT doc_id, dsir_logw FROM (
+      |  SELECT doc_id, s AS dsir_logw FROM agg
+      |  ORDER BY s DESC, doc_id LIMIT 50)
+      |ORDER BY doc_id""".stripMargin)
+
   /** CCNet head/middle/tail: cut the corpus into perplexity terciles with
     * the distributed-rank bucketer over the LM score — the data-selection
     * move of Wenzek et al. (keep the head, sample the middle, drop the
@@ -1314,5 +1427,8 @@ object Text {
     "q41_ngram_jaccard" -> ngramJaccard,
     "q42_minhash_lsh" -> minhashLsh,
     "q43_simhash_pairs" -> simhashPairs,
-    "q122_lm_score_join" -> lmScoreJoin)
+    "q122_lm_score_join" -> lmScoreJoin,
+    "q123_incremental_dedup" -> incrementalDedup,
+    "q124_dsir_score" -> dsirScore,
+    "q125_dsir_select" -> dsirSelect)
 }

@@ -145,6 +145,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("DSIR scoring is a zero-shuffle projection") {
+    // the weight table rides inside the ArrayWeightSum kernel and
+    // featurization is per-row array construction: scoring must stay
+    // scan + project + filter — no exchange, no join, no explode
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+    val w = Array.tabulate(1000)(b => b * 1e-4)
+    val p = graft.operators.Dsir.score(docs, "doc_id", "text", w, maxN = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
   test("q15 JSON extraction prunes the events scan to the two used columns") {
     // from_json must not widen the scan: 100 TB of events has many columns,
     // and the aggregation touches only event_type + props
