@@ -23,13 +23,13 @@ import graft.functions.TextFunctions
   * ([[graft.expressions.ArrayWeightSum]]). Selection is orderBy+limit
   * (TakeOrderedAndProject: per-partition top-k, never a global sort spill).
   *
-  * Feature hashing draws from each n-gram string's md5 (the
+  * Feature hashing draws from each n-gram's md5 (the
   * [[Sampling.hashBucket]] 32-bit draw), NOT a faster rolling hash: md5 is
   * reproducible across runs, engines and languages, so scores can be
-  * audited off-cluster and replayed in the DuckDB oracle. The hashing is
-  * map-only and linear — a constant factor heavier than a rolling hash,
-  * which portability buys; fusing featurization into a one-pass kernel is
-  * the next optimization if scoring ever dominates a profile.
+  * audited off-cluster and replayed in the DuckDB oracle. Featurization is
+  * fused into the one-pass [[graft.expressions.HashedNgramBuckets]] kernel
+  * (digest over token bytes — no n-gram string ever materializes), map-only
+  * and linear.
   */
 object Dsir {
 
@@ -66,6 +66,16 @@ object Dsir {
     conv(substring(md5(feature.cast("binary")), 1, 8), 16, 10)
       .cast("long") % numBuckets
 
+  /** The document's feature-bucket array in one pass — bitwise
+    * `transform(ngramFeatures(text, maxN), f => featureBucket(f,
+    * numBuckets))`, through the [[graft.expressions.HashedNgramBuckets]]
+    * kernel instead of interpreted HOF lambdas that materialize every
+    * n-gram string (~10× on corpus scans; DsirSpec pins the equivalence).
+    */
+  def featureBuckets(text: Column, maxN: Int, numBuckets: Int): Column =
+    ColumnBridge.column(graft.expressions.HashedNgramBuckets(
+      ColumnBridge.expression(text), maxN, numBuckets))
+
   /** Per-bucket feature counts of a corpus plus the total feature count —
     * driver state (`numBuckets` longs). One explode + one groupBy over at
     * most `numBuckets` keys (map-side combine does nearly all the work at
@@ -74,8 +84,7 @@ object Dsir {
   def bucketCounts(docs: DataFrame, textCol: String, maxN: Int,
       numBuckets: Int): (Array[Long], Long) = {
     val rows = docs
-      .select(explode(ngramFeatures(col(textCol), maxN)).as("__f"))
-      .select(featureBucket(col("__f"), numBuckets).as("__b"))
+      .select(explode(featureBuckets(col(textCol), maxN, numBuckets)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("c"))
       .collect()
     val counts = new Array[Long](numBuckets)
@@ -100,6 +109,34 @@ object Dsir {
     }
   }
 
+  /** [[trainWeights]] for the common case where the target is a SUBSET of
+    * the raw corpus (a labeled/high-quality slice): identical weights from
+    * ONE corpus pass instead of two — each bucket tallies its total count
+    * and its target-flagged count in the same aggregation. DsirSpec pins
+    * the equality with `trainWeights(raw.filter(cond), raw, ...)`.
+    */
+  def trainWeightsSubset(raw: DataFrame, targetCond: Column, textCol: String,
+      maxN: Int, numBuckets: Int, alpha: Double = 0.5): Array[Double] = {
+    val rows = raw
+      .select(targetCond.as("__t"),
+        explode(featureBuckets(col(textCol), maxN, numBuckets)).as("__b"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val rc = new Array[Long](numBuckets)
+    val tc = new Array[Long](numBuckets)
+    rows.foreach { r =>
+      rc(r.getLong(0).toInt) = r.getLong(1)
+      tc(r.getLong(0).toInt) = r.getLong(2)
+    }
+    val (rTot, tTot) = (rc.sum, tc.sum)
+    Array.tabulate(numBuckets) { b =>
+      math.log((tc(b) + alpha) / (tTot + alpha * numBuckets)) -
+        math.log((rc(b) + alpha) / (rTot + alpha * numBuckets))
+    }
+  }
+
   /** Importance score per document: `(idCol, n_features, dsir_logw)` where
     * `dsir_logw` is the sum of the document's feature-bucket weights in
     * feature order (the log importance weight of the document under the
@@ -116,9 +153,7 @@ object Dsir {
     val nFeatures = (1 to maxN)
       .map(n => greatest(cnt - (n - 1), lit(0L)))
       .reduce(_ + _)
-    val buckets =
-      transform(ngramFeatures(col(textCol), maxN),
-        f => featureBucket(f, weights.length))
+    val buckets = featureBuckets(col(textCol), maxN, weights.length)
     docs.select(col(idCol),
         nFeatures.as("n_features"),
         ColumnBridge.column(graft.expressions.ArrayWeightSum(

@@ -1117,9 +1117,8 @@ object Text {
   private val dsirScore = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = graft.operators.Dsir.trainWeights(
-        docs.filter(col("lang") === "en"), docs, "text",
-        maxN = 2, numBuckets = 10000)
+      val w = graft.operators.Dsir.trainWeightsSubset(
+        docs, col("lang") === "en", "text", maxN = 2, numBuckets = 10000)
       graft.operators.Dsir.score(docs, "doc_id", "text", w, maxN = 2)
         .orderBy("doc_id")
     },
@@ -1157,9 +1156,8 @@ object Text {
   private val dsirSelect = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = graft.operators.Dsir.trainWeights(
-        docs.filter(col("lang") === "en"), docs, "text",
-        maxN = 2, numBuckets = 10000)
+      val w = graft.operators.Dsir.trainWeightsSubset(
+        docs, col("lang") === "en", "text", maxN = 2, numBuckets = 10000)
       val scored = graft.operators.Dsir.score(docs, "doc_id", "text", w, maxN = 2)
       graft.operators.Dsir.selectTopK(scored, "doc_id", k = 50)
         .select("doc_id", "dsir_logw")

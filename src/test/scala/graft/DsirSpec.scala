@@ -34,6 +34,50 @@ class DsirSpec extends AnyFunSuite {
     assert(rows(3) === Seq("x", "y", "x y"))
   }
 
+  test("featureBuckets kernel == Column formulation, every delimiter/unicode edge") {
+    // the one-pass digest must produce exactly the buckets the md5-of-
+    // joined-string Column form produces — including multi-byte UTF-8
+    // (the corpus has zh documents) and the tokenizer's delimiter edges
+    val cases = Seq(
+      "the cat sat on the mat",
+      "solo",
+      "",
+      " \t\n",
+      "\tleading tab",
+      "trailing newline\n",
+      "double  space   runs",
+      "中文 文档 内容 测试",
+      "mixed 中文 and english",
+      "a\fb stays one token")
+    val df = cases.toDF("t")
+    val rows = df.select(
+      Dsir.featureBuckets(col("t"), 2, 101).as("fast"),
+      transform(Dsir.ngramFeatures(col("t"), 2),
+        f => Dsir.featureBucket(f, 101)).as("ref"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"mismatch on '${c.replace("\n", "\\n").replace("\t", "\\t")}'")
+    }
+    // null in → null out
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(Dsir.featureBuckets(col("t"), 2, 101).as("r")).head
+    assert(n.isNullAt(0))
+  }
+
+  test("trainWeightsSubset == trainWeights on the filtered frame") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "beta gamma delta"),
+      (3L, "de", "zeta eta theta"),
+      (4L, "zh", "iota kappa lambda")).toDF("doc_id", "lang", "text")
+    val onePass = Dsir.trainWeightsSubset(
+      docs, col("lang") === "en", "text", maxN = 2, numBuckets = B)
+    val twoPass = Dsir.trainWeights(
+      docs.filter(col("lang") === "en"), docs, "text", maxN = 2, numBuckets = B)
+    assert(onePass.toSeq === twoPass.toSeq)
+  }
+
   test("score kernel == Column-formulated fold, bitwise") {
     val weights = Array.tabulate(B)(b => math.sin(b.toDouble)) // arbitrary
     val docs = Seq(
