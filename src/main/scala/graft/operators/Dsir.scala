@@ -46,13 +46,7 @@ object Dsir {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val t = TextFunctions.hashAlignedTokens(text)
     val per = (1 to maxN).map { n =>
-      if (n == 1) t
-      else
-        // sequence() steps DOWNWARD when end < start, so guard short docs
-        when(size(t) >= n,
-          transform(sequence(lit(1), size(t) - (n - 1)),
-            i => array_join(slice(t, i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))
+      if (n == 1) t else TextFunctions.shinglesOfTokens(t, n)
     }
     if (per.length == 1) per.head else concat(per: _*)
   }
@@ -103,11 +97,19 @@ object Dsir {
       maxN: Int, numBuckets: Int, alpha: Double = 0.5): Array[Double] = {
     val (tc, tTot) = bucketCounts(target, textCol, maxN, numBuckets)
     val (rc, rTot) = bucketCounts(raw, textCol, maxN, numBuckets)
+    weightsFrom(tc, tTot, rc, rTot, alpha, numBuckets)
+  }
+
+  /** The smoothed ln-ratio table both trainers share — ONE definition so
+    * the one-pass and two-pass paths cannot drift (and the DuckDB-parity
+    * arithmetic — driver `Math.log`, alpha placement — lives in one place).
+    */
+  private def weightsFrom(tc: Array[Long], tTot: Long, rc: Array[Long],
+      rTot: Long, alpha: Double, numBuckets: Int): Array[Double] =
     Array.tabulate(numBuckets) { b =>
       math.log((tc(b) + alpha) / (tTot + alpha * numBuckets)) -
         math.log((rc(b) + alpha) / (rTot + alpha * numBuckets))
     }
-  }
 
   /** [[trainWeights]] for the common case where the target is a SUBSET of
     * the raw corpus (a labeled/high-quality slice): identical weights from
@@ -130,11 +132,7 @@ object Dsir {
       rc(r.getLong(0).toInt) = r.getLong(1)
       tc(r.getLong(0).toInt) = r.getLong(2)
     }
-    val (rTot, tTot) = (rc.sum, tc.sum)
-    Array.tabulate(numBuckets) { b =>
-      math.log((tc(b) + alpha) / (tTot + alpha * numBuckets)) -
-        math.log((rc(b) + alpha) / (rTot + alpha * numBuckets))
-    }
+    weightsFrom(tc, tc.sum, rc, rc.sum, alpha, numBuckets)
   }
 
   /** Importance score per document: `(idCol, n_features, dsir_logw)` where
@@ -148,18 +146,22 @@ object Dsir {
     * same contract as [[UnigramLm.scoreBroadcast]].
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: Array[Double], maxN: Int): DataFrame = {
-    val cnt = TextFunctions.hashAlignedTokenCount(col(textCol)).cast("long")
-    val nFeatures = (1 to maxN)
-      .map(n => greatest(cnt - (n - 1), lit(0L)))
-      .reduce(_ + _)
-    val buckets = featureBuckets(col(textCol), maxN, weights.length)
-    docs.select(col(idCol),
-        nFeatures.as("n_features"),
+      weights: Array[Double], maxN: Int): DataFrame =
+    // unscorable docs are dropped by the CHEAP count kernel (pushes to the
+    // scan as a data filter — one byte pass, no digest); the digest kernel
+    // is then projected as an attribute whose length IS n_features, so
+    // each surviving document is digested exactly once. Filtering on
+    // size(__buckets) instead would push `size(kernel(text)) > 0` below
+    // the projection and digest every document twice; the plan guard
+    // asserts the single evaluation.
+    docs.filter(TextFunctions.hashAlignedTokenCount(col(textCol)) > 0)
+      .select(col(idCol),
+        featureBuckets(col(textCol), maxN, weights.length).as("__buckets"))
+      .select(col(idCol),
+        size(col("__buckets")).cast("long").as("n_features"),
         ColumnBridge.column(graft.expressions.ArrayWeightSum(
-          ColumnBridge.expression(buckets), weights.toSeq)).as("dsir_logw"))
-      .filter(col("n_features") > 0)
-  }
+          ColumnBridge.expression(col("__buckets")), weights.toSeq))
+          .as("dsir_logw"))
 
   /** Greedy selection: the k highest-scoring documents, ties broken by the
     * smaller id. Deterministic and oracle-exact (scores are bitwise

@@ -1078,11 +1078,12 @@ object Text {
       |FROM agg ORDER BY doc_id""".stripMargin)
 
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
-    * 0-299 are the already-ingested corpus; the incoming batch is docs
-    * 200-499 re-keyed to id+10000 (a new dump overlapping the last one —
-    * the realistic crawl shape). Batch docs 200-299 duplicate ingested
-    * content and must drop via the fingerprint anti-join; 300-499 are
-    * novel and survive. Output: per-language survivor counts + first id.
+    * 0-299 are the already-ingested corpus; the incoming batch is every
+    * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
+    * tail of the last one — the realistic crawl shape). Batch copies of
+    * docs 200-299 duplicate ingested content and must drop via the
+    * fingerprint anti-join; everything from 300 up is novel and survives.
+    * Output: per-language survivor counts + first id.
     */
   private val incrementalDedup = QueryDef(
     (s, dir) => {

@@ -156,6 +156,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("Generate"), p.take(2000))
+    // the featurization kernel must be evaluated ONCE per row — a collapsed
+    // projection would digest every document twice (n_features + score)
+    val kernels = "hashedngrambuckets".r.findAllIn(p.toLowerCase).length
+    assert(kernels == 1, s"expected 1 kernel evaluation, got $kernels:\n${p.take(3000)}")
   }
 
   test("q15 JSON extraction prunes the events scan to the two used columns") {
