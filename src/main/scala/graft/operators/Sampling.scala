@@ -49,6 +49,33 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < rate)
   }
 
+  /** Epoch upsampling — the half of mixture materialization [[mixture]]
+    * cannot express: repeat factors ABOVE 1 ("2.5 epochs of wiki, 1 of
+    * books"), given as percent (250 = 2.5 epochs). Each row emits
+    * `floor(pct/100)` copies plus one more when its md5 bucket clears the
+    * fractional part, tagged with a contiguous 0-based `epoch` index so
+    * downstream shards/shuffles can spread the repeats. Deterministic: the
+    * fractional copy rides the same bucket draw as [[mixture]], so factors
+    * below 100 degrade gracefully into plain downsampling and every row's
+    * multiplicity is auditable from its key alone. Map-only — the factor
+    * folds to a codegen CASE chain and the copies to one row-local
+    * explode; output rows = input × factor is the unavoidable cost of
+    * materializing epochs (training loaders that re-read shards per epoch
+    * should do that instead; this is for recipes that need the repeats
+    * physically present, e.g. a packed/shuffled corpus).
+    */
+  def upsampleEpochs(df: DataFrame, keyCol: String, sourceCol: String,
+      epochsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pct = epochsPct.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    val copies = floor(pct / 100).cast("int") +
+      when(hashBucket(col(keyCol), 100) < pct % 100, 1).otherwise(0)
+    df.withColumn("epoch",
+      explode(when(copies >= 1, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Temperature-flattened mixture sampling: downsample each source at rate
     * `(w_min / w_s)^(1-alpha)` where `w_s` is the source's total weight
     * (e.g. token count) — the multilingual/multi-source rebalancing step

@@ -1189,6 +1189,35 @@ object Text {
       |  ORDER BY s DESC, doc_id LIMIT 50)
       |ORDER BY doc_id""".stripMargin)
 
+  /** Deterministic epoch upsampling (Sampling.upsampleEpochs): materialize
+    * a repeat recipe — 2.5 epochs of src0, 0.3 of src1, 1 of everything
+    * else — with the fractional copy on the md5 bucket draw. Output:
+    * per-source row/doc tallies and the highest epoch index. The oracle
+    * replays the bucket and the floor/fraction copy arithmetic and expands
+    * copies with unnest(range(...)).
+    */
+  private val epochUpsample = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.upsampleEpochs(
+        Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 250, "src1" -> 30), defaultPct = 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).cast("long").as("max_epoch"))
+        .orderBy("source"),
+    """WITH c AS (SELECT doc_id, source,
+      |    (CASE WHEN source = 'src0' THEN 250
+      |          WHEN source = 'src1' THEN 30 ELSE 100 END) AS pct,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |e AS (SELECT doc_id, source,
+      |    unnest(range(pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END)) AS epoch
+      |  FROM c)
+      |SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+      |  MAX(epoch) AS max_epoch
+      |FROM e GROUP BY source ORDER BY source""".stripMargin)
+
   /** CCNet head/middle/tail: cut the corpus into perplexity terciles with
     * the distributed-rank bucketer over the LM score — the data-selection
     * move of Wenzek et al. (keep the head, sample the middle, drop the
@@ -1429,5 +1458,6 @@ object Text {
     "q122_lm_score_join" -> lmScoreJoin,
     "q123_incremental_dedup" -> incrementalDedup,
     "q124_dsir_score" -> dsirScore,
-    "q125_dsir_select" -> dsirSelect)
+    "q125_dsir_select" -> dsirSelect,
+    "q126_epoch_upsample" -> epochUpsample)
 }

@@ -53,4 +53,42 @@ class SamplingSpec extends AnyFunSuite {
     val got = train.toDouble / n
     assert(math.abs(got - 0.9) < 0.005, s"train fraction $got, nominal 0.9")
   }
+
+  test("upsampleEpochs: whole factors exact, fractional on the bucket draw") {
+    val docs = spark.range(2000)
+      .select(col("id").as("k"),
+        concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+      .cache()
+    try {
+      val up = Sampling.upsampleEpochs(docs, "k", "source",
+        Map("src0" -> 200, "src1" -> 150, "src2" -> 0), defaultPct = 100)
+        .cache()
+      try {
+        val bySrc = up.groupBy("source")
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("d"),
+            max(col("epoch")).as("m"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+          .toMap
+        // pct=200: exactly two copies of every row, epochs {0, 1}
+        assert(bySrc("src0") === ((1000L, 500L, 1)))
+        // pct=150: every row once + ~half a second copy
+        val (n1, d1, m1) = bySrc("src1")
+        assert(d1 === 500L && m1 === 1)
+        assert(math.abs(n1 - 750.0) / 750.0 < 0.1, s"src1 rows $n1, nominal 750")
+        // pct=0 drops the source entirely; unlisted sources default to 1 copy
+        assert(!bySrc.contains("src2"))
+        assert(bySrc("src3") === ((500L, 500L, 0)))
+        // epoch indices are contiguous from 0
+        val epochs = up.filter(col("source") === "src0")
+          .select("epoch").distinct().as[Int].collect().sorted
+        assert(epochs === Array(0, 1))
+        // deterministic under repartitioning
+        val again = Sampling.upsampleEpochs(docs.repartition(7), "k", "source",
+          Map("src0" -> 200, "src1" -> 150, "src2" -> 0), defaultPct = 100)
+        assert(again.count() === up.count())
+        assert(again.select("k", "epoch").except(up.select("k", "epoch")).isEmpty)
+      } finally up.unpersist()
+    } finally docs.unpersist()
+  }
 }
