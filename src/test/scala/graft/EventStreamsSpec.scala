@@ -69,6 +69,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("frozen-DSIR scoring composes onto a document stream unchanged") {
+    // same deployment shape as the LM: weights trained offline (batch),
+    // importance scoring applied to a live ingest stream — score is a
+    // stateless filter + projection, so it runs under readStream verbatim
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"),
+      docsDir.resolve("part-0.parquet"))
+    val batchDocs = Tables.documents(spark, SparkTestSession.sfDir)
+    val w = graft.operators.Dsir.trainWeightsSubset(
+      batchDocs, org.apache.spark.sql.functions.col("lang") === "en",
+      "text", maxN = 2, numBuckets = 1000)
+    val streamDocs = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = runToMemory(
+      graft.operators.Dsir.score(streamDocs, "doc_id", "text", w, maxN = 2),
+      "dsir_stream_out")
+    val batch = graft.operators.Dsir.score(batchDocs, "doc_id", "text", w, maxN = 2)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stream-static enrichment under readStream matches the batch join") {
     val dim = Tables.customer(spark, SparkTestSession.sfDir)
     val streamed = runToMemory(
