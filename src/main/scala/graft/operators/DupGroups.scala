@@ -242,4 +242,52 @@ object DupGroups {
         .select(col("vertex").as(idCol), col("label").as("group_id"))
     } finally sigs.unpersist()
   }
+
+  /** Incremental NEAR-dedup — the per-snapshot step of a rolling corpus
+    * build (each new crawl dump deduped against everything already
+    * ingested, then within itself — the CCNet/RefinedWeb shape, where most
+    * of a dump's near-duplicate mass is against PRIOR dumps):
+    *
+    *  1. batch documents whose estimated Jaccard vs ANY ingested document
+    *     clears `minJaccard` are dropped (asymmetric LSH probe — batch
+    *     bands join corpus bands on (band, bucket), never all-pairs);
+    *  2. the survivors are near-deduped among themselves (bands → verify →
+    *     closure, keep the minimum id per cluster).
+    *
+    * [[TextDedup.dedupIncrement]] is the exact-fingerprint sibling; this
+    * is the sketch path for content that is reworded rather than copied.
+    * Documents too short to shingle (< n tokens) have no signature and
+    * always survive — they cannot near-duplicate anything. At production
+    * scale the corpus signatures would be a PERSISTED artifact maintained
+    * across snapshots (signatures are append-only driver-free state);
+    * computing them here keeps the operator self-contained.
+    */
+  def dedupIncrementNear(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    val bs = TextDedup.minHashSignatures(batch, idCol, textCol, n, k)
+    val cs = TextDedup.minHashSignatures(corpus, idCol, textCol, n, k)
+    try {
+      // dup-mass-sized, read by two consumers (survivor signatures + the
+      // final anti-join, which executes AFTER this method returns) — an
+      // eager localCheckpoint materializes it once and truncates lineage so
+      // the returned plan reads its blocks instead of re-running the LSH
+      // probe over the by-then-unpersisted signatures; blocks are reclaimed
+      // by the ContextCleaner when the result frame is dropped (the same
+      // trade distributedComponents documents)
+      val flagged = TextDedup.minHashVerifyAgainst(
+        TextDedup.lshCandidatePairsAgainst(bs, cs, bands), bs, cs, minJaccard)
+        .select(col("doc_a").as("doc")).distinct()
+        .localCheckpoint(true)
+      val freshSigs = bs.join(flagged, Seq("doc"), "left_anti")
+      val verified = TextDedup.minHashVerify(
+        TextDedup.lshCandidatePairs(freshSigs, bands), freshSigs, minJaccard)
+      val losers = connectedComponents(verified, "doc_a", "doc_b")
+        .filter(col("vertex") =!= col("label"))
+        .select(col("vertex").as(idCol))
+      batch
+        .join(flagged.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+        .join(broadcast(losers), Seq(idCol), "left_anti")
+    } finally { bs.unpersist(); cs.unpersist() }
+  }
 }

@@ -152,11 +152,7 @@ object TextDedup {
     * at least one band. Shuffles on (band, bucket) — never all-pairs.
     */
   def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val buckets = signatures
-      .select(col("doc"), posexplode(slices(col("signature"), bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumn("bucket", xxhash64(col("band"), col("col")))
-      .select("doc", "band", "bucket")
+    val buckets = bandBuckets(signatures, bands)
     val a = buckets.withColumnRenamed("doc", "doc_a")
     val b = buckets.withColumnRenamed("doc", "doc_b")
     a.join(b, Seq("band", "bucket"))
@@ -164,6 +160,32 @@ object TextDedup {
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** ASYMMETRIC LSH candidates: batch documents colliding with CORPUS
+    * documents in at least one band — the cross-snapshot probe of
+    * [[graft.operators.DupGroups.dedupIncrementNear]]. Same (band, bucket)
+    * shuffle discipline as [[lshCandidatePairs]], but the two sides are
+    * different frames (no `<` dedup — the id spaces are unrelated);
+    * `doc_a` is always the batch side, `doc_b` the corpus side.
+    */
+  def lshCandidatePairsAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+      bands: Int): DataFrame = {
+    val a = bandBuckets(batchSigs, bands).withColumnRenamed("doc", "doc_a")
+    val b = bandBuckets(corpusSigs, bands).withColumnRenamed("doc", "doc_b")
+    a.join(b, Seq("band", "bucket"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** (doc, band, bucket) banding of a signature frame — shared by the
+    * symmetric and asymmetric candidate generators.
+    */
+  private def bandBuckets(signatures: DataFrame, bands: Int): DataFrame =
+    signatures
+      .select(col("doc"), posexplode(slices(col("signature"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("bucket", xxhash64(col("band"), col("col")))
+      .select("doc", "band", "bucket")
 
   /** Split an array into `bands` contiguous sub-arrays (as an array of
     * arrays) — pure expression, no UDF.
@@ -176,9 +198,17 @@ object TextDedup {
     * fraction of agreeing signature positions.
     */
   def minHashVerify(candidates: DataFrame, signatures: DataFrame,
-      minJaccard: Double): DataFrame = {
-    val sa = signatures.select(col("doc").as("doc_a"), col("signature").as("sig_a"))
-    val sb = signatures.select(col("doc").as("doc_b"), col("signature").as("sig_b"))
+      minJaccard: Double): DataFrame =
+    minHashVerifyAgainst(candidates, signatures, signatures, minJaccard)
+
+  /** [[minHashVerify]] with distinct signature frames per side (`doc_a`
+    * from `sigsA`, `doc_b` from `sigsB`) — for asymmetric candidates from
+    * [[lshCandidatePairsAgainst]].
+    */
+  def minHashVerifyAgainst(candidates: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, minJaccard: Double): DataFrame = {
+    val sa = sigsA.select(col("doc").as("doc_a"), col("signature").as("sig_a"))
+    val sb = sigsB.select(col("doc").as("doc_b"), col("signature").as("sig_b"))
     import org.apache.spark.sql.graftbridge.ColumnBridge
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("est_jaccard",

@@ -1189,6 +1189,29 @@ object Text {
       |  ORDER BY s DESC, doc_id LIMIT 50)
       |ORDER BY doc_id""".stripMargin)
 
+  /** Incremental NEAR-dedup (DupGroups.dedupIncrementNear): the sketch
+    * sibling of q123 — the same overlapping-dump shape (corpus = docs
+    * 0-299, batch = docs 200+ re-keyed +10000), but batch documents drop
+    * when their MinHash est-Jaccard vs ANY ingested document clears 0.5
+    * (asymmetric band probe), and the survivors near-dedup among
+    * themselves. Rows-only gate (sketch-dependent); SemDedupSpec pins the
+    * cross-snapshot recall contract.
+    */
+  private val incrementalNearDedup = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 200)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      graft.operators.DupGroups.dedupIncrementNear(
+        batch, corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
+        minJaccard = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
+        .orderBy("lang")
+    },
+    None)
+
   /** Deterministic epoch upsampling (Sampling.upsampleEpochs): materialize
     * a repeat recipe — 2.5 epochs of src0, 0.3 of src1, 1 of everything
     * else — with the fractional copy on the md5 bucket draw. Output:
@@ -1459,5 +1482,6 @@ object Text {
     "q123_incremental_dedup" -> incrementalDedup,
     "q124_dsir_score" -> dsirScore,
     "q125_dsir_select" -> dsirSelect,
-    "q126_epoch_upsample" -> epochUpsample)
+    "q126_epoch_upsample" -> epochUpsample,
+    "q127_incremental_near_dedup" -> incrementalNearDedup)
 }

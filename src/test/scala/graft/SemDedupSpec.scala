@@ -35,6 +35,36 @@ class SemDedupSpec extends AnyFunSuite {
     assert(keptIds.size.toLong === vecs.count() - losers.size)
   }
 
+  test("dedupIncrementNear: cross-snapshot dupes drop, survivors self-dedup, short docs live") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // identical to corpus doc 1 → est-Jaccard 1.0, must drop
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // near-copy of corpus doc 2 (one word appended) → high overlap, drops
+      (11L, "one two three four five six seven eight nine ten eleven"),
+      // novel content, two in-batch near-copies: lowest id survives
+      (12L, "red orange yellow green blue indigo violet pink brown black"),
+      (13L, "red orange yellow green blue indigo violet pink brown white"),
+      // novel and unique
+      (14L, "do re mi fa sol la ti octave scale note melody"),
+      // too short to shingle at n=3 with k signatures — always survives
+      (15L, "tiny doc")).toDF("doc_id", "text")
+    val kept = DupGroups.dedupIncrementNear(
+      batch, corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
+      minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L, 14L, 15L))
+    // empty corpus (first snapshot): pure in-batch near-dedup
+    val first = DupGroups.dedupIncrementNear(
+      batch, corpus.filter(lit(false)), "doc_id", "text", n = 3, k = 128,
+      bands = 32, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first === Set(10L, 11L, 12L, 14L, 15L))
+  }
+
   test("minHashDupGroups matches the exact n-gram closure with high recall") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir).cache()
     val exact = DupGroups.nearDupGroups(
