@@ -1212,6 +1212,38 @@ object Text {
     },
     None)
 
+  /** Term-frequency drift between corpus snapshots (Drift.termDrift):
+    * docs 0-249 vs 250+ as old/new, top-100 terms by the smoothed
+    * relative-rate ratio (or its reciprocal — whichever exceeds 1). The
+    * metric is transcendental-free (integer counts + IEEE divide), so the
+    * oracle replays it bitwise; final presentation order is by term.
+    */
+  private val termDrift = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Drift.termDrift(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "text", alpha = 0.5, topK = 100)
+        .orderBy("term")
+    },
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |             FROM documents WHERE trim(text) != ''),
+      |co AS (SELECT term, COUNT(*) AS c FROM tok WHERE doc_id < 250 GROUP BY term),
+      |cn AS (SELECT term, COUNT(*) AS c FROM tok WHERE doc_id >= 250 GROUP BY term),
+      |j AS (SELECT COALESCE(co.term, cn.term) AS term,
+      |        COALESCE(co.c, 0) AS cnt_old, COALESCE(cn.c, 0) AS cnt_new
+      |      FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+      |s AS (SELECT SUM(cnt_old) AS t_old, SUM(cnt_new) AS t_new, COUNT(*) AS v FROM j),
+      |r AS (SELECT term, cnt_old, cnt_new,
+      |        ((cnt_new + 0.5) / (t_new + 0.5 * v)) /
+      |        ((cnt_old + 0.5) / (t_old + 0.5 * v)) AS ratio
+      |      FROM j, s)
+      |SELECT term, cnt_old, cnt_new, ratio, drift FROM (
+      |  SELECT term, cnt_old, cnt_new, ratio,
+      |    greatest(ratio, 1.0 / ratio) AS drift
+      |  FROM r ORDER BY drift DESC, term LIMIT 100)
+      |ORDER BY term""".stripMargin)
+
   /** Deterministic epoch upsampling (Sampling.upsampleEpochs): materialize
     * a repeat recipe — 2.5 epochs of src0, 0.3 of src1, 1 of everything
     * else — with the fractional copy on the md5 bucket draw. Output:
@@ -1483,5 +1515,6 @@ object Text {
     "q124_dsir_score" -> dsirScore,
     "q125_dsir_select" -> dsirSelect,
     "q126_epoch_upsample" -> epochUpsample,
-    "q127_incremental_near_dedup" -> incrementalNearDedup)
+    "q127_incremental_near_dedup" -> incrementalNearDedup,
+    "q128_term_drift" -> termDrift)
 }
