@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * (vocabulary-sized output), one vocabulary-sized full-outer join, one
   * tiny scalar aggregate, and a TakeOrderedAndProject top-k — the corpus
   * is scanned once per snapshot and never shuffled. The joined count frame
-  * is evaluated twice (scalar totals + the ranked output); it is
-  * vocabulary-sized, so recomputing beats pinning a cache the caller would
-  * have to release.
+  * has two consumers (scalar totals + the ranked output), so it is
+  * materialized once via an eager localCheckpoint — vocabulary-sized
+  * blocks, reclaimed by the ContextCleaner when the result frame is
+  * dropped; without it both consumers would re-run the corpus scans.
   */
 object Drift {
 
@@ -42,6 +43,7 @@ object Drift {
       .select(col("term"),
         coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+      .localCheckpoint(true)
     val stats = joined
       .agg(sum(col("cnt_old")).as("t_old"), sum(col("cnt_new")).as("t_new"),
         count(lit(1)).as("v"))

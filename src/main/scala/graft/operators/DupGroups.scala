@@ -279,7 +279,13 @@ object DupGroups {
         TextDedup.lshCandidatePairsAgainst(bs, cs, bands), bs, cs, minJaccard)
         .select(col("doc_a").as("doc")).distinct()
         .localCheckpoint(true)
+      // survivor signatures feed FOUR plan branches (both sides of the
+      // in-batch band self-join + both probe sides of the verify) and the
+      // closure executes after bs is unpersisted — checkpoint like flagged,
+      // or the batch-vs-flagged anti-join re-runs once per branch over
+      // by-then-cold signatures
       val freshSigs = bs.join(flagged, Seq("doc"), "left_anti")
+        .localCheckpoint(true)
       val verified = TextDedup.minHashVerify(
         TextDedup.lshCandidatePairs(freshSigs, bands), freshSigs, minJaccard)
       val losers = connectedComponents(verified, "doc_a", "doc_b")

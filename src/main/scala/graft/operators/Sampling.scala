@@ -42,12 +42,18 @@ object Sampling {
     * admission predicate pushes into the scan like any other filter.
     */
   def mixture(df: DataFrame, keyCol: String, sourceCol: String,
-      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
-    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (src, pct)) =>
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), 100) < sourceRate(sourceCol, ratesPct, defaultPct))
+
+  /** Per-source percent as a codegen CASE chain — the rate lookup shared by
+    * [[mixture]] and [[upsampleEpochs]] (one place for any null-source or
+    * duplicate-key handling).
+    */
+  private def sourceRate(sourceCol: String, pctMap: Map[String, Int],
+      defaultPct: Int): Column =
+    pctMap.foldLeft(lit(defaultPct): Column) { case (acc, (src, pct)) =>
       when(col(sourceCol) === src, lit(pct)).otherwise(acc)
     }
-    df.filter(hashBucket(col(keyCol), 100) < rate)
-  }
 
   /** Epoch upsampling — the half of mixture materialization [[mixture]]
     * cannot express: repeat factors ABOVE 1 ("2.5 epochs of wiki, 1 of
@@ -66,9 +72,7 @@ object Sampling {
     */
   def upsampleEpochs(df: DataFrame, keyCol: String, sourceCol: String,
       epochsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
-    val pct = epochsPct.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
-      when(col(sourceCol) === src, lit(p)).otherwise(acc)
-    }
+    val pct = sourceRate(sourceCol, epochsPct, defaultPct)
     val copies = floor(pct / 100).cast("int") +
       when(hashBucket(col(keyCol), 100) < pct % 100, 1).otherwise(0)
     df.withColumn("epoch",

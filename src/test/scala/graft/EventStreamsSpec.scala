@@ -25,6 +25,15 @@ class EventStreamsSpec extends AnyFunSuite {
     dir.toString
   }
 
+  /** Same staging for documents, shared by the LM and DSIR stream tests. */
+  lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
       mode: String = "append"): org.apache.spark.sql.DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -51,15 +60,11 @@ class EventStreamsSpec extends AnyFunSuite {
     // deployment shape: LM trained offline (batch), scoring applied to a
     // live ingest stream — scoreBroadcast is a stateless projection, so the
     // same call works under readStream with identical results
-    val docsDir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"),
-      docsDir.resolve("part-0.parquet"))
     val batchDocs = Tables.documents(spark, SparkTestSession.sfDir)
     val (terms, logps, oov) = graft.operators.UnigramLm.collectLm(
       graft.operators.UnigramLm.termCounts(batchDocs, "text"))
     val streamDocs = spark.readStream.schema(batchDocs.schema)
-      .parquet(docsDir.toString)
+      .parquet(docsDir)
     val streamed = runToMemory(
       graft.operators.UnigramLm.scoreBroadcast(
         streamDocs, "doc_id", "text", terms, logps, oov), "lm_stream_out")
@@ -73,16 +78,12 @@ class EventStreamsSpec extends AnyFunSuite {
     // same deployment shape as the LM: weights trained offline (batch),
     // importance scoring applied to a live ingest stream — score is a
     // stateless filter + projection, so it runs under readStream verbatim
-    val docsDir = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/documents.parquet"),
-      docsDir.resolve("part-0.parquet"))
     val batchDocs = Tables.documents(spark, SparkTestSession.sfDir)
     val w = graft.operators.Dsir.trainWeightsSubset(
       batchDocs, org.apache.spark.sql.functions.col("lang") === "en",
       "text", maxN = 2, numBuckets = 1000)
     val streamDocs = spark.readStream.schema(batchDocs.schema)
-      .parquet(docsDir.toString)
+      .parquet(docsDir)
     val streamed = runToMemory(
       graft.operators.Dsir.score(streamDocs, "doc_id", "text", w, maxN = 2),
       "dsir_stream_out")
