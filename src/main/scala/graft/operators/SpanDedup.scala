@@ -161,6 +161,40 @@ object SpanDedup {
     rebuildWithoutSpans(corpus, idCol, textCol, mergeSpans(hits, idCol, k))
   }
 
+  /** Within-document repetition stripping — the intra-document complement
+    * of [[stripSpans]]: a k-token window whose hash occurs at least
+    * `minCount` times in the SAME document keeps its first (lowest-position)
+    * occurrence and loses the rest. This is the "remove terminal repetition
+    * / in-document boilerplate" pass of a web-corpus pipeline: pathological
+    * generator loops, duplicated paragraphs within a page, copy-pasted
+    * chrome — removed without touching cross-document structure.
+    *
+    * Tokens covered by a first occurrence are PROTECTED: where a repeated
+    * window overlaps its own canonical occurrence (periodic text), the
+    * canonical window survives intact and only the tail repetitions are
+    * stripped — mirroring [[stripSpans]]' keep-first-doc semantics at
+    * window granularity. Scale shape is identical to [[stripSpans]]: one
+    * persisted windows expansion, a (doc, hash)-keyed map-side-combining
+    * aggregate (no cross-document traffic at all — the group key includes
+    * the document), hits-only interval merges, and the shared
+    * [[rebuildWithoutSpans]] token filter.
+    */
+  def stripSelfRepeats(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minCount: Int = 2): DataFrame = {
+    val wins = positionalWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = wins.groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"))
+      .filter(col("n") >= minCount)
+      .select(col(idCol), col("h"), col("first_pos"))
+    val hits = wins.join(rep, Seq(idCol, "h"))
+      .filter(col("pos") > col("first_pos"))
+      .select(col(idCol), col("pos"))
+    val keep = rep.select(col(idCol), col("first_pos").as("pos"))
+    rebuildWithoutSpans(df, idCol, textCol, mergeSpans(hits, idCol, k),
+      keepFrame = Some(mergeSpans(keep, idCol, k)))
+  }
+
   /** Rebuild `textCol` excluding the tokens covered by `spans`
     * ((idCol, span_start, span_end) intervals): one left join of the corpus
     * against its per-document span arrays (collect_list over merged
@@ -168,10 +202,12 @@ object SpanDedup {
     * token array. The span-array side is affected-document-sized:
     * broadcast when spans are sparse, a single id-keyed shuffle join when
     * they aren't — AQE picks at runtime. Every input row survives
-    * (possibly emptied), with a `kept_tokens` count.
+    * (possibly emptied), with a `kept_tokens` count. Tokens inside a
+    * `keepFrame` interval are retained even when a strip span covers them
+    * (the first-occurrence protection of [[stripSelfRepeats]]).
     */
   private def rebuildWithoutSpans(df: DataFrame, idCol: String, textCol: String,
-      spanFrame: DataFrame): DataFrame = {
+      spanFrame: DataFrame, keepFrame: Option[DataFrame] = None): DataFrame = {
     val spanArrs = spanFrame
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
@@ -182,16 +218,30 @@ object SpanDedup {
     // \f/\x0B where the kernel does not (same divergence HeavyHitters
     // documents); SpanDedupSpec pins the edge cases
     val toks = graft.functions.TextFunctions.hashAlignedTokens(col(textCol))
-    val spans = coalesce(col("__spans"),
-      array().cast("array<struct<span_start:int,span_end:int>>"))
-    val keptToks = filter(toks, (_: Column, i: Column) =>
-      !exists(spans, sp =>
-        i >= sp.getField("span_start") && i < sp.getField("span_end")))
-    df.join(spanArrs, Seq(idCol), "left")
-      .withColumn(textCol, concat_ws(" ", keptToks))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    val spans = coalesce(col("__spans"), emptySpans)
+    def covered(arr: Column, i: Column): Column =
+      exists(arr, sp =>
+        i >= sp.getField("span_start") && i < sp.getField("span_end"))
+    val joined = keepFrame match {
+      case None =>
+        df.join(spanArrs, Seq(idCol), "left")
+          .withColumn("__kept_toks",
+            filter(toks, (_: Column, i: Column) => !covered(spans, i)))
+      case Some(kf) =>
+        val keepArrs = kf.groupBy(idCol).agg(
+          collect_list(struct(col("span_start"), col("span_end"))).as("__keep"))
+        val keeps = coalesce(col("__keep"), emptySpans)
+        df.join(spanArrs, Seq(idCol), "left")
+          .join(keepArrs, Seq(idCol), "left")
+          .withColumn("__kept_toks", filter(toks, (_: Column, i: Column) =>
+            !covered(spans, i) || covered(keeps, i)))
+    }
+    joined
+      .withColumn(textCol, concat_ws(" ", col("__kept_toks")))
       .withColumn("kept_tokens",
         when(length(col(textCol)) === 0, lit(0))
           .otherwise(size(split(col(textCol), " "))).cast("long"))
-      .drop("__spans")
+      .drop("__spans", "__keep", "__kept_toks")
   }
 }

@@ -1469,7 +1469,60 @@ object Text {
       |SELECT doc_id, clean_text, kept_tokens FROM base
       |WHERE kept_tokens < n_tokens ORDER BY doc_id""".stripMargin)
 
+  /** Within-document repetition stripping: a 3-token window repeated inside
+    * the SAME document keeps its first occurrence (protected) and loses the
+    * rest — the in-document boilerplate / generator-loop removal pass,
+    * orthogonal to q111's cross-document strip. Output is every document
+    * (most unchanged), byte-checked.
+    */
+  private val selfRepeatStrip = QueryDef(
+    (s, dir) =>
+      graft.operators.SpanDedup
+        .stripSelfRepeats(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("text").as("clean_text"), col("kept_tokens"))
+        .orderBy("doc_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+2], ' '))
+      |                              for i in range(1, len(t) - 1)]) AS u
+      |       FROM toks WHERE len(t) >= 3),
+      |win AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM sh),
+      |rep AS (SELECT doc_id, w, MIN(pos) AS first_pos FROM win GROUP BY 1, 2
+      |        HAVING COUNT(*) >= 2),
+      |hits AS (SELECT win.doc_id, pos FROM win JOIN rep USING (doc_id, w)
+      |         WHERE pos > first_pos),
+      |m AS (SELECT doc_id, pos,
+      |        MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM hits),
+      |sp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 3 AS e FROM sp GROUP BY 1, 2),
+      |keepw AS (SELECT doc_id, first_pos AS pos FROM rep),
+      |km AS (SELECT doc_id, pos,
+      |        MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |       FROM keepw),
+      |ksp AS (SELECT doc_id, pos,
+      |        SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM km),
+      |kspans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 3 AS e FROM ksp GROUP BY 1, 2),
+      |tokpos AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, tok := t[i])
+      |                                  for i in range(1, len(t) + 1)]) AS u FROM toks),
+      |toku AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toku k
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |                           WHERE s.doc_id = k.doc_id AND k.pos >= s.s AND k.pos < s.e)
+      |            OR EXISTS (SELECT 1 FROM kspans ks
+      |                       WHERE ks.doc_id = k.doc_id AND k.pos >= ks.s AND k.pos < ks.e)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+      |               COUNT(*) AS kept_tokens FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+      |       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens
+      |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q129_self_repeat_strip" -> selfRepeatStrip,
     "q119_strip_contamination" -> stripContamination,
     "q118_corpus_pipeline3" -> corpusPipeline3,
     "q117_token_budget" -> tokenBudget,

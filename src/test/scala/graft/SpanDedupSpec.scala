@@ -128,6 +128,64 @@ class SpanDedupSpec extends AnyFunSuite {
       2L -> "d1 d2 d3 d4 d5 d6 d7 d8 d9"))
   }
 
+  test("stripSelfRepeats keeps the first occurrence and drops later ones") {
+    val df = Seq(
+      (1L, "a b c m n a b c"),            // abc repeats at 0 and 5
+      (2L, "d1 d2 d3 d4 d5 d6")           // no repeats — identity
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.stripSelfRepeats(df, "doc_id", "text", k = 3)
+      .select($"doc_id", $"text", $"kept_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "a b c m n", 5L)))
+    assert(out(1) === ((2L, "d1 d2 d3 d4 d5 d6", 6L)))
+  }
+
+  test("stripSelfRepeats on periodic text keeps one period's first windows") {
+    // every window repeats; the protected first occurrences of (x y) at 0
+    // and (y x) at 1 cover tokens 0..2, everything after is stripped
+    val df = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val out = SpanDedup.stripSelfRepeats(df, "doc_id", "text", k = 2)
+      .select($"text", $"kept_tokens").as[(String, Long)].head()
+    assert(out === (("x y x", 3L)))
+  }
+
+  test("stripSelfRepeats is within-document only and honors minCount") {
+    // the same phrase in two DIFFERENT docs is not a self-repeat
+    val cross = Seq((1L, s"a1 $shared"), (2L, s"b1 $shared"))
+      .toDF("doc_id", "text")
+    val untouched = SpanDedup.stripSelfRepeats(cross, "doc_id", "text", k = 3)
+      .filter($"kept_tokens" =!= 9L)
+    assert(untouched.isEmpty)
+    // two occurrences stay below a minCount of 3
+    val twice = Seq((3L, "a b c m n a b c")).toDF("doc_id", "text")
+    val kept = SpanDedup.stripSelfRepeats(twice, "doc_id", "text", k = 3,
+      minCount = 3).select($"text").as[String].head()
+    assert(kept === "a b c m n a b c")
+  }
+
+  test("stripSelfRepeats positions stay aligned on a leading tab") {
+    val df = Seq((1L, "\ta b c a b c")).toDF("doc_id", "text")
+    val out = SpanDedup.stripSelfRepeats(df, "doc_id", "text", k = 3)
+      .select($"text", $"kept_tokens").as[(String, Long)].head()
+    assert(out === (("a b c", 3L)))
+  }
+
+  test("corpus invariants: self-repeat strip preserves rows and consistency") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val stripped = SpanDedup.stripSelfRepeats(docs, "doc_id", "text", k = 2)
+    assert(stripped.count() === docs.count(), "every row survives")
+    val bad = stripped.filter(
+      when(length($"text") === 0, lit(0)).otherwise(size(split($"text", " ")))
+        =!= $"kept_tokens")
+    assert(bad.isEmpty)
+    // the synthetic corpus has within-doc repeated bigrams — some mass goes
+    val totalToks = docs.select(
+      sum(graft.functions.TextFunctions.tokenCount($"text")).cast("long"))
+      .as[Long].head()
+    val keptToks = stripped.agg(sum("kept_tokens")).as[Long].head()
+    assert(keptToks < totalToks, "expected some within-doc repetition removed")
+  }
+
   test("corpus invariants: strip removes exactly the non-canonical dup mass") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val stats = SpanDedup.dupSpanStats(docs, "doc_id", "text", k = 8)
