@@ -40,6 +40,16 @@ object VectorFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
         cells, centroids))
 
+  /** Nearest-centroid cell id by EUCLIDEAN distance — the PQ-subquantizer
+    * metric (graft.expressions.NearestCellL2), same zero-shuffle shape.
+    * `cells` must be sorted ascending for lowest-cell tie-breaking.
+    */
+  def nearestCellL2(vec: Column, cells: Array[Int], centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NearestCellL2(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        cells, centroids))
+
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))

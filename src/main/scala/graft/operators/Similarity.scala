@@ -36,7 +36,7 @@ object Similarity {
     * construction; a near-corpus-sized query set should use
     * [[TopK.perGroupWindow]] (spilling sort) instead.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = TopK.perGroupNative(
       scored.select("query_id", "vec_id", "cos_sim"),
       "query_id", "cos_sim", "vec_id", k)

@@ -181,7 +181,28 @@ object Vector {
         .orderBy("vec_id"),
     None)
 
+  /** Product-quantized ANN, production query shape: train m=8 × 64-code
+    * L2 codebooks, encode the corpus to 8-byte codes (32× compression),
+    * shortlist by ADC table lookups, re-rank the shortlist at full
+    * precision. Rows-only (Lloyd subquantizers aren't SQL-expressible);
+    * exact code/norm/ADC arithmetic, determinism, recall and distortion are
+    * asserted in ProductQuantizerSpec.
+    */
+  private val pqAdc = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantizer.train(corpus, m = 8, kCodes = 64, iters = 3)
+      // encoded feeds two plan branches (ADC shortlist + re-rank join)
+      val encoded = graft.operators.ProductQuantizer.encode(corpus, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.ProductQuantizer.queryAdcRerank(encoded,
+        corpus.filter(col("vec_id") < 10), cb, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q130_pq_adc" -> pqAdc,
     "q116_prototypicality" -> prototypicality,
     "q112_semdedup" -> semdedup,
     "q87_quantize" -> quantize,
