@@ -1521,7 +1521,43 @@ object Text {
       |       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens
       |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 
+  /** Per-source corpus datasheet (CorpusCard.report): volume, token mass,
+    * language mix, corpus-wide exact-dup exposure, length-band conformance —
+    * every column exact, so the whole data card is oracle-checked.
+    */
+  private val corpusCard = QueryDef(
+    (s, dir) =>
+      graft.operators.CorpusCard
+        .report(Tables.documents(s, dir), "doc_id", "text", "lang", "source")
+        .orderBy("source"),
+    """WITH base AS (
+      |  SELECT source, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split(trim(text), ' ')) END AS toks,
+      |    length(text) BETWEEN 50 AND 5000 AS len_ok,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |fpc AS (SELECT fp, COUNT(*) AS fpn FROM base GROUP BY 1),
+      |f AS (SELECT b.*, fpc.fpn FROM base b JOIN fpc USING (fp)),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_doc_rate,
+      |    CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS len_ok_rate
+      |  FROM f GROUP BY 1),
+      |lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      |tl AS (SELECT source, lang AS top_lang FROM (
+      |         SELECT source, lang,
+      |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |         FROM lc) WHERE rn = 1)
+      |SELECT a.source, n_docs, total_tokens, avg_tokens, n_langs, top_lang,
+      |       dup_doc_rate, len_ok_rate
+      |FROM agg a JOIN tl USING (source) ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q131_corpus_card" -> corpusCard,
     "q129_self_repeat_strip" -> selfRepeatStrip,
     "q119_strip_contamination" -> stripContamination,
     "q118_corpus_pipeline3" -> corpusPipeline3,
