@@ -186,6 +186,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("PQ encode is a zero-shuffle projection with one kernel per subspace") {
+    // encode must stay map-only (scan + project): no exchange, no join. And
+    // the recon_norm lookups must reference the pq_code ATTRIBUTE — a
+    // collapsed projection would re-run every subspace argmax once per
+    // lookup (m + m² kernels instead of m)
+    val corpus = graft.core.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val cb = graft.operators.ProductQuantizer.train(corpus, m = 4, kCodes = 8, iters = 1)
+    val p = graft.operators.ProductQuantizer.encode(corpus, cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    val kernels = "nearestcelll2".r.findAllIn(p.toLowerCase).length
+    assert(kernels == 4, s"expected 4 kernel evaluations, got $kernels:\n${p.take(3000)}")
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
