@@ -89,7 +89,42 @@ object Packing {
   def sequencePacking(df: DataFrame, idCol: String, weightCol: String,
       capacity: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    withGlobalOffsets(df, idCol, weightCol)
+    binify(withGlobalOffsets(df, idCol, weightCol), weightCol, capacity)
+  }
+
+  /** Group-isolated packing — one token stream and bin numbering PER GROUP
+    * (source, language, curriculum stage…), the "never mix sources inside a
+    * context window" discipline of multi-corpus pretraining: a bin boundary
+    * always falls within one group, so no training sequence ever spans two.
+    *
+    * NOT a per-group window (a dominant source would funnel through one
+    * task): offsets come from ONE global two-phase prefix sum in
+    * (group, id) order — rows of a group are contiguous in that order, so
+    * the group-local offset is the global offset minus the group's base
+    * (its first row's global offset, a group-count-sized aggregate joined
+    * back by broadcast). Skew-safety is inherited from
+    * [[withGlobalOffsets]]' range sharding: a giant group spans many
+    * shards, each sorted independently.
+    */
+  def groupedSequencePacking(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val globalOff = withGlobalOffsets(df, Seq(groupCol, idCol), weightCol)
+    // group base via min-over-the-group rather than a driver-side cumsum of
+    // group totals: the latter would have to replicate the engine's sort
+    // order for the group column on the driver (fraught for strings); min
+    // re-reads the shard cache both branches share
+    val bases = globalOff.groupBy(groupCol).agg(min("offset").as("__group_base"))
+    binify(
+      globalOff.join(broadcast(bases), Seq(groupCol))
+        .withColumn("offset", col("offset") - col("__group_base"))
+        .drop("__group_base"),
+      weightCol, capacity)
+  }
+
+  private def binify(withOffsets: DataFrame, weightCol: String,
+      capacity: Int): DataFrame =
+    withOffsets
       .withColumn("bin_first", expr(s"offset div $capacity"))
       // zero-weight rows occupy no tokens: clamp bin_last to bin_first so an
       // empty document sitting exactly on a capacity boundary doesn't report
@@ -97,5 +132,4 @@ object Packing {
       .withColumn("bin_last", greatest(col("bin_first"),
         expr(s"(offset + cast(`$weightCol` as bigint) - 1) div $capacity")))
       .withColumn("spans_boundary", col("bin_first") =!= col("bin_last"))
-  }
 }

@@ -1556,7 +1556,61 @@ object Text {
       |       dup_doc_rate, len_ok_rate
       |FROM agg a JOIN tl USING (source) ORDER BY source""".stripMargin)
 
+  /** Sliding-window chunking (window 32, stride 24 → 8-token overlap): the
+    * RAG-ingestion cut, byte-checked chunk text included. One generator
+    * over one scan; map-only at any scale.
+    */
+  private val slidingChunks = QueryDef(
+    (s, dir) =>
+      graft.operators.Chunking
+        .slidingWindows(Tables.documents(s, dir), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t,
+      |        len(string_split(trim(text), ' ')) n FROM documents),
+      |c AS (SELECT doc_id, t, n,
+      |        unnest(range(0, (CASE WHEN n > 32 THEN n - 32 ELSE 0 END + 23) // 24 + 1)) AS i
+      |      FROM toks)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(i * 24 AS BIGINT) AS chunk_start,
+      |  CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+      |  array_to_string(t[CAST(i * 24 + 1 AS INT):CAST(least(n, i * 24 + 32) AS INT)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+
+  /** Group-isolated sequence packing (per-source streams, capacity 256): no
+    * training sequence ever spans two sources. Offsets via the global
+    * two-phase prefix sum in (source, doc_id) order minus each source's
+    * base — the oracle's per-source window cumsum is exactly what that must
+    * reproduce. (`offset` is DuckDB-reserved → aliased cum_before.)
+    */
+  private val groupedPacking = QueryDef(
+    (s, dir) =>
+      graft.operators.Packing.groupedSequencePacking(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", capacity = 256)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("offset").as("cum_before"), col("bin_first"), col("bin_last"),
+          col("spans_boundary"))
+        .orderBy("source", "doc_id"),
+    """WITH d AS (SELECT source, doc_id,
+      |        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |o AS (SELECT source, doc_id, n_tokens,
+      |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM d)
+      |SELECT source, doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+      |  CAST(cum_before // 256 AS BIGINT) AS bin_first,
+      |  CAST(greatest(cum_before // 256, (cum_before + n_tokens - 1) // 256) AS BIGINT) AS bin_last,
+      |  cum_before // 256 <> greatest(cum_before // 256, (cum_before + n_tokens - 1) // 256)
+      |    AS spans_boundary
+      |FROM o ORDER BY source, doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q133_grouped_packing" -> groupedPacking,
+    "q132_sliding_chunks" -> slidingChunks,
     "q131_corpus_card" -> corpusCard,
     "q129_self_repeat_strip" -> selfRepeatStrip,
     "q119_strip_contamination" -> stripContamination,

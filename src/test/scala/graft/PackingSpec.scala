@@ -48,6 +48,32 @@ class PackingSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L, false)))
   }
 
+  test("grouped packing restarts the stream and bins at every group") {
+    // group a: 4, 8 (straddles cap 10 at offset 4); group b: 8, 8 — b's
+    // stream starts over at 0 regardless of a's total
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 8L), ("b", 3L, 8L), ("b", 4L, 8L))
+      .toDF("g", "id", "w").repartition(7)
+    val got = Packing.groupedSequencePacking(df, "g", "id", "w", capacity = 10)
+      .select("id", "offset", "bin_first", "bin_last", "spans_boundary")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((4L, 0L, 1L, true)))
+    assert(got(3L) == ((0L, 0L, 0L, false)))   // fresh stream for group b
+    assert(got(4L) == ((8L, 0L, 1L, true)))
+  }
+
+  test("grouped packing with one group equals plain sequencePacking") {
+    val df = (1L to 200L).map(i => ("only", i, (i % 5) + 1)).toDF("g", "id", "w")
+    val grouped = Packing.groupedSequencePacking(df, "g", "id", "w", 32)
+      .select("id", "offset", "bin_first", "bin_last").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val plain = Packing.sequencePacking(df.drop("g"), "id", "w", 32)
+      .select("id", "offset", "bin_first", "bin_last").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(grouped === plain)
+  }
+
   test("shard-cache registry self-prunes after an external clearCache") {
     // the Bench/Verify harnesses drop blocks with spark.catalog.clearCache()
     // rather than releaseCaches(); the registry must not grow one dead plan
