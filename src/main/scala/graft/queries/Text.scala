@@ -1077,6 +1077,52 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** Interpolated bigram LM (BigramLm): train unigram + adjacent-pair
+    * counts on the first 300 documents (the "reference corpus"), score the
+    * WHOLE corpus — so the seen-pair, unigram-backoff, and OOV ladder all
+    * fire on real data (a same-corpus gate like q114 never leaves the
+    * seen-pair rung). λ = 0.75 is dyadic, so driver `1 - λ` and the SQL
+    * literal `0.25` are the same double and every probability replays term
+    * for term; logs are driver-side Math.log (DuckDB-ln bitwise) and the
+    * per-document fold is positional on both engines.
+    */
+  private val bigramNll = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.BigramLm.train(
+        docs.filter(col("doc_id") < 300), "text", lambda = 0.75)
+      graft.operators.BigramLm.scoreBroadcast(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, unnest([struct_pack(pos := i, tok := t[i])
+      |                                     for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM tok
+      |         WHERE doc_id < 300 GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |big AS (SELECT prev, tok, CAST(COUNT(*) AS DOUBLE) cnt2
+      |        FROM (SELECT tok, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) prev
+      |              FROM tok WHERE doc_id < 300)
+      |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |seq AS (SELECT doc_id, pos, tok,
+      |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+      |lp AS (SELECT s.doc_id, s.pos,
+      |        CASE WHEN s.prev IS NULL THEN ln(COALESCE(u.cnt, 0.5) / tot.total)
+      |             WHEN b.cnt2 IS NOT NULL
+      |               THEN ln(0.75 * (b.cnt2 / up.cnt) + 0.25 * (u.cnt / tot.total))
+      |             ELSE ln(0.25 * (COALESCE(u.cnt, 0.5) / tot.total)) END AS lp
+      |       FROM seq s
+      |       LEFT JOIN unig u ON u.tok = s.tok
+      |       LEFT JOIN unig up ON up.tok = s.prev
+      |       LEFT JOIN big b ON b.prev = s.prev AND b.tok = s.tok
+      |       CROSS JOIN tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) s, COUNT(*) n
+      |        FROM lp GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
     * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
@@ -1609,6 +1655,7 @@ object Text {
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q134_bigram_nll" -> bigramNll,
     "q133_grouped_packing" -> groupedPacking,
     "q132_sliding_chunks" -> slidingChunks,
     "q131_corpus_card" -> corpusCard,
