@@ -1123,6 +1123,54 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, -s / n AS nll
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** Naive-Bayes domain tagging (DomainClassifier): train per-source token
+    * log-odds on the first 300 documents, tag the whole corpus with the
+    * argmax source and the top-two margin. The oracle is label-generic —
+    * it rebuilds priors, shared-vocab smoothing, and the per-label
+    * positional log-prob fold in SQL and replays the (score desc, label
+    * asc) argmax, so every branch (seen token, in-vocab-zero-count,
+    * OOV floor) is hash-exact.
+    */
+  private val domainTag = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.DomainClassifier.train(
+        docs.filter(col("doc_id") < 300), "source", "text")
+      graft.operators.DomainClassifier.tag(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT doc_id, source, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, source, unnest([struct_pack(pos := i, tok := t[i])
+      |                                             for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |ref AS (SELECT * FROM tok WHERE doc_id < 300),
+      |labs AS (SELECT source AS lab, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+      |                CAST(COUNT(*) AS DOUBLE) AS total
+      |         FROM ref GROUP BY source),
+      |nd AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS nd FROM labs),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM ref),
+      |cnts AS (SELECT source AS lab, tok, CAST(COUNT(*) AS DOUBLE) AS cnt
+      |         FROM ref GROUP BY 1, 2),
+      |lp AS (SELECT s.doc_id, s.pos, l.lab,
+      |         ln((COALESCE(c.cnt, 0) + 0.5) / (l.total + 0.5 * (v.v + 1))) AS lp
+      |       FROM tok s CROSS JOIN labs l
+      |       LEFT JOIN cnts c ON c.lab = l.lab AND c.tok = s.tok
+      |       CROSS JOIN v),
+      |folded AS (SELECT doc_id, lab, list_sum(list(lp ORDER BY pos)) AS lsum,
+      |                  COUNT(*) AS n
+      |           FROM lp GROUP BY doc_id, lab),
+      |sc AS (SELECT f.doc_id, f.lab, f.n, ln(l.n_docs / nd.nd) + f.lsum AS s
+      |       FROM folded f JOIN labs l ON l.lab = f.lab CROSS JOIN nd),
+      |ranked AS (SELECT doc_id, lab, n, s,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lab ASC) AS rn
+      |           FROM sc)
+      |SELECT doc_id,
+      |       CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |       MAX(CASE WHEN rn = 1 THEN lab END) AS pred_label,
+      |       MAX(CASE WHEN rn = 1 THEN s END) - MAX(CASE WHEN rn = 2 THEN s END) AS margin
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
     * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
@@ -1655,6 +1703,7 @@ object Text {
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q135_domain_tag" -> domainTag,
     "q134_bigram_nll" -> bigramNll,
     "q133_grouped_packing" -> groupedPacking,
     "q132_sliding_chunks" -> slidingChunks,
