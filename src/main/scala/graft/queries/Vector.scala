@@ -201,7 +201,56 @@ object Vector {
     },
     None)
 
+  /** Seeded Rademacher random projection (Projections.randomProjection):
+    * 64 → 16 dims, long-form output so every projected coordinate is under
+    * the exact hash. The ±1 matrix derives from md5-parity of
+    * "rp:seed:j:i", which the oracle regenerates in SQL — sign matrix,
+    * fold order, and the √k divide all replay bit-for-bit.
+    */
+  private val randomProjection = QueryDef(
+    (s, dir) =>
+      graft.operators.Projections.randomProjection(
+        Tables.embeddings(s, dir), "embedding", d = 64, k = 16, seed = 0)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))
+        .orderBy("vec_id", "dim"),
+    """WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+      |       FROM (SELECT vec_id,
+      |               unnest([struct_pack(i := i - 1, x := embedding[i])
+      |                       for i in range(1, len(embedding) + 1)]) u
+      |             FROM embeddings)),
+      |js AS (SELECT unnest(range(16)) AS j),
+      |terms AS (SELECT vec_id, j, i,
+      |           x * (CASE WHEN (strpos('0123456789abcdef',
+      |                  substr(md5('rp:0:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
+      |                THEN 1.0 ELSE -1.0 END) AS t
+      |          FROM ex CROSS JOIN js)
+      |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+      |       list_sum(list(t ORDER BY i)) / sqrt(16.0) AS value
+      |FROM terms GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin)
+
+  /** PCA whitening (Pca.fit + whiten): one-pass distributed moments, driver
+    * Jacobi eigensolve, then a single affine kernel projection to the top 8
+    * unit-variance components. Rows-only gate (the eigensolve isn't
+    * SQL-expressible); orthonormality, variance capture, and the map-only
+    * apply plan are asserted in PcaSpec.
+    */
+  private val pcaWhiten = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val model = graft.operators.Pca.fit(corpus, "embedding", d = 64)
+      graft.operators.Pca.whiten(corpus, "embedding", model, k = 8)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))
+        .orderBy("vec_id", "dim")
+    },
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q136_random_projection" -> randomProjection,
+    "q137_pca_whiten" -> pcaWhiten,
     "q130_pq_adc" -> pqAdc,
     "q116_prototypicality" -> prototypicality,
     "q112_semdedup" -> semdedup,
