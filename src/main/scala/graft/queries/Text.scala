@@ -1171,6 +1171,28 @@ object Text {
       |       MAX(CASE WHEN rn = 1 THEN s END) - MAX(CASE WHEN rn = 2 THEN s END) AS margin
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** One-pass multi-pattern blocklist scan (BlocklistScan / Aho–Corasick):
+    * per-document total occurrences (overlaps included — one per match end
+    * position) and distinct terms hit, for a 4-term blocklist probed in a
+    * single automaton walk. The oracle replays the same counts with a
+    * character position scan, so the overlap contract and the fail-chain
+    * total collapsing are both under the exact hash.
+    */
+  private val blocklistScan = QueryDef(
+    (s, dir) =>
+      graft.operators.BlocklistScan.scan(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "table", "a a", "quantum"))
+        .orderBy("doc_id"),
+    """WITH terms AS (SELECT unnest(['spark', 'table', 'a a', 'quantum']) AS term),
+      |hits AS (SELECT d.doc_id, t.term,
+      |          CAST(len([p for p in range(1, len(d.text) - len(t.term) + 2)
+      |                    if substr(d.text, p, len(t.term)) = t.term]) AS BIGINT) AS c
+      |         FROM documents d CROSS JOIN terms t)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+      |       CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_terms
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
     * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
@@ -1703,6 +1725,7 @@ object Text {
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q138_blocklist_scan" -> blocklistScan,
     "q135_domain_tag" -> domainTag,
     "q134_bigram_nll" -> bigramNll,
     "q133_grouped_packing" -> groupedPacking,
