@@ -248,7 +248,71 @@ object Vector {
     },
     None)
 
+  /** ANN accountability harness (RetrievalEval): recall@5 and top-1
+    * reciprocal rank of the 16-dim random-projection KNN against the exact
+    * 64-dim baseline — the evaluate-before-rollout step of any index
+    * deployment. Both search paths AND the eval joins replay in SQL (the
+    * projection regenerates from md5 parity, the float cast mirrors
+    * Spark's array<float> storage, cosines fold positionally), so the
+    * whole comparison is hash-exact.
+    */
+  private val annRecall = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val truth = Similarity.knnBruteForce(
+        corpus, corpus.filter(col("vec_id") < 10), k = 5)
+      val proj = graft.operators.Projections.randomProjection(
+        corpus, "embedding", d = 64, k = 16, seed = 0)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val approx = Similarity.knnBruteForce(
+        proj, proj.filter(col("vec_id") < 10), k = 5)
+      graft.operators.RetrievalEval.compare(truth, approx, k = 5)
+        .orderBy("query_id")
+    },
+    s"""WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+       |       FROM (SELECT vec_id, unnest([struct_pack(i := i - 1, x := embedding[i])
+       |                                    for i in range(1, len(embedding) + 1)]) u
+       |             FROM embeddings)),
+       |js AS (SELECT unnest(range(16)) AS j),
+       |tm AS (SELECT vec_id, j, i,
+       |         x * (CASE WHEN (strpos('0123456789abcdef',
+       |                substr(md5('rp:0:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END) AS t
+       |       FROM ex CROSS JOIN js),
+       |pv AS (SELECT vec_id, j, list_sum(list(t ORDER BY i)) / sqrt(16.0) AS value
+       |       FROM tm GROUP BY vec_id, j),
+       |pl AS (SELECT vec_id, list(CAST(CAST(value AS REAL) AS DOUBLE) ORDER BY j) AS p
+       |       FROM pv GROUP BY vec_id),
+       |exact AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5),
+       |appr AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.p", "c.p")} DESC, c.vec_id ASC) AS rank
+       |  FROM pl q JOIN pl c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT e.query_id, COUNT(*) AS n_hits
+       |         FROM exact e JOIN appr a
+       |           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |         GROUP BY e.query_id),
+       |rr AS (SELECT e.query_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / a.rank, CAST(0.0 AS DOUBLE)) AS top1_rr
+       |       FROM exact e LEFT JOIN appr a
+       |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |       WHERE e.rank = 1)
+       |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall,
+       |       COALESCE(r.top1_rr, CAST(0.0 AS DOUBLE)) AS top1_rr
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits h USING (query_id) LEFT JOIN rr r USING (query_id)
+       |ORDER BY query_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q139_ann_recall" -> annRecall,
     "q136_random_projection" -> randomProjection,
     "q137_pca_whiten" -> pcaWhiten,
     "q130_pq_adc" -> pqAdc,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Projections, RetrievalEval, Similarity}
+
+class RetrievalEvalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("hand-checked recall and reciprocal rank") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+    // q1: finds 10 (at rank 2) and 12; q2: misses the top-1, finds 21 only
+    val approx = ranked((1L, 99L, 1), (1L, 10L, 2), (1L, 12L, 3),
+      (2L, 21L, 1), (2L, 98L, 2), (2L, 97L, 3))
+    val got = RetrievalEval.compare(truth, approx, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2.0 / 3.0, 0.5)))
+    assert(got(2L) == ((1L, 1.0 / 3.0, 0.0)))
+  }
+
+  test("a query whose shortlist is empty still gets a zero row") {
+    val truth = ranked((1L, 10L, 1), (2L, 20L, 1))
+    val approx = ranked((1L, 10L, 1))
+    val got = RetrievalEval.compare(truth, approx, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 1.0, 1.0)))
+    assert(got(2L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("identical rankings score perfect recall and rr") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2))
+    val got = RetrievalEval.compare(truth, truth, k = 2).collect().head
+    assert(got.getLong(1) == 2L && got.getDouble(2) == 1.0 && got.getDouble(3) == 1.0)
+  }
+
+  test("random-projection ANN keeps useful recall on a real corpus") {
+    val rnd = new scala.util.Random(5)
+    // clustered corpus: near-neighbors are real (iid gaussian would be the
+    // JL worst case — all cosines near 0, nothing to recover)
+    val centers = Seq.fill(30)(Seq.fill(64)(rnd.nextGaussian()))
+    val vecs = Seq.tabulate(300)(v =>
+      (v.toLong, centers(v % 30).map(c => (c + rnd.nextGaussian() * 0.2).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val truth = Similarity.knnBruteForce(corpus, queries, k = 5)
+    val proj = Projections.randomProjection(corpus, "embedding", 64, 32)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val approx = Similarity.knnBruteForce(
+      proj, proj.filter(col("vec_id") < 10), k = 5)
+    val recall = RetrievalEval.compare(truth, approx, k = 5)
+      .agg(avg("recall")).collect().head.getDouble(0)
+    // clustered data survives the 2x JL cut easily; chance is 5/299
+    assert(recall > 0.6, s"mean recall $recall")
+  }
+}
