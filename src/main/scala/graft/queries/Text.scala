@@ -1193,6 +1193,47 @@ object Text {
       |       CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_terms
       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** BPE training's first-iteration statistic under the exact hash: the
+    * frequency-weighted adjacent character pairs of the word-frequency
+    * table (the quantity the first merge maximizes), top 30 by (count
+    * desc, pair asc). The iterative merge learning itself isn't
+    * SQL-expressible — q141 gates the full encode rows-only with golden
+    * merges and round-trip invariants in BpeSpec.
+    */
+  private val bpePairStats = QueryDef(
+    (s, dir) =>
+      graft.operators.Bpe.wordCounts(Tables.documents(s, dir), "text")
+        .filter(length(col("word")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(30),
+    """WITH toks AS (SELECT string_split(trim(text), ' ') t FROM documents),
+      |tok AS (SELECT unnest(t) AS word FROM toks),
+      |w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word),
+      |p AS (SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair,
+      |             cnt
+      |      FROM w WHERE len(word) >= 2)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin)
+
+  /** Full BPE lifecycle (Bpe.trainOn + encode): learn 100 merges on the
+    * corpus' word table, encode every document map-only. Rows-only gate —
+    * golden merges, round-trip reassembly, monotone compression, and
+    * determinism are asserted in BpeSpec.
+    */
+  private val bpeEncode = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.trainOn(docs, "text", numMerges = 100)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+          col("subwords")(0).as("first_subword"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
     * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
@@ -1725,6 +1766,8 @@ object Text {
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q140_bpe_pair_stats" -> bpePairStats,
+    "q141_bpe_encode" -> bpeEncode,
     "q138_blocklist_scan" -> blocklistScan,
     "q135_domain_tag" -> domainTag,
     "q134_bigram_nll" -> bigramNll,
