@@ -1234,6 +1234,84 @@ object Text {
     },
     None)
 
+  /** Composed pipeline v4 — the round's new operators chained end-to-end
+    * under ONE oracle: Aho–Corasick blocklist decontamination (drop any
+    * doc hitting the list) → bigram-LM scoring trained on the surviving
+    * sub-300 slice → per-source grouped sequence packing of the survivors,
+    * with the nll riding through the prefix sum. Every stage's arithmetic
+    * replays in SQL, so the final packed layout (bin assignment + straddle
+    * flags) is hash-exact against the full composition. The kept frame is
+    * persisted once (three consumers: LM train, scoring, source join).
+    */
+  private val corpusPipeline4 = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = docs.join(
+          graft.operators.BlocklistScan.scan(docs, "doc_id", "text",
+            Seq("a a", "merge batch"))
+            .filter(col("n_hits") === 0).select("doc_id"),
+          Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = graft.operators.BigramLm.train(
+        kept.filter(col("doc_id") < 300), "text", lambda = 0.75)
+      val scored = graft.operators.BigramLm
+        .scoreBroadcast(kept, "doc_id", "text", model)
+        .join(kept.select("doc_id", "source"), Seq("doc_id"))
+      graft.operators.Packing.groupedSequencePacking(
+        scored.select(col("source"), col("doc_id"), col("n_tokens"), col("nll")),
+        "source", "doc_id", "n_tokens", capacity = 256)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("nll"),
+          col("bin_first"), col("spans_boundary"))
+        .orderBy("doc_id")
+    },
+    """WITH terms AS (SELECT unnest(['a a', 'merge batch']) AS term),
+      |bh AS (SELECT d.doc_id,
+      |         SUM(len([p for p in range(1, len(d.text) - len(t.term) + 2)
+      |                  if substr(d.text, p, len(t.term)) = t.term])) AS n_hits
+      |       FROM documents d CROSS JOIN terms t GROUP BY d.doc_id),
+      |kept AS (SELECT d.* FROM documents d JOIN bh USING (doc_id)
+      |         WHERE bh.n_hits = 0),
+      |toks AS (SELECT doc_id, source, string_split(trim(text), ' ') t FROM kept),
+      |tok AS (SELECT doc_id, source, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, source,
+      |                unnest([struct_pack(pos := i, tok := t[i])
+      |                        for i in range(1, len(t) + 1)]) u
+      |              FROM toks)),
+      |unig AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) cnt FROM tok
+      |         WHERE doc_id < 300 GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM unig),
+      |big AS (SELECT prev, tok, CAST(COUNT(*) AS DOUBLE) cnt2
+      |        FROM (SELECT tok, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) prev
+      |              FROM tok WHERE doc_id < 300)
+      |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |seq AS (SELECT doc_id, pos, tok,
+      |          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+      |lp AS (SELECT s.doc_id, s.pos,
+      |        CASE WHEN s.prev IS NULL THEN ln(COALESCE(u.cnt, 0.5) / tot.total)
+      |             WHEN b.cnt2 IS NOT NULL
+      |               THEN ln(0.75 * (b.cnt2 / up.cnt) + 0.25 * (u.cnt / tot.total))
+      |             ELSE ln(0.25 * (COALESCE(u.cnt, 0.5) / tot.total)) END AS lp
+      |       FROM seq s
+      |       LEFT JOIN unig u ON u.tok = s.tok
+      |       LEFT JOIN unig up ON up.tok = s.prev
+      |       LEFT JOIN big b ON b.prev = s.prev AND b.tok = s.tok
+      |       CROSS JOIN tot),
+      |agg AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) s, COUNT(*) n
+      |        FROM lp GROUP BY doc_id),
+      |sc AS (SELECT a.doc_id, k.source, CAST(a.n AS BIGINT) AS n_tokens,
+      |              -a.s / a.n AS nll
+      |       FROM agg a JOIN kept k USING (doc_id)),
+      |o AS (SELECT source, doc_id, n_tokens, nll,
+      |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM sc)
+      |SELECT source, doc_id, n_tokens, nll,
+      |  CAST(cum_before // 256 AS BIGINT) AS bin_first,
+      |  cum_before // 256 <>
+      |    greatest(cum_before // 256, (cum_before + n_tokens - 1) // 256)
+      |    AS spans_boundary
+      |FROM o ORDER BY doc_id""".stripMargin)
+
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
     * doc from 200 up re-keyed to id+10000 (a new dump overlapping the
@@ -1766,6 +1844,7 @@ object Text {
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(
+    "q142_corpus_pipeline4" -> corpusPipeline4,
     "q140_bpe_pair_stats" -> bpePairStats,
     "q141_bpe_encode" -> bpeEncode,
     "q138_blocklist_scan" -> blocklistScan,
