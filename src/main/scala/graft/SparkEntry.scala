@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Stream.defs,
     graft.queries.Medallion.defs,
     graft.queries.Storage.defs,
-    graft.queries.Extra.defs)
+    graft.queries.Extra.defs,
+    graft.queries.Analytics.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

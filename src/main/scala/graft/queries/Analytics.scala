@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.operators.EventAnalytics
+
+/** Product-analytics layer over the events table: ordered funnels, weekly
+  * cohort retention, and first-order behavioral transitions — the classic
+  * warehouse workloads one level above the reference's sessionization
+  * (`scripts/transformations.py`). All aggregates are exact (counts,
+  * timestamps, one long/long division), so every query is oracle-gated
+  * bit-for-bit.
+  */
+object Analytics {
+
+  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered 4-step conversion funnel with strictly increasing timestamps. */
+  private val funnel = QueryDef(
+    (s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts", funnelSteps)
+        .orderBy("step"),
+    """WITH s0 AS (
+      |  SELECT user_id, MIN(ts) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t1
+      |  FROM events e JOIN s0 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s0.t0
+      |  GROUP BY e.user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS step, 'signup' AS step_name, COUNT(t0) AS users_reached FROM s0
+      |UNION ALL SELECT 2, 'view', COUNT(t1) FROM s1
+      |UNION ALL SELECT 3, 'click', COUNT(t2) FROM s2
+      |UNION ALL SELECT 4, 'purchase', COUNT(t3) FROM s3
+      |ORDER BY step""".stripMargin)
+
+  /** Weekly cohort retention matrix (cohort week × weeks-since offset). */
+  private val retention = QueryDef(
+    (s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "weeks_since"),
+    """WITH fs AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(date_trunc('week', fs.cohort_day) AS DATE) AS cohort_week,
+      |  CAST(FLOOR(date_diff('day', fs.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+      |    AS weeks_since,
+      |  COUNT(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN fs USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** First-order event-type transition matrix with exact probabilities. */
+  private val transitions = QueryDef(
+    (s, dir) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type"),
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin)
+
+  def defs: Map[String, QueryDef] = Map(
+    "q143_funnel" -> funnel,
+    "q144_retention_cohorts" -> retention,
+    "q145_event_transitions" -> transitions)
+}
