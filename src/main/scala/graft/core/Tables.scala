@@ -24,16 +24,31 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively; read it as epoch-nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    * the same truncation DuckDB applies, so oracle comparisons line up.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (unreadable natively by Spark; surfaces
+    * as epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong) and
+    * TIMESTAMP(MICROS) without UTC adjustment (surfaces as TIMESTAMP_NTZ).
+    * Normalize both to session-zone TimestampType at microsecond precision —
+    * the session zone is pinned UTC (build.sbt), so the wall-clock values
+    * match what DuckDB reads from the same file and oracle comparisons line
+    * up either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** Type-adaptive `ts` normalization shared with the streaming reader. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: truncate to micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros NTZ: reinterpret in the UTC session zone
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -29,10 +29,12 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a streaming source needs its schema up front: probe the directory with
+    // a one-off batch read (metadata only, no data scan), then normalize ts
+    // exactly like the batch loader (nanos-long vs micros-NTZ generations)
+    val fileSchema = spark.read.parquet(eventsDir).schema
+    graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
 
   /** Tumbling-window counts/sums per event type; late data bounded by the
