@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Medallion.defs,
     graft.queries.Storage.defs,
     graft.queries.Extra.defs,
-    graft.queries.Analytics.defs)
+    graft.queries.Analytics.defs,
+    graft.queries.Cleaning.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.foldLeft(Map.empty[String, QueryDef]) { (acc, m) =>

@@ -120,6 +120,33 @@ object TextFunctions {
     (lenOk + stopOk + wordOk) / 3.0
   }
 
+  /** Markup removal for crawled text: drop `<...>` tags, decode the five
+    * entities that dominate crawled prose (&amp; &lt; &gt; &quot; &nbsp;),
+    * collapse whitespace runs, trim. A real boilerplate extractor (DOM
+    * parsing, main-content detection) is an external-library seam like the
+    * media decoder; THIS is the regex fallback every pipeline keeps for the
+    * long tail — and it stays a single fused codegen projection. Patterns
+    * deliberately avoid Java-regex-only syntax so an oracle replays them
+    * verbatim: `<[^>]*>` and literal entity alternation mean the same thing
+    * to RE2. Entity decode happens AFTER tag removal (so `&lt;b&gt;`
+    * decodes to a visible `<b>` rather than being re-stripped — decoded
+    * entities are content, not markup).
+    */
+  def stripMarkup(html: Column): Column = {
+    val untagged = regexp_replace(html, "<[^>]*>", " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(untagged, "&nbsp;", " "),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** Canonical form for exact-duplicate detection: lowercase, punctuation
     * stripped, whitespace collapsed.
     */

@@ -37,6 +37,40 @@ object Outliers {
     withMadFlags(df, groupCols, valueCol, k,
       c => approx_percentile(c, lit(0.5), lit(accuracy)))
 
+  /** Per-group z-score standardization of an INTEGRAL column — how
+    * heterogeneous quality signals are put on one scale before mixing
+    * ("length z-score within source", Gopher-style per-domain cuts). Adds
+    * `mean`, `std` (population) and `z` to every row.
+    *
+    * Engine-exact by construction: the only aggregates are integer sums
+    * (count, Σx, Σx²), which every engine computes identically; the
+    * mean/variance/z arithmetic is then a fixed dag of IEEE double ops
+    * (correctly rounded, engine-independent). A naive avg/stddev over
+    * doubles would drift with partition arrival order. Contract: `valueCol`
+    * integral with Σx² inside long range (document char/token counts are;
+    * values ≥ 2^31-ish need a pre-scale). Degenerate groups (constant
+    * value, one row) get z = 0 rather than NaN. One map-side-combining
+    * aggregate + one broadcast join — same shape as [[madOutliers]] but
+    * single-pass.
+    */
+  def groupZScore(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__sq"))
+    val mean = col("__s").cast("double") / col("__n")
+    val msq = col("__sq").cast("double") / col("__n")
+    val variance = msq - mean * mean
+    df.join(broadcast(stats), groupCols)
+      .withColumn("mean", mean)
+      .withColumn("std", when(variance > 0.0, sqrt(variance)).otherwise(0.0))
+      .withColumn("z",
+        when(variance > 0.0, (v.cast("double") - mean) / sqrt(variance))
+          .otherwise(0.0))
+      .drop("__n", "__s", "__sq")
+  }
+
   private def withMadFlags(df: DataFrame, groupCols: Seq[String],
       valueCol: String, k: Double, median: Column => Column): DataFrame = {
     val gcols = groupCols.map(col)

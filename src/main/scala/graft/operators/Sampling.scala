@@ -116,6 +116,41 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, IPL 2006, via the Gumbel/exponential-race form): each row
+    * draws a deterministic uniform u from its key's md5 and races with the
+    * exponential key `-ln(u) / w`; the `n` smallest win. Inclusion
+    * probabilities match sequential weighted draws without replacement —
+    * the "sample 10k eval docs proportional to length" primitive — and the
+    * draw is reproducible from keys alone (no RNG state, no seed shipping).
+    *
+    * Scale shape: one codegen projection for the race key, then a global
+    * top-n via TakeOrderedAndProject — per-partition n-bounded heaps + a
+    * driver merge of n-row partial winners, never a full sort or single-
+    * partition funnel. Rows with w ≤ 0 carry no admissible mass and are
+    * excluded (same contract as [[temperatureMixture]]'s zero-weight
+    * sources).
+    *
+    * Determinism note: ties on the double key are broken by the key
+    * column, and the race key itself is not emitted — `ln` is the one op
+    * here that engines round differently in the last ulp, so the key is
+    * kept internal and the SELECTION (which a last-ulp flip cannot
+    * realistically change: it needs two of n draws within one ulp exactly
+    * at the cut) is the contract. Gate-checked rows-only; SamplingSpec
+    * pins determinism, exact size, and weight-proportional inclusion.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      n: Int): DataFrame = {
+    // u in (0, 1]: 32 md5 bits + 1 over 2^32 — never 0, so ln(u) is finite
+    val u = (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967296.0
+    df.filter(weight > 0)
+      .withColumn("__race", -log(u) / weight.cast("double"))
+      .orderBy(col("__race"), col(keyCol))
+      .limit(n)
+      .drop("__race")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: each row
     * gets a stable shard (md5 bucket of its key) and a stable position
     * within the shard (rank by md5 of the key, tie-broken by the key) — the

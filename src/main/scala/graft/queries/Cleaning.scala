@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Outliers, ParagraphDedup, Sampling}
+
+/** Web-corpus cleaning surface: paragraph-granular dedup and boilerplate
+  * reporting (CCNet's unit of identity), markup stripping, weighted
+  * eval-set sampling, and per-source signal standardization. The documents
+  * table has no intra-document structure, so the paragraph gates first
+  * assemble a paged corpus (docs grouped into source bulletins sharing a
+  * header/footer) — the same construct-then-verify pattern the blocklist
+  * and contamination gates use, and exactly the shape (shared chrome
+  * around unique bodies) paragraph dedup exists for.
+  */
+object Cleaning {
+
+  /** Pages: one row per (source, bucket of 25 doc_ids) — body paragraphs
+    * are the member docs in doc_id order, wrapped in a per-source header
+    * and a corpus-wide footer, newline-separated. Deterministic and cheap:
+    * one groupBy over ~n_docs/5 groups.
+    */
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", floor(col("doc_id") / 25).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(concat_ws("\n",
+        transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("body"))
+      .select(
+        concat(col("source"), lit("#"), col("bucket")).as("page_id"),
+        concat_ws("\n",
+          concat(lit("== "), col("source"), lit(" bulletin ==")),
+          col("body"),
+          lit("powered by graft")).as("text"))
+
+  private val pagesSql: String =
+    """SELECT source || '#' || CAST(CAST(FLOOR(doc_id / 25) AS BIGINT) AS VARCHAR)
+      |    AS page_id,
+      |  '== ' || source || ' bulletin ==' || chr(10) ||
+      |    string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+      |    'powered by graft' AS text
+      |FROM documents
+      |GROUP BY source, FLOOR(doc_id / 25)""".stripMargin
+
+  private val parasSql: String =
+    """SELECT page_id,
+      |  unnest(string_split(text, chr(10))) AS para,
+      |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+      |FROM pages""".stripMargin
+
+  /** q146: CCNet-style paragraph dedup over the paged corpus — every
+    * source's header and the global footer collapse to one copy (the
+    * lexicographically-first (page, pos) occurrence); unique bodies
+    * survive untouched. Oracle replays page assembly, the split, the
+    * keep-first rule and the ordered rebuild exactly (paragraph identity
+    * is the 64-bit hash on the Spark side, the text itself in SQL —
+    * identical grouping absent a 2^-64 collision).
+    */
+  private val paragraphDedup = QueryDef(
+    (s, dir) =>
+      ParagraphDedup.dropDuplicateParagraphs(pages(s, dir), "page_id", "text", "\n")
+        .select(col("page_id"), col("text"), col("kept_paras"))
+        .orderBy("page_id"),
+    s"""WITH pages AS ($pagesSql),
+       |rawp AS ($parasSql),
+       |np AS (SELECT * FROM rawp WHERE para <> ''),
+       |dup AS (
+       |  SELECT para FROM np GROUP BY para
+       |  HAVING COUNT(DISTINCT page_id) >= 2),
+       |flags AS (
+       |  SELECT np.page_id, np.pos, np.para,
+       |    ROW_NUMBER() OVER (PARTITION BY np.para ORDER BY np.page_id, np.pos)
+       |      AS rn,
+       |    d.para IS NOT NULL AS is_dup
+       |  FROM np LEFT JOIN dup d USING (para)),
+       |kept AS (SELECT page_id, pos, para FROM flags WHERE NOT is_dup OR rn = 1),
+       |agg AS (
+       |  SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+       |    COUNT(*) AS kept_paras
+       |  FROM kept GROUP BY page_id)
+       |SELECT p.page_id, COALESCE(a.text, '') AS text,
+       |  COALESCE(a.kept_paras, 0) AS kept_paras
+       |FROM pages p LEFT JOIN agg a USING (page_id)
+       |ORDER BY page_id""".stripMargin)
+
+  /** q147: the boilerplate audit over the same paged corpus — paragraphs
+    * in ≥ 3 distinct pages with doc frequency and first holder. Five
+    * source headers + one global footer, plus any body text that happens
+    * to repeat across pages (both engines tally it identically).
+    */
+  private val boilerplate = QueryDef(
+    (s, dir) =>
+      ParagraphDedup.boilerplateReport(pages(s, dir), "page_id", "text", "\n", 3)
+        .orderBy(desc("n_docs"), col("para")),
+    s"""WITH pages AS ($pagesSql),
+       |rawp AS ($parasSql),
+       |np AS (SELECT * FROM rawp WHERE para <> '')
+       |SELECT para, COUNT(DISTINCT page_id) AS n_docs, MIN(page_id) AS first_doc
+       |FROM np GROUP BY para
+       |HAVING COUNT(DISTINCT page_id) >= 3
+       |ORDER BY n_docs DESC, para""".stripMargin)
+
+  /** q148: fixed-size weighted sample (Efraimidis-Spirakis race) of 100
+    * docs proportional to length, without replacement. Rows-only: the race
+    * key needs `ln`, the one op engines can differ on in the last ulp —
+    * SamplingSpec pins size, determinism and weight-proportional
+    * inclusion instead.
+    */
+  private val weightedSample = QueryDef(
+    (s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+    None)
+
+  /** q149: markup stripping — docs wrapped in deterministic HTML chrome
+    * (tags, entities, a link) then cleaned back to prose. The oracle
+    * replays the wrap and every replace in the same order; tag regex and
+    * whitespace class are RE2-and-Java-identical by construction.
+    */
+  private val markupStrip = QueryDef(
+    (s, dir) => {
+      val html = concat(
+        lit("<div class=\"doc\"><h1>"), col("source"), lit("</h1><p>"),
+        col("text"), lit(" &amp; more</p><br/>&nbsp;<a href=\"http://x\">"),
+        col("lang"), lit("</a></div>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.stripMarkup(html).as("clean"))
+        .withColumn("n_tokens",
+          TextFunctions.hashAlignedTokenCount(col("clean")).cast("long"))
+        .orderBy("doc_id")
+    },
+    """WITH wrapped AS (
+      |  SELECT doc_id,
+      |    '<div class="doc"><h1>' || source || '</h1><p>' || text ||
+      |    ' &amp; more</p><br/>&nbsp;<a href="http://x">' || lang ||
+      |    '</a></div>' AS html
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&amp;', '&'),
+      |      '[ \t\n\r]+', ' ', 'g')) AS clean
+      |  FROM wrapped)
+      |SELECT doc_id, clean,
+      |  CASE WHEN clean = '' THEN 0
+      |    ELSE len(string_split(clean, ' ')) END AS n_tokens
+      |FROM cleaned ORDER BY doc_id""".stripMargin)
+
+  /** q150: per-source z-score standardization of document length — integer
+    * sums make the mean/std/z a fixed IEEE dag both engines compute
+    * bit-identically (a double avg/stddev would drift with sum order).
+    */
+  private val sourceZscore = QueryDef(
+    (s, dir) =>
+      Outliers.groupZScore(Tables.documents(s, dir), Seq("source"), "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("mean"), col("std"), col("z"))
+        .orderBy("doc_id"),
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    SUM(CAST(n_chars AS BIGINT)) AS sm,
+      |    SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sq
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CAST(s.sm AS DOUBLE) / s.n AS mean,
+      |  CASE WHEN CAST(s.sq AS DOUBLE) / s.n
+      |      - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n) > 0
+      |    THEN sqrt(CAST(s.sq AS DOUBLE) / s.n
+      |      - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n))
+      |    ELSE 0.0 END AS std,
+      |  CASE WHEN CAST(s.sq AS DOUBLE) / s.n
+      |      - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n) > 0
+      |    THEN (CAST(d.n_chars AS DOUBLE) - CAST(s.sm AS DOUBLE) / s.n)
+      |      / sqrt(CAST(s.sq AS DOUBLE) / s.n
+      |        - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n))
+      |    ELSE 0.0 END AS z
+      |FROM documents d JOIN s USING (source)
+      |ORDER BY doc_id""".stripMargin)
+
+  def defs: Map[String, QueryDef] = Map(
+    "q146_paragraph_dedup" -> paragraphDedup,
+    "q147_boilerplate_report" -> boilerplate,
+    "q148_weighted_sample" -> weightedSample,
+    "q149_markup_strip" -> markupStrip,
+    "q150_source_zscore" -> sourceZscore)
+}

@@ -52,4 +52,25 @@ class OutliersSpec extends AnyFunSuite {
     assert(math.abs(exact - approx) / denom <= 0.1,
       s"exact $exact vs approx $approx")
   }
+
+  test("groupZScore standardizes within each group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10), ("a", 20), ("a", 30),
+      ("b", 5), ("b", 5)).toDF("g", "v")
+    val out = Outliers.groupZScore(df, Seq("g"), "v")
+      .select("g", "v", "mean", "std", "z")
+      .as[(String, Int, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    // group a: mean 20, population std sqrt(200/3)
+    val stdA = math.sqrt(200.0 / 3.0)
+    assert(out(0)._3 === 20.0 && math.abs(out(0)._5 - (-10.0 / stdA)) < 1e-12)
+    assert(out(1)._5 === 0.0)
+    assert(math.abs(out(2)._5 - 10.0 / stdA) < 1e-12)
+    // constant group: variance 0 → z 0, std 0, no NaN
+    assert(out(3)._4 === 0.0 && out(3)._5 === 0.0)
+    // z-scores within a group sum to ~0 and have unit population variance
+    val zs = out.take(3).map(_._5)
+    assert(math.abs(zs.sum) < 1e-12)
+    assert(math.abs(zs.map(z => z * z).sum / 3 - 1.0) < 1e-12)
+  }
 }

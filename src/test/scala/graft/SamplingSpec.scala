@@ -91,4 +91,32 @@ class SamplingSpec extends AnyFunSuite {
       } finally up.unpersist()
     } finally docs.unpersist()
   }
+
+  test("weightedSample: exact size, deterministic, zero-weight excluded") {
+    val docs = spark.range(5000)
+      .select(col("id").as("k"),
+        when(col("id") % 100 === 0, 0L).otherwise(col("id") % 7 + 1).as("w"))
+    val a = Sampling.weightedSample(docs, "k", col("w"), 300)
+    assert(a.count() === 300L)
+    val ids = a.select("k").as[Long].collect().toSet
+    assert(!ids.exists(_ % 100 == 0), "zero-weight rows must never win")
+    val b = Sampling.weightedSample(docs.repartition(7), "k", col("w"), 300)
+      .select("k").as[Long].collect().toSet
+    assert(ids === b, "selection must not depend on partitioning")
+  }
+
+  test("weightedSample: inclusion scales with weight (10x weight ~ 10x rate)") {
+    // two weight classes; at a small sampling fraction the E-S race admits
+    // class-10 keys ~10x as often as class-1 keys
+    val docs = spark.range(100000)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, 10L).otherwise(1L).as("w"))
+    val got = Sampling.weightedSample(docs, "k", col("w"), 2000)
+      .select("k").as[Long].collect()
+    val heavy = got.count(_ % 2 == 0).toDouble
+    val light = got.length - heavy
+    val ratio = heavy / math.max(light, 1.0)
+    assert(ratio > 7.0 && ratio < 13.0,
+      s"heavy/light inclusion ratio $ratio, expected ~10")
+  }
 }

@@ -138,4 +138,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.length == 4)
     assert(got(0) == got(2) && got(1) == got(3) && got(0) != got(1))
   }
+
+  test("stripMarkup removes tags, decodes entities, collapses whitespace") {
+    val cases = Seq(
+      "<div class=\"x\"><p>hello <b>world</b></p></div>" -> "hello world",
+      "a &amp; b &lt;tag&gt; &quot;q&quot;&nbsp;end" -> "a & b <tag> \"q\" end",
+      // decoded entities are content: &lt;b&gt; must NOT be re-stripped
+      "&lt;b&gt;bold&lt;/b&gt;" -> "<b>bold</b>",
+      "line1\n\tline2  \r\n line3" -> "line1 line2 line3",
+      "<br/><hr>" -> "",
+      "plain text" -> "plain text")
+    for ((in, want) <- cases) {
+      val got = one[String](graft.functions.TextFunctions.stripMarkup(col("t")), in)
+      assert(got === want, s"input: $in")
+    }
+  }
 }
