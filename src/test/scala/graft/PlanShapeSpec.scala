@@ -201,6 +201,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kernels == 4, s"expected 4 kernel evaluations, got $kernels:\n${p.take(3000)}")
   }
 
+  test("weighted sampling plans as TakeOrderedAndProject, not a global sort") {
+    // the E-S race must cut via per-partition heaps + driver merge; a
+    // Sort + GlobalLimit pair would materialize a full corpus sort
+    val p = plan("q148_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("paragraph dedup: hash agg two-phase, rebuild joins hash-wise") {
+    val p = plan("q146_paragraph_dedup")
+    // canonical selection is a map-side-combining aggregate on the hash
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(3000))
+    // dropped-position arrays reach the corpus via a hash/broadcast join,
+    // never a nested loop over paragraphs
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
