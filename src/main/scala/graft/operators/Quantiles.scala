@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT quantiles of an integral column at corpus scale, computed in the
+  * VALUE domain: aggregate (group, value) → count first, then walk the
+  * ordered distinct values — per-group state is bounded by the distinct-
+  * value count (token/char counts: thousands), not the row count, so the
+  * exact answer survives 100 TB where a per-group value multiset
+  * ([[Outliers.madOutliers]]'s percentile) or a full sort does not, and
+  * without the error bar approx_percentile trades away. The standard
+  * length-distribution audit (deciles of document length per source) needs
+  * exactly this shape.
+  *
+  * Interpolation is type-7 (h = q·(n−1), linear between the two covering
+  * values) — the same rule as Spark's `percentile`, NumPy's default and
+  * DuckDB's `quantile_cont`; QuantilesSpec pins agreement with Spark's own
+  * `percentile` aggregate. The arithmetic after the integer counts is a
+  * fixed IEEE dag, so an oracle replaying the same windowed walk matches
+  * bit-for-bit.
+  *
+  * Shuffle shape: one map-side-combining groupBy on (group, value); the
+  * prefix windows then run over DISTINCT-VALUE rows only (partitioned by
+  * group — never a single global partition), and each requested q picks
+  * its two covering rows with a scan-level filter. `n − 1 < 2^53` keeps
+  * the double index exact — beyond that, row indices themselves stop
+  * fitting in doubles and q·(n−1) would need decimal arithmetic.
+  */
+object Quantiles {
+
+  /** (groupCols*, q, quantile) for every q in `qs` over the integral
+    * `valueCol`. Empty groups cannot occur (no rows → no group); a
+    * single-value group returns that value for every q.
+    */
+  def exactIntQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val counts = df.groupBy(gcols :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(gcols: _*)
+    val ordered = byGroup.orderBy(col("__v"))
+    // inclusive prefix of row indices: this value covers [cum−c, cum)
+    val pref = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+    val wanted = pref.select(gcols ++ Seq(col("__v"), col("__c"),
+        col("__cum"), col("__n"), explode(array(qs.map(lit): _*)).as("q")): _*)
+      .withColumn("__h", col("q") * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__h")))
+      .withColumn("__hi", ceil(col("__h")))
+    val keyCols = groupCols :+ "q"
+    val loVals = wanted
+      .filter(col("__lo") >= col("__cum") - col("__c") && col("__lo") < col("__cum"))
+      .select(gcols ++ Seq(col("q"), col("__v").as("__vlo"),
+        col("__h"), col("__lo")): _*)
+    val hiVals = wanted
+      .filter(col("__hi") >= col("__cum") - col("__c") && col("__hi") < col("__cum"))
+      .select(gcols ++ Seq(col("q"), col("__v").as("__vhi")): _*)
+    loVals.join(hiVals, keyCols)
+      .select(gcols ++ Seq(col("q"),
+        (col("__vlo").cast("double") + (col("__h") - col("__lo"))
+          * (col("__vhi") - col("__vlo")).cast("double")).as("quantile")): _*)
+  }
+}

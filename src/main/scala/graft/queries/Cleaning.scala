@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.{Outliers, ParagraphDedup, Sampling}
+import graft.operators.{Outliers, ParagraphDedup, Quantiles, Sampling}
 
 /** Web-corpus cleaning surface: paragraph-granular dedup and boilerplate
   * reporting (CCNet's unit of identity), markup stripping, weighted
@@ -186,10 +186,52 @@ object Cleaning {
       |FROM documents d JOIN s USING (source)
       |ORDER BY doc_id""".stripMargin)
 
+  /** q151: exact per-source length deciles via the value-domain walk —
+    * state bounded by distinct lengths, not documents, which is what makes
+    * EXACT (not sketched) quantiles feasible at corpus scale. The oracle
+    * replays the same counts → prefix → type-7 interpolation dag rather
+    * than calling quantile_cont, pinning the arithmetic bit-for-bit
+    * (QuantilesSpec separately pins agreement with Spark's `percentile`).
+    */
+  private val sourceDeciles = QueryDef(
+    (s, dir) =>
+      Quantiles.exactIntQuantiles(Tables.documents(s, dir), Seq("source"),
+        "n_chars", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .orderBy("source", "q"),
+    """WITH counts AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM documents GROUP BY source, CAST(n_chars AS BIGINT)),
+      |pref AS (
+      |  SELECT source, v, c,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM counts),
+      |wanted AS (
+      |  SELECT p.source, p.v, p.c, p.cum, u.q,
+      |    u.q * (p.n - 1) AS h,
+      |    FLOOR(u.q * (p.n - 1)) AS lo,
+      |    CEIL(u.q * (p.n - 1)) AS hi
+      |  FROM pref p,
+      |    (SELECT CAST(q AS DOUBLE) AS q
+      |     FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)) u),
+      |lov AS (
+      |  SELECT source, q, v AS vlo, h, lo FROM wanted
+      |  WHERE lo >= cum - c AND lo < cum),
+      |hiv AS (
+      |  SELECT source, q, v AS vhi FROM wanted
+      |  WHERE hi >= cum - c AND hi < cum)
+      |SELECT l.source, l.q,
+      |  CAST(l.vlo AS DOUBLE) + (l.h - l.lo) * CAST(h2.vhi - l.vlo AS DOUBLE)
+      |    AS quantile
+      |FROM lov l JOIN hiv h2 USING (source, q)
+      |ORDER BY source, q""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
     "q146_paragraph_dedup" -> paragraphDedup,
     "q147_boilerplate_report" -> boilerplate,
     "q148_weighted_sample" -> weightedSample,
     "q149_markup_strip" -> markupStrip,
-    "q150_source_zscore" -> sourceZscore)
+    "q150_source_zscore" -> sourceZscore,
+    "q151_source_deciles" -> sourceDeciles)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quantiles
+
+/** Value-domain exact quantiles must agree with Spark's own `percentile`
+  * aggregate (the multiset-based exact reference) on every q, including
+  * ties, tiny groups, and the q=0/1 endpoints — the value-domain walk is a
+  * scalability rewrite, not a semantics change.
+  */
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  test("matches Spark percentile on skewed integer data with heavy ties") {
+    val df = spark.range(10000)
+      .select((col("id") % 3).cast("string").as("g"),
+        // heavy ties: only ~60 distinct values, zipf-ish
+        (col("id") * col("id") % 61).as("v"))
+    val got = Quantiles.exactIntQuantiles(df, Seq("g"), "v", qs)
+      .select("g", "q", "quantile").as[(String, Double, Double)]
+      .collect().map { case (g, q, x) => (g, q) -> x }.toMap
+    val want = df.groupBy("g")
+      .agg(percentile(col("v"), array(qs.map(lit): _*)).as("p"))
+      .select(col("g"), posexplode(col("p")))
+      .as[(String, Int, Double)].collect()
+      .map { case (g, i, x) => (g, qs(i)) -> x }.toMap
+    assert(got.keySet === want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-9, s"$k: got ${got(k)}, want $w")
+  }
+
+  test("single-value group returns that value for every q") {
+    val df = Seq(("a", 7), ("a", 7), ("b", 3)).toDF("g", "v")
+    val got = Quantiles.exactIntQuantiles(df, Seq("g"), "v", Seq(0.0, 0.5, 1.0))
+      .select("g", "quantile").as[(String, Double)].collect()
+    assert(got.filter(_._1 == "a").forall(_._2 == 7.0))
+    assert(got.filter(_._1 == "b").forall(_._2 == 3.0))
+  }
+
+  test("even-count interpolation lands between the two middle values") {
+    val df = Seq(1, 2, 3, 4).map(("g", _)).toDF("g", "v")
+    val got = Quantiles.exactIntQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .select("quantile").as[Double].head()
+    assert(got === 2.5)
+  }
+
+  test("deterministic under repartitioning") {
+    val df = spark.range(5000)
+      .select((col("id") % 5).cast("string").as("g"), (col("id") % 97).as("v"))
+    val a = Quantiles.exactIntQuantiles(df, Seq("g"), "v", qs)
+      .collect().map(_.toString).sorted
+    val b = Quantiles.exactIntQuantiles(df.repartition(13), Seq("g"), "v", qs)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
