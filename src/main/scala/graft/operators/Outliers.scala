@@ -48,7 +48,9 @@ object Outliers {
     * (correctly rounded, engine-independent). A naive avg/stddev over
     * doubles would drift with partition arrival order. Contract: `valueCol`
     * integral with Σx² inside long range (document char/token counts are;
-    * values ≥ 2^31-ish need a pre-scale). Degenerate groups (constant
+    * values ≥ 2^31-ish need a pre-scale). NULL values carry no mass: they
+    * are excluded from the moments (count(v), like AVG/STDDEV would) and
+    * score z = NULL — unscorable, not zero. Degenerate groups (constant
     * value, one row) get z = 0 rather than NaN. One map-side-combining
     * aggregate + one broadcast join — same shape as [[madOutliers]] but
     * single-pass.
@@ -58,7 +60,7 @@ object Outliers {
     val gcols = groupCols.map(col)
     val v = col(valueCol).cast("long")
     val stats = df.groupBy(gcols: _*)
-      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__sq"))
+      .agg(count(v).as("__n"), sum(v).as("__s"), sum(v * v).as("__sq"))
     val mean = col("__s").cast("double") / col("__n")
     val msq = col("__sq").cast("double") / col("__n")
     val variance = msq - mean * mean
@@ -66,7 +68,8 @@ object Outliers {
       .withColumn("mean", mean)
       .withColumn("std", when(variance > 0.0, sqrt(variance)).otherwise(0.0))
       .withColumn("z",
-        when(variance > 0.0, (v.cast("double") - mean) / sqrt(variance))
+        when(v.isNull, lit(null).cast("double"))
+          .when(variance > 0.0, (v.cast("double") - mean) / sqrt(variance))
           .otherwise(0.0))
       .drop("__n", "__s", "__sq")
   }

@@ -30,17 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** (groupCols*, q, quantile) for every q in `qs` over the integral
-    * `valueCol`. Empty groups cannot occur (no rows → no group); a
+  /** (groupCols*, q, quantile) for every distinct q in `qs` over the
+    * integral `valueCol`. NULL values are ignored (the `percentile`/
+    * `quantile_cont` contract — they carry no position in the order
+    * statistic); a group whose values are all NULL disappears. A
     * single-value group returns that value for every q.
+    *
+    * Single-pass: the row covering index lo = ⌊h⌋ also knows the hi = ⌈h⌉
+    * value — its own when hi is still inside this value's index range,
+    * its ordered successor's (lead) when h crosses into the next distinct
+    * value — so each quantile is one scan-level filter over the windowed
+    * counts, with no lo/hi self-join re-executing the aggregate.
     */
   def exactIntQuantiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    val qds = qs.distinct
+    require(qds.nonEmpty && qds.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val gcols = groupCols.map(col)
     val v = col(valueCol).cast("long")
-    val counts = df.groupBy(gcols :+ v.as("__v"): _*)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(gcols :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val byGroup = Window.partitionBy(gcols: _*)
     val ordered = byGroup.orderBy(col("__v"))
@@ -49,22 +59,16 @@ object Quantiles {
       .withColumn("__cum", sum(col("__c")).over(
         ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__n", sum(col("__c")).over(byGroup))
-    val wanted = pref.select(gcols ++ Seq(col("__v"), col("__c"),
-        col("__cum"), col("__n"), explode(array(qs.map(lit): _*)).as("q")): _*)
+      .withColumn("__next", lead(col("__v"), 1).over(ordered))
+    pref.select(gcols ++ Seq(col("__v"), col("__c"), col("__cum"), col("__n"),
+        col("__next"), explode(array(qds.map(lit): _*)).as("q")): _*)
       .withColumn("__h", col("q") * (col("__n") - 1).cast("double"))
       .withColumn("__lo", floor(col("__h")))
-      .withColumn("__hi", ceil(col("__h")))
-    val keyCols = groupCols :+ "q"
-    val loVals = wanted
       .filter(col("__lo") >= col("__cum") - col("__c") && col("__lo") < col("__cum"))
-      .select(gcols ++ Seq(col("q"), col("__v").as("__vlo"),
-        col("__h"), col("__lo")): _*)
-    val hiVals = wanted
-      .filter(col("__hi") >= col("__cum") - col("__c") && col("__hi") < col("__cum"))
-      .select(gcols ++ Seq(col("q"), col("__v").as("__vhi")): _*)
-    loVals.join(hiVals, keyCols)
+      .withColumn("__vhi",
+        when(ceil(col("__h")) < col("__cum"), col("__v")).otherwise(col("__next")))
       .select(gcols ++ Seq(col("q"),
-        (col("__vlo").cast("double") + (col("__h") - col("__lo"))
-          * (col("__vhi") - col("__vlo")).cast("double")).as("quantile")): _*)
+        (col("__v").cast("double") + (col("__h") - col("__lo"))
+          * (col("__vhi") - col("__v")).cast("double")).as("quantile")): _*)
   }
 }

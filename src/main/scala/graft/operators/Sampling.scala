@@ -20,8 +20,16 @@ object Sampling {
     * empirical admission rate at 10k buckets.
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % buckets).cast("int")
+    (md5Bits32(key) % buckets).cast("int")
+
+  /** First 32 md5 bits of the key as a long in [0, 2^32) — THE uniform
+    * draw behind every sampler here ([[hashBucket]]'s bucket,
+    * [[weightedSample]]'s u). One definition so the cast chain and bit
+    * width can never diverge between them.
+    */
+  private def md5Bits32(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
 
   /** Tag rows with "train"/"holdout" at trainPct/100. */
   def split(df: DataFrame, keyCol: String, trainPct: Int): DataFrame =
@@ -131,19 +139,21 @@ object Sampling {
     * excluded (same contract as [[temperatureMixture]]'s zero-weight
     * sources).
     *
-    * Determinism note: ties on the double key are broken by the key
-    * column, and the race key itself is not emitted — `ln` is the one op
-    * here that engines round differently in the last ulp, so the key is
-    * kept internal and the SELECTION (which a last-ulp flip cannot
-    * realistically change: it needs two of n draws within one ulp exactly
-    * at the cut) is the contract. Gate-checked rows-only; SamplingSpec
-    * pins determinism, exact size, and weight-proportional inclusion.
+    * Determinism note: `keyCol` must be UNIQUE (it is the document key —
+    * duplicate keys draw the same u and tie exactly, leaving the physical
+    * winner at the cut partition-order dependent). Ties on the double key
+    * are broken by the key column, and the race key itself is not
+    * emitted — `ln` is the one op here that engines round differently in
+    * the last ulp, so the key is kept internal and the SELECTION (which a
+    * last-ulp flip cannot realistically change: it needs two of n draws
+    * within one ulp exactly at the cut) is the contract. Gate-checked
+    * rows-only; SamplingSpec pins determinism, exact size, and
+    * weight-proportional inclusion.
     */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       n: Int): DataFrame = {
     // u in (0, 1]: 32 md5 bits + 1 over 2^32 — never 0, so ln(u) is finite
-    val u = (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
-      16, 10).cast("double") + 1.0) / 4294967296.0
+    val u = (md5Bits32(col(keyCol)).cast("double") + 1.0) / 4294967296.0
     df.filter(weight > 0)
       .withColumn("__race", -log(u) / weight.cast("double"))
       .orderBy(col("__race"), col(keyCol))

@@ -18,10 +18,14 @@ import graft.operators.{Outliers, ParagraphDedup, Quantiles, Sampling}
   */
 object Cleaning {
 
-  /** Pages: one row per (source, bucket of 25 doc_ids) — body paragraphs
-    * are the member docs in doc_id order, wrapped in a per-source header
-    * and a corpus-wide footer, newline-separated. Deterministic and cheap:
-    * one groupBy over ~n_docs/5 groups.
+  /** Pages: one row per (source, bucket of 25 consecutive doc_ids) — body
+    * paragraphs are the member docs in doc_id order, wrapped in a
+    * per-source header and a corpus-wide footer, newline-separated.
+    * doc_id is global and sources interleave, so a page holds the 1-2 of
+    * its bucket's 25 docs that belong to its source (sf0.01: 500 docs ×
+    * 20 sources → 400 pages); every page of a source still shares the
+    * header, which is the boilerplate signal under test. Deterministic
+    * and cheap: one groupBy.
     */
   private def pages(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -88,9 +92,10 @@ object Cleaning {
        |ORDER BY page_id""".stripMargin)
 
   /** q147: the boilerplate audit over the same paged corpus — paragraphs
-    * in ≥ 3 distinct pages with doc frequency and first holder. Five
-    * source headers + one global footer, plus any body text that happens
-    * to repeat across pages (both engines tally it identically).
+    * in ≥ 3 distinct pages with doc frequency and first holder. One
+    * header per source plus the global footer (21 rows at sf0.01's 20
+    * sources), plus any body text that happens to repeat across pages
+    * (both engines tally it identically).
     */
   private val boilerplate = QueryDef(
     (s, dir) =>
@@ -200,31 +205,29 @@ object Cleaning {
         .orderBy("source", "q"),
     """WITH counts AS (
       |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
-      |  FROM documents GROUP BY source, CAST(n_chars AS BIGINT)),
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |  GROUP BY source, CAST(n_chars AS BIGINT)),
       |pref AS (
       |  SELECT source, v, c,
       |    SUM(c) OVER (PARTITION BY source ORDER BY v
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |    SUM(c) OVER (PARTITION BY source) AS n
+      |    SUM(c) OVER (PARTITION BY source) AS n,
+      |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) AS nxt
       |  FROM counts),
       |wanted AS (
-      |  SELECT p.source, p.v, p.c, p.cum, u.q,
+      |  SELECT p.source, p.v, p.c, p.cum, p.nxt, u.q,
       |    u.q * (p.n - 1) AS h,
       |    FLOOR(u.q * (p.n - 1)) AS lo,
       |    CEIL(u.q * (p.n - 1)) AS hi
       |  FROM pref p,
       |    (SELECT CAST(q AS DOUBLE) AS q
-      |     FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)) u),
-      |lov AS (
-      |  SELECT source, q, v AS vlo, h, lo FROM wanted
-      |  WHERE lo >= cum - c AND lo < cum),
-      |hiv AS (
-      |  SELECT source, q, v AS vhi FROM wanted
-      |  WHERE hi >= cum - c AND hi < cum)
-      |SELECT l.source, l.q,
-      |  CAST(l.vlo AS DOUBLE) + (l.h - l.lo) * CAST(h2.vhi - l.vlo AS DOUBLE)
+      |     FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)) u)
+      |SELECT source, q,
+      |  CAST(v AS DOUBLE) + (h - lo)
+      |    * CAST((CASE WHEN hi < cum THEN v ELSE nxt END) - v AS DOUBLE)
       |    AS quantile
-      |FROM lov l JOIN hiv h2 USING (source, q)
+      |FROM wanted
+      |WHERE lo >= cum - c AND lo < cum
       |ORDER BY source, q""".stripMargin)
 
   def defs: Map[String, QueryDef] = Map(

@@ -73,4 +73,18 @@ class OutliersSpec extends AnyFunSuite {
     assert(math.abs(zs.sum) < 1e-12)
     assert(math.abs(zs.map(z => z * z).sum / 3 - 1.0) < 1e-12)
   }
+
+  test("groupZScore: NULL values carry no mass and score NULL") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(3)), ("a", None))
+      .toDF("g", "v")
+    val rows = Outliers.groupZScore(df, Seq("g"), "v")
+      .select("v", "mean", "z").collect()
+    // moments from the 3 non-null values only: mean 2, not 6/4
+    assert(rows.forall(_.getDouble(1) === 2.0))
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(2), "NULL value must score z = NULL, not 0")
+    val z1 = rows.find(r => !r.isNullAt(0) && r.getInt(0) == 1).get.getDouble(2)
+    assert(math.abs(z1 - (-1.0 / math.sqrt(2.0 / 3.0))) < 1e-12)
+  }
 }

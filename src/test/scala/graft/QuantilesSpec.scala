@@ -49,6 +49,19 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got === 2.5)
   }
 
+  test("NULL values are ignored, matching percentile; duplicate qs collapse") {
+    val df = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(3)),
+      ("a", None), ("b", None)).toDF("g", "v")
+    val got = Quantiles.exactIntQuantiles(df, Seq("g"), "v",
+      Seq(0.0, 0.5, 0.5, 1.0))
+      .select("g", "q", "quantile").as[(String, Double, Double)].collect()
+    // all-NULL group b disappears; NULL in group a carries no position
+    assert(got.forall(_._1 == "a"))
+    assert(got.length === 3, "duplicate q must not duplicate output rows")
+    val byQ = got.map(r => r._2 -> r._3).toMap
+    assert(byQ(0.0) === 1.0 && byQ(0.5) === 2.0 && byQ(1.0) === 3.0)
+  }
+
   test("deterministic under repartitioning") {
     val df = spark.range(5000)
       .select((col("id") % 5).cast("string").as("g"), (col("id") % 97).as("v"))
