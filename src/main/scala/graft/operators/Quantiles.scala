@@ -71,4 +71,34 @@ object Quantiles {
         (col("__v").cast("double") + (col("__h") - col("__lo"))
           * (col("__vhi") - col("__v")).cast("double")).as("quantile")): _*)
   }
+
+  /** Per-group ROBUST standardization: (x − median) / IQR — the
+    * outlier-immune complement of [[Outliers.groupZScore]] (one fat-tailed
+    * document wrecks a mean/stddev scale; the quartiles shrug it off),
+    * over the same exact value-domain quantile walk, so it stays engine-
+    * exact and feasible at corpus scale. Adds `median`, `iqr` and
+    * `robust_z` to every row. NULL values score NULL; a zero-IQR group
+    * (over half the mass on one value) gets robust_z = 0 rather than a
+    * division blow-up. The quartile table is group-count-sized and rides
+    * back on a broadcast join.
+    */
+  def robustScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val quartiles = exactIntQuantiles(df, groupCols, valueCol,
+        Seq(0.25, 0.5, 0.75))
+      .groupBy(gcols: _*)
+      .agg(
+        max(when(col("q") === 0.25, col("quantile"))).as("__q1"),
+        max(when(col("q") === 0.5, col("quantile"))).as("median"),
+        max(when(col("q") === 0.75, col("quantile"))).as("__q3"))
+      .withColumn("iqr", col("__q3") - col("__q1"))
+      .drop("__q1", "__q3")
+    df.join(broadcast(quartiles), groupCols)
+      .withColumn("robust_z",
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("iqr") > 0.0, (v.cast("double") - col("median")) / col("iqr"))
+          .otherwise(0.0))
+  }
 }

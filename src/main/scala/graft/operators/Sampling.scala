@@ -161,6 +161,26 @@ object Sampling {
       .drop("__race")
   }
 
+  /** Per-group [[weightedSample]]: `nPerGroup` winners of the same
+    * exponential race WITHIN each group — "500 eval docs per source,
+    * weighted by length" — through the native heap exec
+    * ([[graft.plans.TopKPerGroupPlan]]): one shuffle on the group key,
+    * per-group n-bounded heaps, never a per-group sort of the corpus.
+    * Same determinism contract as [[weightedSample]] (unique keys; race
+    * key internal). Memory note as in [[stratifiedSample]]: heaps are
+    * per-distinct-group per-partition on-heap — right for source/lang/
+    * domain strata; route near-row-cardinality groups through the window
+    * form instead.
+    */
+  def weightedSamplePerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      weight: Column, nPerGroup: Int): DataFrame = {
+    val u = (md5Bits32(col(keyCol)).cast("double") + 1.0) / 4294967296.0
+    TopK.perGroupNative(
+      df.filter(weight > 0).withColumn("__race", -log(u) / weight.cast("double")),
+      groupCol, "__race", keyCol, nPerGroup, descending = false)
+      .drop("__race")
+  }
+
   /** Deterministic global shuffle into `nShards` training shards: each row
     * gets a stable shard (md5 bucket of its key) and a stable position
     * within the shard (rank by md5 of the key, tie-broken by the key) — the

@@ -230,11 +230,75 @@ object Cleaning {
       |WHERE lo >= cum - c AND lo < cum
       |ORDER BY source, q""".stripMargin)
 
+  /** q152: robust per-source scaling — (length − median) / IQR over the
+    * exact quartile walk; the outlier-immune twin of q150. Oracle replays
+    * the quartile CTE and the same division dag.
+    */
+  private val robustScale = QueryDef(
+    (s, dir) =>
+      Quantiles.robustScale(Tables.documents(s, dir), Seq("source"), "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("median"), col("iqr"), col("robust_z"))
+        .orderBy("doc_id"),
+    """WITH counts AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |  GROUP BY source, CAST(n_chars AS BIGINT)),
+      |pref AS (
+      |  SELECT source, v, c,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n,
+      |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) AS nxt
+      |  FROM counts),
+      |wanted AS (
+      |  SELECT p.source, p.v, p.c, p.cum, p.nxt, u.q,
+      |    u.q * (p.n - 1) AS h,
+      |    FLOOR(u.q * (p.n - 1)) AS lo,
+      |    CEIL(u.q * (p.n - 1)) AS hi
+      |  FROM pref p,
+      |    (SELECT CAST(q AS DOUBLE) AS q
+      |     FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q)) u),
+      |qsel AS (
+      |  SELECT source, q,
+      |    CAST(v AS DOUBLE) + (h - lo)
+      |      * CAST((CASE WHEN hi < cum THEN v ELSE nxt END) - v AS DOUBLE)
+      |      AS quantile
+      |  FROM wanted WHERE lo >= cum - c AND lo < cum),
+      |piv AS (
+      |  SELECT source,
+      |    MAX(CASE WHEN q = 0.25 THEN quantile END) AS q1,
+      |    MAX(CASE WHEN q = 0.5 THEN quantile END) AS median,
+      |    MAX(CASE WHEN q = 0.75 THEN quantile END) AS q3
+      |  FROM qsel GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars, p.median,
+      |  p.q3 - p.q1 AS iqr,
+      |  CASE WHEN d.n_chars IS NULL THEN NULL
+      |    WHEN p.q3 - p.q1 > 0
+      |      THEN (CAST(d.n_chars AS DOUBLE) - p.median) / (p.q3 - p.q1)
+      |    ELSE 0.0 END AS robust_z
+      |FROM documents d JOIN piv p USING (source)
+      |ORDER BY doc_id""".stripMargin)
+
+  /** q153: per-source weighted sample (5 docs per source, length-
+    * weighted) through the native heap exec. Rows-only like q148 — same
+    * `ln` race key — with the per-group contract spec-pinned.
+    */
+  private val weightedBySource = QueryDef(
+    (s, dir) =>
+      Sampling.weightedSamplePerGroup(Tables.documents(s, dir), "doc_id",
+        "source", col("n_chars"), 5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+    None)
+
   def defs: Map[String, QueryDef] = Map(
     "q146_paragraph_dedup" -> paragraphDedup,
     "q147_boilerplate_report" -> boilerplate,
     "q148_weighted_sample" -> weightedSample,
     "q149_markup_strip" -> markupStrip,
     "q150_source_zscore" -> sourceZscore,
-    "q151_source_deciles" -> sourceDeciles)
+    "q151_source_deciles" -> sourceDeciles,
+    "q152_robust_scale" -> robustScale,
+    "q153_weighted_by_source" -> weightedBySource)
 }

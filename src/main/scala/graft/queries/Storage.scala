@@ -276,8 +276,27 @@ object Storage {
       |  'gate_batch_001' AS ingestion_batch_id
       |FROM nation ORDER BY n_nationkey""".stripMargin)
 
+  /** q154: small-file compaction round-trip — documents rewritten as
+    * evenly-sized files at a declared records-per-file target, read back,
+    * content-fingerprinted. The oracle sees only the original table: what
+    * is verified is exact row-set preservation through the rewrite;
+    * CompactionSpec pins the file-count arithmetic.
+    */
+  private val compaction = QueryDef(
+    (s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_docs_${Housekeeping.appTag(s)}"
+      graft.operators.Compaction
+        .compactToTarget(Tables.documents(s, dir), tmp, 128)
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("text").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, n_chars, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q58_orc_roundtrip" -> orcRoundtrip,
+    "q154_compaction" -> compaction,
     "q59_jsonl_roundtrip" -> jsonlRoundtrip,
     "q83_bucketed_join" -> bucketedJoin,
     "q84_partition_prune" -> partitionPrune,

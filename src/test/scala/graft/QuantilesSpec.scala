@@ -62,6 +62,23 @@ class QuantilesSpec extends AnyFunSuite {
     assert(byQ(0.0) === 1.0 && byQ(0.5) === 2.0 && byQ(1.0) === 3.0)
   }
 
+  test("robustScale: median/IQR arithmetic, zero-IQR and NULL contracts") {
+    val df = Seq(("a", Some(10)), ("a", Some(20)), ("a", Some(30)),
+      ("a", Some(40)), ("a", None),
+      ("b", Some(7)), ("b", Some(7)), ("b", Some(7))).toDF("g", "v")
+    val out = Quantiles.robustScale(df, Seq("g"), "v")
+      .select("g", "v", "median", "iqr", "robust_z").collect()
+    val a = out.filter(_.getString(0) == "a")
+    // type-7 quartiles of [10,20,30,40]: q1=17.5, med=25, q3=32.5, iqr=15
+    assert(a.forall(r => r.getDouble(2) == 25.0 && r.getDouble(3) == 15.0))
+    val a10 = a.find(r => !r.isNullAt(1) && r.getInt(1) == 10).get
+    assert(math.abs(a10.getDouble(4) - (10.0 - 25.0) / 15.0) < 1e-12)
+    assert(a.find(_.isNullAt(1)).get.isNullAt(4), "NULL value -> NULL robust_z")
+    // constant group: IQR 0 -> robust_z 0, no blow-up
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
+
   test("deterministic under repartitioning") {
     val df = spark.range(5000)
       .select((col("id") % 5).cast("string").as("g"), (col("id") % 97).as("v"))

@@ -105,6 +105,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids === b, "selection must not depend on partitioning")
   }
 
+  test("weightedSamplePerGroup: exact per-group size, deterministic, same race") {
+    val docs = spark.range(3000)
+      .select(col("id").as("k"),
+        concat(lit("g"), (col("id") % 6).cast("string")).as("g"),
+        (col("id") % 9 + 1).as("w"))
+    val got = Sampling.weightedSamplePerGroup(docs, "k", "g", col("w"), 40)
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.size === 6 && sizes.values.forall(_ === 40L))
+    // per-group winners are exactly the global race restricted to the group
+    val g0 = docs.filter(col("g") === "g0")
+    val wantG0 = Sampling.weightedSample(g0, "k", col("w"), 40)
+      .select("k").as[Long].collect().toSet
+    val gotG0 = got.filter(col("g") === "g0").select("k").as[Long].collect().toSet
+    assert(gotG0 === wantG0, "heap path must agree with the global race per group")
+    val again = Sampling.weightedSamplePerGroup(docs.repartition(11), "k", "g",
+      col("w"), 40).select("k").as[Long].collect().toSet
+    assert(again === got.select("k").as[Long].collect().toSet)
+  }
+
   test("weightedSample: inclusion scales with weight (10x weight ~ 10x rate)") {
     // two weight classes; at a small sampling fraction the E-S race admits
     // class-10 keys ~10x as often as class-1 keys
