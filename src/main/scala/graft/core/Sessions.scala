@@ -21,6 +21,13 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // skew-join splitting: a hot key (one domain, one language) otherwise
+      // pins a 100 TB join on one straggler task — AQE splits oversized
+      // partitions at runtime, complementing the explicit salting in q29
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom pruning: a selective dimension filter reaches the
+      // fact scan as a bloom probe, cutting shuffle input before it exists
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
@@ -37,6 +44,8 @@ object Sessions {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.GraftExtensions.register(spark)
     spark
   }

@@ -147,6 +147,18 @@ object TextFunctions {
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 
+  /** Unicode normalization (UAX #15 NFC by default) — the canonicalization
+    * every byte-identity operator (fingerprints, shingle hashes, blocklist
+    * probes) needs on multilingual text: composed and decomposed forms of
+    * the same visible string are different bytes until normalized. Codegen
+    * expression (graft.expressions.NormalizeUnicode), not a UDF; fast-path
+    * scan for already-normalized text.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NormalizeUnicode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), form))
+
   /** Canonical form for exact-duplicate detection: lowercase, punctuation
     * stripped, whitespace collapsed.
     */

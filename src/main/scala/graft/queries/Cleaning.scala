@@ -292,6 +292,35 @@ object Cleaning {
         .orderBy("doc_id"),
     None)
 
+  /** q155: Unicode NFC canonicalization — docs suffixed with DECOMPOSED
+    * accents (e + combining acute) must normalize byte-identical to their
+    * precomposed twins, or fingerprint dedup and blocklist probes silently
+    * miss multilingual duplicates. The oracle builds the same decomposed
+    * bytes with chr() and replays through DuckDB's nfc_normalize — NFC is
+    * defined by UAX #15, not the library, so both engines must agree
+    * exactly.
+    */
+  private val unicodeNfc = QueryDef(
+    (s, dir) => {
+      // combining marks spelled as escapes: cafe + U+0301, nai + U+0308 + ve
+      val decomposed = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      // precomposed twins: U+00E9, U+00EF
+      val precomposed = concat(col("text"), lit(" caf\u00e9 na\u00efve"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.normalizeUnicode(decomposed).as("norm"),
+          (TextFunctions.normalizeUnicode(decomposed) === precomposed)
+            .as("nfc_equal"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+      |    AS norm,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+      |    = (text || ' caf' || chr(233) || ' na' || chr(239) || 've')
+      |    AS nfc_equal
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
     "q146_paragraph_dedup" -> paragraphDedup,
     "q147_boilerplate_report" -> boilerplate,
@@ -300,5 +329,6 @@ object Cleaning {
     "q150_source_zscore" -> sourceZscore,
     "q151_source_deciles" -> sourceDeciles,
     "q152_robust_scale" -> robustScale,
-    "q153_weighted_by_source" -> weightedBySource)
+    "q153_weighted_by_source" -> weightedBySource,
+    "q155_unicode_nfc" -> unicodeNfc)
 }

@@ -139,6 +139,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(0) == got(2) && got(1) == got(3) && got(0) != got(1))
   }
 
+  test("normalizeUnicode: NFC composes, NFKC folds compatibility forms") {
+    import graft.functions.TextFunctions.{fingerprint, normalizeUnicode}
+    val decomposed = "cafe\u0301"
+    val precomposed = "caf\u00e9"
+    assert(one[String](normalizeUnicode(col("t")), decomposed) === precomposed)
+    // already-NFC text passes through untouched (fast path)
+    assert(one[String](normalizeUnicode(col("t")), precomposed) === precomposed)
+    // NFC preserves compatibility chars; NFKC folds them (fi-ligature)
+    assert(one[String](normalizeUnicode(col("t")), "\ufb01n") === "\ufb01n")
+    assert(one[String](normalizeUnicode(col("t"), "NFKC"), "\ufb01n") === "fin")
+    // idempotent
+    assert(one[String](normalizeUnicode(lit(precomposed)), "x") === precomposed)
+    // fingerprint equality across forms is the downstream point
+    assert(one[String](fingerprint(normalizeUnicode(col("t"))), decomposed) ===
+      one[String](fingerprint(normalizeUnicode(col("t"))), precomposed))
+  }
+
   test("stripMarkup removes tags, decodes entities, collapses whitespace") {
     val cases = Seq(
       "<div class=\"x\"><p>hello <b>world</b></p></div>" -> "hello world",
