@@ -79,8 +79,31 @@ object Analytics {
       |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
       |FROM pairs ORDER BY from_type, to_type""".stripMargin)
 
+  /** Key-skew diagnostics ([[graft.operators.SkewReport]]): the 10 hottest
+    * customer keys in orders with load share, head concentration and
+    * skew-vs-mean ratio — the detection side of the salting/AQE-skew
+    * remediation the engine already ships (q29, Sessions.tune).
+    */
+  private val skewReport = QueryDef(
+    (s, dir) =>
+      graft.operators.SkewReport.topKeys(Tables.orders(s, dir), "o_custkey", 10)
+        .orderBy("rank"),
+    """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM c),
+      |h AS (SELECT o_custkey, cnt,
+      |        ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey ASC) AS rank,
+      |        SUM(cnt) OVER (ORDER BY cnt DESC, o_custkey ASC
+      |                       ROWS UNBOUNDED PRECEDING) AS cum_cnt
+      |      FROM c QUALIFY rank <= 10)
+      |SELECT rank, o_custkey, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cnt AS DOUBLE) / n_rows AS share,
+      |  CAST(cum_cnt AS DOUBLE) / n_rows AS cum_share,
+      |  CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_vs_mean
+      |FROM h, t ORDER BY rank""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
     "q143_funnel" -> funnel,
     "q144_retention_cohorts" -> retention,
-    "q145_event_transitions" -> transitions)
+    "q145_event_transitions" -> transitions,
+    "q156_skew_report" -> skewReport)
 }

@@ -294,8 +294,36 @@ object Storage {
     """SELECT doc_id, n_chars, md5(text) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Multi-URI source read (§2.1 S2, reference scripts/ingestion.py's
+    * path-per-source ingest): documents split across two independent
+    * directory URIs (the "daily drop" layout every lake ingest has), then
+    * read back in ONE `spark.read.parquet(uriA, uriB)` — a single unioned
+    * scan, not two scans stitched with a union operator. The oracle is the
+    * undivided source table: verified is that the multi-path reader loses
+    * and duplicates nothing.
+    */
+  private val multiUriSource = QueryDef(
+    (s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_uri_docs_${Housekeeping.appTag(s)}"
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(s"$base/drop_a")
+      docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(s"$base/drop_b")
+      s.read.parquet(s"$base/drop_a", s"$base/drop_b")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy("source")
+    },
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT doc_id) AS n_distinct
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q58_orc_roundtrip" -> orcRoundtrip,
+    "q157_multi_uri" -> multiUriSource,
     "q154_compaction" -> compaction,
     "q59_jsonl_roundtrip" -> jsonlRoundtrip,
     "q83_bucketed_join" -> bucketedJoin,
