@@ -1381,6 +1381,42 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_features, s AS dsir_logw
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** Logistic quality scoring (LogisticQuality.logits): hashed-unigram
+    * linear classification — fastText's averaged bag over the same md5
+    * feature buckets as DSIR — under a FIXED model, so the gate pins the
+    * scoring kernel bit-for-bit (deterministic weight table inlined into
+    * both engines; the per-document fold is positional on both).
+    * TRAINING is deliberately not oracle-gated: gradient sums arrive in
+    * partition order (~ulp drift); LogisticQualitySpec verifies learning
+    * (loss descent, holdout accuracy) instead.
+    */
+  private val logisticScore: QueryDef = {
+    val dim = 64
+    val bias = 0.25
+    val w = Array.tabulate(dim)(j => ((j * 37 + 11) % 101 - 50) / 100.0)
+    val wSql = w.map(_.toString).mkString("[", ", ", "]")
+    QueryDef(
+      (s, dir) =>
+        graft.operators.LogisticQuality.logits(
+          Tables.documents(s, dir), "doc_id", "text",
+          graft.operators.LogisticQuality.Model(1, w, bias))
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+         |              FROM documents WHERE trim(text) != ''),
+         |feat AS (SELECT doc_id, u.pos AS pos,
+         |           CAST('0x' || substring(md5(u.g), 1, 8) AS BIGINT) % $dim AS b
+         |         FROM (SELECT doc_id,
+         |                 unnest([struct_pack(pos := i, g := t[i]) for i in range(1, len(t) + 1)]) AS u
+         |               FROM toks)),
+         |wl AS (SELECT doc_id, pos, (CAST($wSql AS DOUBLE[]))[b + 1] AS w
+         |       FROM feat),
+         |agg AS (SELECT doc_id, list_sum(list(w ORDER BY pos)) AS s, COUNT(*) AS n
+         |        FROM wl GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_features,
+         |  $bias + s / n AS logit, ($bias + s / n) > 0 AS pred
+         |FROM agg ORDER BY doc_id""".stripMargin)
+  }
+
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
     * sort. Scores are bitwise reproducible (q124 pins them), so the
@@ -1897,6 +1933,7 @@ object Text {
     "q122_lm_score_join" -> lmScoreJoin,
     "q123_incremental_dedup" -> incrementalDedup,
     "q124_dsir_score" -> dsirScore,
+    "q158_logistic_score" -> logisticScore,
     "q125_dsir_select" -> dsirSelect,
     "q126_epoch_upsample" -> epochUpsample,
     "q127_incremental_near_dedup" -> incrementalNearDedup,
