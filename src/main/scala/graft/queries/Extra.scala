@@ -652,6 +652,64 @@ object Extra {
       |  CAST(MAX(dist) AS BIGINT) AS max_dist
       |FROM pr GROUP BY p_type ORDER BY p_type""".stripMargin)
 
+  /** Fellegi–Sunter record-linkage scoring (RecordLinkage.classify) over
+    * nation-blocked customer pairs: three calibrated field comparisons
+    * (segment, balance band, name suffix) sum to a log-odds match
+    * weight, thresholded into match/possible/non_match. Every weight is a
+    * driver-computed literal inlined into BOTH engines (CAST AS DOUBLE so
+    * DuckDB doesn't sum decimals) and the fold order is the declared
+    * field order, so weights are bit-exact; the gate tallies each
+    * decision band with its weight envelope.
+    */
+  private val linkageScore: QueryDef = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.FieldSpec
+    // (m, u) pairs; agree columns are bound inside the query builder
+    def fields = Seq(
+      FieldSpec("seg", col("seg_a") === col("seg_b"), 0.9, 0.2),
+      FieldSpec("bal", abs(col("bal_a") - col("bal_b")) < 500.0, 0.8, 0.3),
+      FieldSpec("sfx", col("sx_a") === col("sx_b"), 0.7, 0.05))
+    // weights are QUOTED so DuckDB's correctly-rounded string→double path
+    // parses them: a bare 17-digit literal goes through DECIMAL first and
+    // the decimal→double cast double-rounds one ulp off Java/strtod
+    // (observed on 3.8073549220576037)
+    def sqlCase(agreeExpr: String, f: FieldSpec): String =
+      s"(CASE WHEN $agreeExpr THEN CAST('${f.agreeWeight}' AS DOUBLE) " +
+        s"ELSE CAST('${f.disagreeWeight}' AS DOUBLE) END)"
+    val Seq(fSeg, fBal, fSfx) = fields
+    QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val a = c.select(col("c_custkey").as("id_a"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
+          substring(col("c_name"), -1, 1).as("sx_a"))
+        val b = c.select(col("c_custkey").as("id_b"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg_b"), col("c_acctbal").as("bal_b"),
+          substring(col("c_name"), -1, 1).as("sx_b"))
+        val pairs = a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
+        RecordLinkage.classify(pairs, fields, lower = -2.0, upper = 2.0)
+          .groupBy("decision")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
+          .orderBy("decision")
+      },
+      s"""WITH p AS (
+         |  SELECT
+         |    a.c_mktsegment = b.c_mktsegment AS ag_seg,
+         |    abs(a.c_acctbal - b.c_acctbal) < 500.0 AS ag_bal,
+         |    substring(a.c_name, -1, 1) = substring(b.c_name, -1, 1) AS ag_sfx
+         |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_custkey < b.c_custkey),
+         |w AS (SELECT ${sqlCase("ag_seg", fSeg)}
+         |           + ${sqlCase("ag_bal", fBal)}
+         |           + ${sqlCase("ag_sfx", fSfx)} AS weight FROM p)
+         |SELECT CASE WHEN weight >= 2.0 THEN 'match'
+         |            WHEN weight <= -2.0 THEN 'non_match'
+         |            ELSE 'possible' END AS decision,
+         |  COUNT(*) AS n_pairs, MIN(weight) AS min_w, MAX(weight) AS max_w
+         |FROM w GROUP BY 1 ORDER BY decision""".stripMargin)
+  }
+
   /** Snapshot diff (SnapshotDiff.diff): classify keys as added / removed /
     * changed / unchanged between today's orders snapshot and a
     * deterministically simulated next-day dump (drop every 101st key,
@@ -820,6 +878,7 @@ object Extra {
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
     "q98_fuzzy_match" -> fuzzyMatch,
+    "q159_linkage_score" -> linkageScore,
     "q99_snapshot_diff" -> snapshotDiff,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q92_gap_fill" -> gapFill,
