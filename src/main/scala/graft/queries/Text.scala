@@ -1381,6 +1381,40 @@ object Text {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_features, s AS dsir_logw
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** Length-bucketed inference batching (InferenceBatching.wasteReport):
+    * documents banded by length, sharded by the stable md5 draw, batched
+    * within (band, shard) in deterministic (length, id) order — the
+    * serving-side complement of q75's training-side sequence packing.
+    * Batch assignment and the padding-waste audit are pure arithmetic,
+    * so the gate is exact.
+    */
+  private val lengthBatches = QueryDef(
+    (s, dir) =>
+      graft.operators.InferenceBatching.wasteReport(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        boundaries = Seq(150, 300, 450), batchSize = 8, numShards = 4)
+        .orderBy("bucket"),
+    """WITH a AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+      |         WHEN n_chars < 450 THEN 2 ELSE 3 END AS bucket,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+      |      AS shard
+      |  FROM documents),
+      |r AS (SELECT *,
+      |        (ROW_NUMBER() OVER (PARTITION BY bucket, shard
+      |                            ORDER BY n_chars, doc_id) - 1) // 8 AS batch_idx
+      |      FROM a),
+      |pb AS (SELECT bucket, shard, batch_idx, COUNT(*) AS bn,
+      |         SUM(n_chars) AS breal, MAX(n_chars) AS bmax
+      |       FROM r GROUP BY 1, 2, 3)
+      |SELECT bucket, CAST(SUM(bn) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_batches,
+      |  CAST(SUM(breal) AS BIGINT) AS real_tokens,
+      |  CAST(SUM(bmax * bn) AS BIGINT) AS padded_tokens,
+      |  CAST(SUM(bmax * bn) - SUM(breal) AS DOUBLE) / SUM(bmax * bn) AS waste_frac
+      |FROM pb GROUP BY bucket ORDER BY bucket""".stripMargin)
+
   /** Logistic quality scoring (LogisticQuality.logits): hashed-unigram
     * linear classification — fastText's averaged bag over the same md5
     * feature buckets as DSIR — under a FIXED model, so the gate pins the
@@ -1934,6 +1968,7 @@ object Text {
     "q123_incremental_dedup" -> incrementalDedup,
     "q124_dsir_score" -> dsirScore,
     "q158_logistic_score" -> logisticScore,
+    "q160_length_batches" -> lengthBatches,
     "q125_dsir_select" -> dsirSelect,
     "q126_epoch_upsample" -> epochUpsample,
     "q127_incremental_near_dedup" -> incrementalNearDedup,
