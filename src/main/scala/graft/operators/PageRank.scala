@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the graph-authority quality signal of
+  * web-corpus curation (Page et al. 1999; harmonic/PageRank centrality over
+  * the host graph is a standard seed-quality feature for crawl filtering,
+  * e.g. Common Crawl's host-level rankings): rank mass flows along edges,
+  * damped teleportation keeps it ergodic, and after a few iterations the
+  * stationary mass ranks node importance.
+  *
+  * Scale design: state per iteration is one (node, rank) frame — node-
+  * sized, not edge-sized; the edge list is persisted ONCE partitioned by
+  * source and every iteration reuses it (the join key never changes, so
+  * AQE reuses the exchange); each iteration is exactly one join + one
+  * grouped aggregate, the minimal shuffle a mass-passing step needs.
+  * Iterations are a driver loop over persisted frames with the previous
+  * round unpersisted — lineage stays bounded.
+  *
+  * Determinism: the production path (`ordered = false`) sums contributions
+  * in partition-arrival order (fast, ~ulp drift run to run). The audit
+  * path (`ordered = true`) folds each node's in-contributions in sorted
+  * source order — bit-reproducible on any partitioning and replayable in
+  * a SQL oracle (q161 pins three iterations exactly), the same trade
+  * [[UnigramLm.scoreJoinOrdered]] makes. Dangling nodes (no out-edges)
+  * are rejected up front: the caller either symmetrizes the graph or
+  * pre-prunes — silently leaking their mass would misrank everything
+  * else.
+  */
+object PageRank {
+
+  /** Ranks after `iters` iterations: (node, rank). `edges` is directed
+    * (srcCol → dstCol); parallel edges should be pre-deduped (each
+    * surviving edge carries weight 1/outdeg(src)).
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      damping: Double = 0.85, ordered: Boolean = false): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .repartition(col("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("__s").as("node"))
+        .union(e.select(col("__d").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
+      val dangling = nodes.join(deg, nodes("node") === deg("__s"), "left_anti").count()
+      require(dangling == 0,
+        s"$dangling dangling node(s) (no out-edges): symmetrize or prune first")
+      val n = nodes.count()
+      val teleport = (1.0 - damping) / n
+      val withDeg = e.join(deg, "__s")
+      var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var it = 0
+      while (it < iters) {
+        val contrib = withDeg.join(pr, withDeg("__s") === pr("node"))
+          .select(col("__d"), col("__s"), (col("rank") / col("__od")).as("__c"))
+        val inMass =
+          if (ordered)
+            contrib.groupBy("__d").agg(
+              aggregate(
+                array_sort(collect_list(struct(col("__s"), col("__c")))),
+                lit(0.0), (acc, x) => acc + x.getField("__c")).as("__m"))
+          else contrib.groupBy("__d").agg(sum(col("__c")).as("__m"))
+        val next = nodes
+          .join(inMass, nodes("node") === inMass("__d"), "left")
+          .select(col("node"),
+            (lit(teleport) + lit(damping) * coalesce(col("__m"), lit(0.0)))
+              .as("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        pr.unpersist()
+        pr = next
+        it += 1
+      }
+      pr
+    } finally e.unpersist()
+  }
+
+  /** Undirected (symmetrized) edge set from a possibly-directed pair list:
+    * both directions of every distinct pair, self-loops dropped — the
+    * standard way to run PageRank on a bipartite affinity graph (e.g.
+    * customer–supplier, doc–host) with no dangling mass by construction.
+    */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+}

@@ -101,9 +101,60 @@ object Analytics {
       |  CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_vs_mean
       |FROM h, t ORDER BY rank""".stripMargin)
 
+  /** PageRank over the symmetrized customer–supplier affinity graph
+    * (PageRank.run, ordered audit path): three mass-passing iterations,
+    * each one join + one grouped aggregate, with per-node in-mass folded
+    * in sorted source order — bit-reproducible, so the oracle replays
+    * the identical iterations with positional list folds. The graph-
+    * authority quality signal of web-corpus curation, exercised on the
+    * densest bipartite relation in the testdata (~49k pairs → ~98k
+    * directed edges, 1,600 nodes).
+    */
+  private val pagerank: QueryDef = {
+    val damping = 0.85
+    val dampStr = damping.toString
+    val compStr = (1.0 - damping).toString // 1-0.85 in IEEE, NOT 0.15
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""p$k AS (SELECT nodes.v AS v,
+         |  CAST('$compStr' AS DOUBLE) / n.cnt + CAST('$dampStr' AS DOUBLE) *
+         |    COALESCE(s.m, CAST('0' AS DOUBLE)) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS v, list_sum(list(p${k - 1}.pr / deg.od ORDER BY e.src)) AS m
+         |    FROM e JOIN p${k - 1} ON e.src = p${k - 1}.v
+         |           JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) s USING (v), n)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("a"),
+            (lit(1000000L) + col("l_suppkey").cast("long")).as("b"))
+        val edges = graft.operators.PageRank.symmetrize(pairs, "a", "b")
+        graft.operators.PageRank.run(edges, "src", "dst", iters = iters,
+          damping = damping, ordered = true)
+          .orderBy("node")
+      },
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+         |    CAST(1000000 + l_suppkey AS BIGINT) AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS v FROM e),
+         |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |p0 AS (SELECT v, CAST('1' AS DOUBLE) / n.cnt AS pr FROM nodes, n),
+         |$iterCtes
+         |SELECT v AS node, pr AS rank FROM p$iters ORDER BY node""".stripMargin)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "q143_funnel" -> funnel,
     "q144_retention_cohorts" -> retention,
     "q145_event_transitions" -> transitions,
-    "q156_skew_report" -> skewReport)
+    "q156_skew_report" -> skewReport,
+    "q161_pagerank" -> pagerank)
 }
