@@ -168,4 +168,31 @@ class ScaleSpec extends AnyFunSuite {
       Tables.events(spark, SparkTestSession.sfDir)
         .filter(to_date(col("ts")) === "2024-01-05").count())
   }
+
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    // at 100 TB the fact side's partition filter often isn't a literal but
+    // the result of joining a filtered dimension — DPP turns that join
+    // into a runtime partition filter on the scan; without it the join
+    // reads every partition
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS scale_test")
+    Tables.orders(spark, SparkTestSession.sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year")
+      .saveAsTable("scale_test.orders_by_year")
+    // range-backed dim: a Seq.toDF dim constant-folds its Filter into the
+    // LocalRelation, and DPP's selective-predicate check then sees nothing
+    val dim = spark.range(1992, 1999)
+      .select(col("id").cast("int").as("dim_year"),
+        when(col("id") === 1997, "pick").otherwise("skip").as("tag"))
+    val joined = spark.table("scale_test.orders_by_year")
+      .join(dim.filter(col("tag") === "pick"),
+        col("o_year") === col("dim_year"))
+    assert(joined.count() ==
+      Tables.orders(spark, SparkTestSession.sfDir)
+        .filter(year(col("o_orderdate")) === 1997).count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n${plan.take(3000)}")
+  }
 }
