@@ -40,18 +40,28 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .repartition(col("__s"))
+    val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
+    // degree-annotated edges persist ONCE; every iteration's join + the
+    // node derivation run off this frame (persisting the raw edges
+    // instead re-runs the degree aggregate per iteration)
+    val withDeg = e.join(deg, "__s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nodes = e.select(col("__s").as("node"))
-        .union(e.select(col("__d").as("node"))).distinct()
+      val nodes = withDeg.select(col("__s").as("node"))
+        .union(withDeg.select(col("__d").as("node"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
-      val dangling = nodes.join(deg, nodes("node") === deg("__s"), "left_anti").count()
+      // one driver action for BOTH the node count and the dangling check
+      // (separate count() + anti-join count() jobs doubled the fixed cost)
+      val stats = nodes
+        .join(deg, nodes("node") === deg("__s"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__od").isNull, 1L).otherwise(0L)).as("dangling"))
+        .collect().head
+      val n = stats.getLong(0)
+      val dangling = stats.getLong(1)
       require(dangling == 0,
         s"$dangling dangling node(s) (no out-edges): symmetrize or prune first")
-      val n = nodes.count()
       val teleport = (1.0 - damping) / n
-      val withDeg = e.join(deg, "__s")
       var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var it = 0
@@ -77,7 +87,7 @@ object PageRank {
         it += 1
       }
       pr
-    } finally e.unpersist()
+    } finally withDeg.unpersist()
   }
 
   /** Undirected (symmetrized) edge set from a possibly-directed pair list:

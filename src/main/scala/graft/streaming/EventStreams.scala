@@ -180,6 +180,39 @@ object EventStreams {
         format.appendMergeSchema(batch.sparkSession, batch, table)
       }
 
+  /** Idempotent micro-batch append: each batch writes to its OWN partition
+    * directory (`__batch_id=<id>`) under dynamic partition overwrite, so a
+    * replayed batch — Structured Streaming re-delivers the in-flight batch
+    * after a crash, foreachBatch is at-least-once by contract — overwrites
+    * its previous (possibly partial) output instead of appending a second
+    * copy. This is the parquet-only form of the transactional-sink dedup
+    * Delta does with a commit log: the partition path IS the commit key.
+    * Readers take `spark.read.parquet(path)` and may drop `__batch_id`.
+    */
+  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** [[sinkToTable]] with exactly-once output: the at-least-once replay of
+    * foreachBatch is made idempotent by [[idempotentAppend]]'s
+    * partition-per-batch overwrite. Caller starts/stops the query.
+    */
+  def sinkToPathExactlyOnce(stream: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(batch, batchId, path)
+      }
+
   /** Batch twin of sessionization (lag-gap-cumsum): same output for the
     * finite case; used by tests to cross-check the stateful path and by the
     * correctness gate as an oracle-friendly formulation.

@@ -176,6 +176,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 2 * total)
   }
 
+  test("idempotent append makes batch re-delivery exactly-once") {
+    // foreachBatch is at-least-once: after a crash the in-flight batch is
+    // RE-DELIVERED with the same batchId. The partition-per-batch overwrite
+    // must absorb the replay (including a partial first attempt) without
+    // duplicating rows, while new batch ids append.
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_sink").toString
+    val b0 = (1L to 100L).toDF("v")
+    EventStreams.idempotentAppend(b0, 0L, out)
+    assert(spark.read.parquet(out).count() == 100)
+    // replay of batch 0 — as after a crash mid-commit; simulate the partial
+    // first attempt being superseded by a complete retry
+    EventStreams.idempotentAppend(b0, 0L, out)
+    assert(spark.read.parquet(out).count() == 100)
+    EventStreams.idempotentAppend((200L to 249L).toDF("v"), 1L, out)
+    assert(spark.read.parquet(out).count() == 150)
+    // replay of an OLD batch after later batches landed touches only its own
+    // partition
+    EventStreams.idempotentAppend(b0, 0L, out)
+    assert(spark.read.parquet(out).count() == 150)
+    assert(spark.read.parquet(out).select(sum(col("v"))).as[Long].collect().head ==
+      (1L to 100L).sum + (200L to 249L).sum)
+  }
+
+  test("exactly-once sink end-to-end over a file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
+    val src = java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("0.parquet"))
+    def run(): Unit = {
+      val q = EventStreams.sinkToPathExactlyOnce(
+        EventStreams.readEvents(spark, dir.toString), out, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val total = Tables.events(spark, SparkTestSession.sfDir).count()
+    run()
+    assert(spark.read.parquet(out).count() == total)
+    // restart on the same checkpoint with a new file: only the new file lands
+    java.nio.file.Files.copy(src, dir.resolve("1.parquet"))
+    run()
+    assert(spark.read.parquet(out).count() == 2 * total)
+  }
+
   test("sessionization state carries across micro-batches") {
     // split events by time into two files; maxFilesPerTrigger=1 forces two
     // micro-batches, so sessions spanning the cut exercise state handoff
