@@ -35,4 +35,35 @@ object UrlFunctions {
     require(suffixes.nonEmpty, "empty blocklist blocks nothing — pass suffixes")
     exists(urlDomains(text), d => suffixes.map(s => d.endsWith(s)).reduce(_ || _))
   }
+
+  /** Canonical form of a single http(s) URL — the identity under which
+    * crawl URLs deduplicate. The same page arrives as `HTTP://Ex.com:80/a/`,
+    * `http://ex.com/a?utm_source=x` and `http://ex.com/a`; URL-level dedup
+    * (the crawl frontier's first dedup tier, before any content hashing)
+    * only works if all three collapse. Normalizations, in order:
+    * scheme+host lowercased (path/query stay case-sensitive per RFC 3986),
+    * default port dropped (:80 http, :443 https), fragment dropped,
+    * tracking parameters removed (utm_*, gclid, fbclid), separators
+    * re-collapsed, and a bare trailing "/" path dropped.
+    *
+    * Pure codegen'd string kernel — regexes are Java∩RE2 (no lookaround),
+    * applied in a fixed order an oracle replays verbatim; at 100 TB this is
+    * a map-only projection feeding an exact groupBy dedup.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([A-Za-z0-9.-]+(:[0-9]+)?)", 1))
+    val rest = regexp_replace(url, "^[A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?", "")
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    val noFragment = regexp_replace(rest, "#.*", "")
+    val noTracking = regexp_replace(noFragment,
+      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTracking, "&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    val noSlash = regexp_replace(collapsed, "^/$", "")
+    concat(scheme, lit("://"), hostNoPort, noSlash)
+  }
 }

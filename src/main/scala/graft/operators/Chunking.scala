@@ -48,4 +48,68 @@ object Chunking {
         concat_ws(" ",
           slice(col("t"), (col("i") * stride + 1).cast("int"), lit(window))).as("chunk_text"))
   }
+
+  /** Content-defined chunking: cut after any k-token window whose 64-bit
+    * hash ≡ 0 (mod `divisor`) — boundaries decided by CONTENT, not offsets,
+    * so inserting a paragraph shifts only the chunks up to the next
+    * surviving boundary and every later chunk re-hashes identically (a
+    * fixed-size chunker re-cuts the whole tail). That stability is what
+    * makes chunk-hash-keyed artifacts (dedup stores, embedding caches,
+    * chunk-level provenance) survive document edits at corpus scale;
+    * expected chunk length is ≈ `divisor` tokens.
+    *
+    * Semantics: token indices come from the hash-aligned tokenizer (the
+    * [[graft.expressions.ShingleHashes]] kernel — same positional contract
+    * as [[SpanDedup]]); a window at pos cuts after token pos+k−1; the final
+    * chunk always ends at the last token; empty documents yield no chunks.
+    * No min/max-size clamping: suppression of a cut depends on where the
+    * previous ACCEPTED cut fell, an inherently sequential chain that
+    * cannot shard — callers needing size floors merge adjacent tiny chunks
+    * downstream (associative, parallel) instead.
+    *
+    * Scale shape: the windows expansion is map-only; accepted cuts are
+    * ~1/divisor of windows; per-document cut arrays are bounded by
+    * n_tokens/divisor (the [[SpanDedup]] span-array argument); chunk slice,
+    * text rebuild and xxhash64 fingerprint are codegen projections. One
+    * doc-keyed shuffle (the cut collect), nothing corpus-pairwise.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val wins = df.select(col(idCol), posexplode(ColumnBridge.column(
+        graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), k, distinct = false))))
+      .toDF(idCol, "pos", "h")
+    val cuts = wins.filter(pmod(col("h"), lit(divisor.toLong)) === 0)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list((col("pos") + (k - 1)).cast("int")))
+        .as("__cuts"))
+    val base = df
+      .select(col(idCol),
+        TextFunctions.hashAlignedTokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+    base.join(cuts, Seq(idCol), "left")
+      // final chunk always closes at the last token; distinct absorbs a
+      // cut that already lands there (appended end ≥ every cut end, so
+      // the array stays sorted)
+      .withColumn("__ends", array_distinct(concat(
+        coalesce(col("__cuts"), array().cast("array<int>")),
+        array((col("__n") - 1).cast("int")))))
+      .select(col(idCol), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("ci", "end")))
+      .withColumn("tok_start",
+        when(col("ci") === 0, lit(0))
+          .otherwise(element_at(col("__ends"), col("ci")) + 1))
+      .select(col(idCol),
+        col("ci").cast("long").as("chunk_id"),
+        col("tok_start").cast("long"),
+        col("end").cast("long").as("tok_end"),
+        (col("end") - col("tok_start") + 1).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__t"), col("tok_start") + 1,
+          col("end") - col("tok_start") + 1)).as("chunk_text"))
+      .withColumn("chunk_hash", xxhash64(col("chunk_text")))
+  }
 }

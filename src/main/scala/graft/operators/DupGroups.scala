@@ -296,4 +296,32 @@ object DupGroups {
         .join(broadcast(losers), Seq(idCol), "left_anti")
     } finally { bs.unpersist(); cs.unpersist() }
   }
+
+  /** Quality-aware canonical selection: given a (idCol, group_id) cluster
+    * assignment (from [[nearDupGroups]] / [[minHashDupGroups]] /
+    * [[embeddingDupGroups]]) and the corpus, elect the highest-`scoreCol`
+    * member of each cluster as canonical (ties to the smallest id) — the
+    * keep-the-BEST-copy policy, vs the keep-the-first-seen policy the
+    * drop* operators apply. When near-dup clusters mix a clean original
+    * with truncated/boilerplate-wrapped copies, first-seen keeps whichever
+    * id sorts lowest; this keeps the one a curator would.
+    *
+    * Output: (idCol, group_id, canonical_id, is_canonical) per cluster
+    * member. Cost is cluster-membership-sized, not corpus-sized: one join
+    * to fetch scores and one per-group window over the members (clusters
+    * are tiny; the heap exec would be overkill).
+    */
+  def canonicalPerGroup(groups: DataFrame, df: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val joined = groups.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(desc(scoreCol), col(idCol))
+    val canon = joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("group_id"), col(idCol).as("canonical_id"))
+    joined.join(canon, Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
 }

@@ -47,4 +47,53 @@ object RetrievalEval {
           .as("recall"),
         coalesce(col("top1_rr"), lit(0.0)).as("top1_rr"))
   }
+
+  /** Per-query binary-relevance nDCG@k — the position-sensitive companion
+    * to [[compare]]'s recall: a shortlist that finds the right neighbors
+    * but ranks them low scores below one that ranks them where the exact
+    * search does. Relevance is membership in the truth top-k (graded
+    * relevance needs human labels an index rollout doesn't have);
+    * DCG = Σ 1/log2(rank_approx + 1) over approx positions holding a true
+    * neighbor, IDCG = Σ_{i=1..k} 1/log2(i + 1) (every truth query ranks k
+    * candidates here; queries with fewer would need min(k, n_truth)).
+    * Same cost shape as [[compare]]: (queries × k)-row joins, both sides
+    * broadcastable, nothing corpus-scaled.
+    */
+  def ndcg(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // discounts are DRIVER constants folded into the plan as literals (not
+    // a column log2): rank space is 1..k, so the k doubles cost nothing,
+    // and an oracle replays them digit-for-digit via Double.toString
+    // instead of betting that two engines' log agree in the last ulp
+    val disc = discounts(k)
+    val discCol = disc.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (d, i)) => when(col("rank") === (i + 1), lit(d)).otherwise(acc)
+    }
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // ordered fold (rank ascending) so the double sum is bit-reproducible
+    // at any partitioning — same discipline as the LM kernels
+    val dcg = t.join(a, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("rank"), discCol.as("disc"))
+      .groupBy("query_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("rank"), col("disc")))),
+        lit(0.0), (acc, x) => acc + x.getField("disc")).as("dcg"))
+    t.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        (coalesce(col("dcg"), lit(0.0)) / lit(idcgConst(k))).as("ndcg"))
+  }
+
+  /** Position discounts 1/log2(i+1) for i = 1..k — public so oracle SQL can
+    * embed the identical doubles. */
+  def discounts(k: Int): IndexedSeq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** IDCG@k for binary relevance with k ranked candidates: the in-order
+    * left fold of [[discounts]] (order matters for bit-reproducibility). */
+  def idcgConst(k: Int): Double = discounts(k).foldLeft(0.0)(_ + _)
 }

@@ -126,6 +126,42 @@ object TextDedup {
     }
   }
 
+  /** Per-document n-gram novelty against a reference corpus: of each
+    * document's DISTINCT word n-grams, how many are absent from the
+    * reference's n-gram set — the "is this new text or a remix of what the
+    * model already trained on" signal used when admitting a fresh crawl
+    * increment against an existing pretraining corpus (high novelty →
+    * admit; near-zero → the increment is recombinated known text).
+    * Complements [[graft.operators.HeavyHitters]]-style familiarity
+    * (token-level) at phrase granularity, and [[dedupIncrement]] (which
+    * drops exact duplicates) with a graded score.
+    *
+    * Output: (idCol, n_grams, seen_grams, novelty = (n−seen)/n) — one row
+    * per document of `df` with at least one n-gram. Scale shape: grams join
+    * the reference's distinct-hash set on a fixed 8-byte key (the same
+    * shuffle as [[ngramJaccardPairs]]' intersection, minus the pair
+    * blow-up); the expansion is persisted once and feeds both the totals
+    * and the semi-join tally.
+    */
+  def ngramNovelty(df: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def grams(d: DataFrame) = d.select(col(idCol),
+      explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(col(textCol)), n))).as("h"))
+    val docGrams = grams(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refSet = grams(reference).select("h").distinct()
+    val tot = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val seen = docGrams.join(refSet, Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("seen_grams"))
+    tot.join(seen, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("seen_grams"), lit(0L)).as("seen_grams"),
+        ((col("n_grams") - coalesce(col("seen_grams"), lit(0L))).cast("double")
+          / col("n_grams")).as("novelty"))
+  }
+
   /** MinHash signatures: k universal-family min-hashes per document over
     * its distinct shingles, computed in ONE pass per document by the
     * MinHashSig expression — a pure projection, zero shuffle (the

@@ -127,7 +127,11 @@ object Analytics {
     }.mkString(",\n")
     QueryDef(
       (s, dir) => {
+        // gate-sized graph: one decile of customers (the operator's scale
+        // story lives in PageRank.run; an 11 s gate query was 9% of the
+        // whole bench for no extra coverage). Filter pushes into BOTH scans.
         val pairs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+          .filter(col("o_custkey") % 10 === 0)
           .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").cast("long").as("a"),
@@ -140,7 +144,8 @@ object Analytics {
       s"""WITH pairs AS (
          |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
          |    CAST(1000000 + l_suppkey AS BIGINT) AS b
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey % 10 = 0),
          |e AS (SELECT a AS src, b AS dst FROM pairs
          |      UNION ALL SELECT b, a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS v FROM e),

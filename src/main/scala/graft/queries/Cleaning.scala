@@ -321,7 +321,77 @@ object Cleaning {
       |    AS nfc_equal
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** q163: URL canonicalization + URL-level dedup — the crawl frontier's
+    * first dedup tier. Messy variants (scheme/host case, default ports,
+    * fragments, utm_/gclid tracking params, bare trailing slash) are built
+    * deterministically in pairs per page id, canonicalized, and grouped:
+    * every pair must collapse to one canonical URL. The oracle replays the
+    * construction and the exact regex chain (Java∩RE2 common subset; 'g'
+    * flag mirrors Spark's replace-all default).
+    */
+  private val urlCanonical = QueryDef(
+    (s, dir) => {
+      val b = expr("doc_id div 2")
+      val url = when(col("doc_id") % 2 === 0,
+          when(b % 10 === 0, lit("HTTPS://Root.Example.COM:443/"))
+            .otherwise(concat(lit("HTTP://WWW.Example.COM:80/p/"),
+              b.cast("string"), lit("?utm_campaign=spring&k="),
+              (b % 5).cast("string"), lit("#top"))))
+        .otherwise(
+          when(b % 10 === 0, lit("https://root.example.com"))
+            .otherwise(concat(lit("http://www.example.com/p/"),
+              b.cast("string"), lit("?k="), (b % 5).cast("string"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.canonicalizeUrl(url).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canon")
+    },
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      CASE WHEN (doc_id // 2) % 10 = 0 THEN 'HTTPS://Root.Example.COM:443/'
+      |        ELSE 'HTTP://WWW.Example.COM:80/p/' || CAST(doc_id // 2 AS VARCHAR)
+      |          || '?utm_campaign=spring&k=' || CAST((doc_id // 2) % 5 AS VARCHAR)
+      |          || '#top' END
+      |    ELSE
+      |      CASE WHEN (doc_id // 2) % 10 = 0 THEN 'https://root.example.com'
+      |        ELSE 'http://www.example.com/p/' || CAST(doc_id // 2 AS VARCHAR)
+      |          || '?k=' || CAST((doc_id // 2) % 5 AS VARCHAR) END
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z]+://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)) AS host,
+      |    regexp_replace(url,
+      |      '^[A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?', '') AS rest
+      |  FROM u),
+      |norm AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+      |         ELSE host END AS host2,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(rest, '#.*', '', 'g'),
+      |              '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+      |            '&+', '&', 'g'),
+      |          '\?&', '?', 'g'),
+      |        '[?&]+$', '', 'g'),
+      |      '^/$', '', 'g') AS rest2
+      |  FROM parts)
+      |SELECT scheme || '://' || host2 || rest2 AS canon,
+      |  COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+      |FROM norm GROUP BY 1 ORDER BY canon""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
+    "q163_url_canonical" -> urlCanonical,
     "q146_paragraph_dedup" -> paragraphDedup,
     "q147_boilerplate_report" -> boilerplate,
     "q148_weighted_sample" -> weightedSample,

@@ -1913,7 +1913,145 @@ object Text {
       |    AS spans_boundary
       |FROM o ORDER BY source, doc_id""".stripMargin)
 
+  /** q164: n-gram novelty of a crawl increment against the ingested
+    * reference corpus (TextDedup.ngramNovelty): reference = doc_id % 5 < 2,
+    * scored = the rest — a partition that scales with sf. Per scored doc,
+    * its distinct trigrams, how many the reference already contains, and
+    * the novelty fraction. Grams join on 64-bit shingle hashes Spark-side
+    * vs strings in the oracle — identical classification absent a 2^-64
+    * collision, the q41-pinned argument.
+    */
+  private val ngramNovelty = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.ngramNovelty(
+        docs.filter(col("doc_id") % 5 >= 2),
+        docs.filter(col("doc_id") % 5 < 2), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 < 2),
+      |scored AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 >= 2),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM scored GROUP BY 1),
+      |seen AS (SELECT doc_id, COUNT(*) AS seen_grams
+      |         FROM scored JOIN ref USING (s) GROUP BY 1)
+      |SELECT t.doc_id, t.n_grams,
+      |  COALESCE(seen_grams, 0) AS seen_grams,
+      |  CAST(t.n_grams - COALESCE(seen_grams, 0) AS DOUBLE) / t.n_grams AS novelty
+      |FROM tot t LEFT JOIN seen USING (doc_id) ORDER BY doc_id""".stripMargin)
+
+  /** q165: quality-aware canonical election over the q68 near-dup clusters
+    * (DupGroups.canonicalPerGroup): each cluster keeps its longest member
+    * (n_chars, ties to the smallest doc_id) — the keep-the-BEST-copy dedup
+    * policy. Oracle = q68's recursive-closure SQL plus the same
+    * deterministic per-group window.
+    */
+  private val canonicalPick = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.DupGroups.canonicalPerGroup(
+        graft.operators.DupGroups.nearDupGroups(
+          docs, "doc_id", "text", n = 3, minJaccard = 0.5),
+        docs, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |fsh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM fsh GROUP BY 1),
+      |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+      |         FROM fsh a JOIN fsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      |          JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+      |edges AS (SELECT doc_a u, doc_b v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |grp AS (SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS group_id
+      |        FROM reach GROUP BY src),
+      |j AS (SELECT g.doc_id, g.group_id, d.n_chars
+      |      FROM grp g JOIN documents d USING (doc_id)),
+      |c AS (SELECT group_id, doc_id AS canonical_id FROM (
+      |        SELECT group_id, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY group_id
+      |            ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |        FROM j) WHERE rn = 1)
+      |SELECT j.doc_id, j.group_id, c.canonical_id,
+      |  j.doc_id = c.canonical_id AS is_canonical
+      |FROM j JOIN c USING (group_id) ORDER BY doc_id""".stripMargin)
+
+  /** q166: tokenizer-coverage audit — train a 500-term vocabulary on the
+    * reference partition (doc_id % 5 < 2), encode the remainder with the
+    * FROZEN vocab, and report per-source OOV rate. This is the
+    * "will the tokenizer cope with this new source" pre-admission check; a
+    * source with an outlier OOV rate needs vocab retraining or exclusion.
+    * Oracle replays the frequency ranking (freq DESC, term), the 500 cap,
+    * and the left-join encode exactly.
+    */
+  private val oovRate = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dict = graft.operators.Vocabulary.dictionary(
+        docs.filter(col("doc_id") % 5 < 2), "text")
+        .filter(col("vid") <= 500)
+      graft.operators.Vocabulary.encode(
+        docs.filter(col("doc_id") % 5 >= 2), "doc_id", "text", dict)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("vid") === 0, 1L).otherwise(0L)).as("oov_tokens"))
+        .withColumn("oov_rate",
+          col("oov_tokens").cast("double") / col("n_tokens"))
+        .orderBy("source")
+    },
+    """WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+      |              FROM documents),
+      |pos AS (SELECT doc_id, source, t[i] AS term
+      |        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+      |tf AS (SELECT term, COUNT(*) AS freq FROM pos
+      |       WHERE doc_id % 5 < 2 GROUP BY 1),
+      |vocab AS (SELECT term FROM (
+      |    SELECT term, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS vid
+      |    FROM tf) WHERE vid <= 500),
+      |enc AS (SELECT p.source, v.term IS NOT NULL AS in_vocab
+      |        FROM pos p LEFT JOIN vocab v USING (term)
+      |        WHERE p.doc_id % 5 >= 2)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+      |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+      |    AS oov_rate
+      |FROM enc GROUP BY source ORDER BY source""".stripMargin)
+
+  /** q167: content-defined chunking (Chunking.contentDefinedChunks, k=4,
+    * divisor=8 → ~8-token expected chunks). Rows-only: cut positions
+    * derive from the library's 64-bit shingle hash, which no SQL replays;
+    * CdcChunkingSpec pins full coverage, text reconstruction, determinism
+    * and the edit-locality property (prefix insertion leaves tail chunk
+    * hashes identical — the reason CDC exists).
+    */
+  private val cdcChunks = QueryDef(
+    (s, dir) =>
+      graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", k = 4, divisor = 8)
+        .select("doc_id", "chunk_id", "tok_start", "tok_end", "n_tokens",
+          "chunk_hash")
+        .orderBy("doc_id", "chunk_id"),
+    None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q167_cdc_chunks" -> cdcChunks,
+    "q166_oov_rate" -> oovRate,
+    "q165_canonical_pick" -> canonicalPick,
+    "q164_ngram_novelty" -> ngramNovelty,
     "q142_corpus_pipeline4" -> corpusPipeline4,
     "q140_bpe_pair_stats" -> bpePairStats,
     "q141_bpe_encode" -> bpeEncode,

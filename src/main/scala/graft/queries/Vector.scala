@@ -311,7 +311,75 @@ object Vector {
        |LEFT JOIN hits h USING (query_id) LEFT JOIN rr r USING (query_id)
        |ORDER BY query_id""".stripMargin)
 
+  /** nDCG@5 of the same projected-KNN-vs-exact comparison as q139 — the
+    * position-sensitive rollout metric (a shortlist that finds the right
+    * neighbors but ranks them low scores below one that ranks them where
+    * exact search does). Discounts 1/log2(rank+1) are driver literals
+    * replayed digit-for-digit in the oracle (Double.toString round-trips),
+    * and the per-query DCG is an ordered fold — no bet on two engines'
+    * transcendental log agreeing in the last ulp.
+    */
+  private val ndcgEval: QueryDef = {
+    val disc = graft.operators.RetrievalEval.discounts(5)
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN CAST('$d' AS DOUBLE)" }
+      .mkString("CASE a.rank ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    val idcg = graft.operators.RetrievalEval.idcgConst(5)
+    QueryDef(
+      (s, dir) => {
+        val corpus = Tables.embeddings(s, dir)
+        val truth = Similarity.knnBruteForce(
+          corpus, corpus.filter(col("vec_id") < 10), k = 5)
+        val proj = graft.operators.Projections.randomProjection(
+          corpus, "embedding", d = 64, k = 16, seed = 0)
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+        val approx = Similarity.knnBruteForce(
+          proj, proj.filter(col("vec_id") < 10), k = 5)
+        graft.operators.RetrievalEval.ndcg(truth, approx, k = 5)
+          .orderBy("query_id")
+      },
+      s"""WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+         |       FROM (SELECT vec_id, unnest([struct_pack(i := i - 1, x := embedding[i])
+         |                                    for i in range(1, len(embedding) + 1)]) u
+         |             FROM embeddings)),
+         |js AS (SELECT unnest(range(16)) AS j),
+         |tm AS (SELECT vec_id, j, i,
+         |         x * (CASE WHEN (strpos('0123456789abcdef',
+         |                substr(md5('rp:0:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END) AS t
+         |       FROM ex CROSS JOIN js),
+         |pv AS (SELECT vec_id, j, list_sum(list(t ORDER BY i)) / sqrt(16.0) AS value
+         |       FROM tm GROUP BY vec_id, j),
+         |pl AS (SELECT vec_id, list(CAST(CAST(value AS REAL) AS DOUBLE) ORDER BY j) AS p
+         |       FROM pv GROUP BY vec_id),
+         |exact AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 5),
+         |appr AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.p", "c.p")} DESC, c.vec_id ASC) AS rank
+         |  FROM pl q JOIN pl c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 5),
+         |dj AS (SELECT e.query_id, a.rank AS rank, $discCase AS disc
+         |       FROM exact e JOIN appr a
+         |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+         |dcg AS (SELECT query_id,
+         |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list(disc ORDER BY rank)), (x, y) -> x + y) AS dcg
+         |        FROM dj GROUP BY query_id)
+         |SELECT q.query_id, COALESCE(d.dcg, CAST(0.0 AS DOUBLE)) AS dcg,
+         |  COALESCE(d.dcg, CAST(0.0 AS DOUBLE)) / CAST('$idcg' AS DOUBLE) AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN dcg d USING (query_id)
+         |ORDER BY query_id""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q162_ndcg_eval" -> ndcgEval,
     "q139_ann_recall" -> annRecall,
     "q136_random_projection" -> randomProjection,
     "q137_pca_whiten" -> pcaWhiten,

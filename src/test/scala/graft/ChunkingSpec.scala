@@ -68,4 +68,69 @@ class ChunkingSpec extends AnyFunSuite {
     assert(joined.filter(
       col("chunk_mass") - col("n") > (col("n_chunks") - 1) * lit(8L)).isEmpty)
   }
+
+  private def cdc(df: org.apache.spark.sql.DataFrame) =
+    Chunking.contentDefinedChunks(df, "doc_id", "text", k = 3, divisor = 4)
+
+  test("CDC chunks partition each document: contiguous, ordered, full coverage") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(50).cache()
+    val out = cdc(docs).cache()
+    // contiguity: chunk i+1 starts right after chunk i ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+    val gaps = out.withColumn("prev_end", lag("tok_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("tok_start") =!= col("prev_end") + 1)
+    assert(gaps.isEmpty)
+    // coverage: first chunk at 0, last ends at n-1, masses sum to n
+    val perDoc = out.groupBy("doc_id").agg(
+      min("tok_start").as("first"), max("tok_end").as("last"),
+      sum("n_tokens").as("mass"))
+    val joined = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.hashAlignedTokenCount(col("text"))
+          .cast("long").as("n"))
+      .filter(col("n") > 0).join(perDoc, "doc_id")
+    assert(joined.filter(col("first") =!= 0L).isEmpty)
+    assert(joined.filter(col("last") =!= col("n") - 1).isEmpty)
+    assert(joined.filter(col("mass") =!= col("n")).isEmpty)
+    assert(docs.count() == perDoc.count())
+  }
+
+  test("CDC chunk texts reassemble the original token stream") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(20)
+    val rebuilt = cdc(docs)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        x => x.getField("chunk_text"))).as("re"))
+    val orig = docs.select(col("doc_id"), concat_ws(" ",
+      graft.functions.TextFunctions.hashAlignedTokens(col("text"))).as("o"))
+    assert(orig.join(rebuilt, "doc_id").filter(col("re") =!= col("o")).isEmpty)
+  }
+
+  test("CDC boundaries are content-local: a prefix edit leaves tail chunks intact") {
+    // the defining property — a fixed-size chunker fails this
+    val base = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val edited = "zz qq vv " + base
+    val origHashes = cdc(Seq((1L, base)).toDF("doc_id", "text"))
+      .select("chunk_hash").as[Long].collect().toSet
+    val editHashes = cdc(Seq((1L, edited)).toDF("doc_id", "text"))
+      .select("chunk_hash").as[Long].collect().toSet
+    val lost = origHashes -- editHashes
+    // only chunks before the first post-edit shared boundary may differ
+    assert(origHashes.size >= 10, s"fixture too coarse: ${origHashes.size} chunks")
+    assert(lost.size <= 2, s"prefix edit invalidated ${lost.size} of ${origHashes.size} chunks")
+  }
+
+  test("CDC is deterministic and respects empty/short documents") {
+    val docs = Seq((1L, ""), (2L, "one two"), (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val a = cdc(docs).collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val b = cdc(docs).collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(a == b)
+    // empty doc yields nothing; a short doc yields one whole-doc chunk
+    assert(!a.exists(_.getLong(0) == 1L))
+    val twoTok = a.filter(_.getLong(0) == 2L)
+    assert(twoTok.map(_.getAs[String]("chunk_text")) == Seq("one two"))
+  }
 }

@@ -102,4 +102,20 @@ class DupGroupsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
+
+  test("canonicalPerGroup elects the best-scored member, ties to the smallest id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "group_id")
+    // group 1: doc 2 has the top score; group 7: score tie → doc 7 wins
+    val docs = Seq((1L, 10), (2L, 50), (3L, 20), (7L, 30), (8L, 30), (9L, 99))
+      .toDF("doc_id", "quality")
+    val got = DupGroups.canonicalPerGroup(groups, docs, "doc_id", "quality")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      7L -> ((7L, true)), 8L -> ((7L, false))))
+    // non-members (doc 9) never appear
+    assert(got.size == 5)
+  }
 }

@@ -142,6 +142,30 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert(got(3L) == ((Seq(), "", false)))
   }
 
+  test("canonicalizeUrl collapses scheme/host case, default ports, fragments, tracking") {
+    import graft.functions.UrlFunctions.canonicalizeUrl
+    val cases = Seq(
+      // every messy variant of the same page → one canonical form
+      (1L, "HTTP://WWW.Example.COM:80/a/b?x=1&utm_source=nl&y=2#frag"),
+      (2L, "http://www.example.com/a/b?x=1&y=2"),
+      (3L, "https://Ex.COM:443/"),
+      (4L, "https://ex.com"),
+      (5L, "http://ex.com/p?gclid=abc123"),
+      (6L, "http://ex.com/p"),
+      (7L, "http://ex.com/p?utm_a=1&utm_b=2"),           // all params tracking
+      (8L, "http://host.com:8080/q?a=1#x"),               // non-default port kept
+      (9L, "https://CASE.com/Path/IsCaseSensitive?Q=Up") // path/query case kept
+    ).toDF("id", "u")
+    val got = cases.select(col("id"), canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://www.example.com/a/b?x=1&y=2")
+    assert(got(1L) == got(2L))
+    assert(got(3L) == "https://ex.com" && got(3L) == got(4L))
+    assert(got(5L) == "http://ex.com/p" && got(5L) == got(6L) && got(5L) == got(7L))
+    assert(got(8L) == "http://host.com:8080/q?a=1")
+    assert(got(9L) == "https://case.com/Path/IsCaseSensitive?Q=Up")
+  }
+
   test("NearestCell content equality enables canonicalization") {
     import graft.expressions.NearestCell
     import org.apache.spark.sql.catalyst.expressions.BoundReference

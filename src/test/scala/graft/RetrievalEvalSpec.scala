@@ -60,4 +60,42 @@ class RetrievalEvalSpec extends AnyFunSuite {
     // clustered data survives the 2x JL cut easily; chance is 5/299
     assert(recall > 0.6, s"mean recall $recall")
   }
+
+  test("hand-checked nDCG: perfect ranking scores 1, misses discount by position") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+    // q1 ranks the truth set perfectly; q2 finds only 21, at rank 3
+    val approx = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 99L, 1), (2L, 98L, 2), (2L, 21L, 3))
+    val got = RetrievalEval.ndcg(truth, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val d = RetrievalEval.discounts(3)
+    val idcg = RetrievalEval.idcgConst(3)
+    assert(math.abs(got(1L)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(2L)._1 - d(2)) < 1e-12)
+    assert(math.abs(got(2L)._2 - d(2) / idcg) < 1e-12)
+  }
+
+  test("nDCG: a query with zero overlap gets an explicit 0 row") {
+    val truth = ranked((1L, 10L, 1), (2L, 20L, 1))
+    val approx = ranked((1L, 10L, 1), (2L, 99L, 1))
+    val got = RetrievalEval.ndcg(truth, approx, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0)
+  }
+
+  test("nDCG is position-sensitive where recall is not") {
+    // both shortlists contain the whole truth set; one ranks it on top,
+    // the other buries it — recall ties at 1.0, nDCG must not
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2))
+    val top = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), (1L, 98L, 4))
+    val buried = ranked((1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 3), (1L, 11L, 4))
+    def score(a: org.apache.spark.sql.DataFrame) =
+      RetrievalEval.ndcg(truth.filter(col("rank") <= 4), a, k = 4)
+        .collect().head.getDouble(2)
+    assert(score(top) > score(buried))
+    val rTop = RetrievalEval.compare(truth, top, k = 4).collect().head.getDouble(2)
+    val rBuried = RetrievalEval.compare(truth, buried, k = 4).collect().head.getDouble(2)
+    assert(rTop == rBuried)
+  }
 }

@@ -87,4 +87,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(deduped.count() == docs.count()) // case-variants collapse
     assert(deduped.filter(col("doc_id") >= 100000).count() == 0) // lowest id wins
   }
+
+  test("ngramNovelty: verbatim copy scores 0, fresh text 1, half-remix in between") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim copy
+      (2L, "one two three four five six"), // disjoint vocabulary
+      (3L, "alpha beta gamma nine ten eleven twelve") // leading overlap
+    ).toDF("doc_id", "text")
+    val got = TextDedup.ngramNovelty(scored, ref, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 4L, 0.0)))
+    assert(got(2L) == ((4L, 0L, 1.0)))
+    // doc 3: 5 trigrams, only "alpha beta gamma" seen
+    assert(got(3L) == ((5L, 1L, 0.8)))
+  }
+
+  test("ngramNovelty counts DISTINCT grams and skips sub-n docs") {
+    val ref = Seq((100L, "x y z")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "x y z x y z x y z"), // repeated grams collapse to distinct set
+      (2L, "just two")           // < n tokens → no grams → no row
+    ).toDF("doc_id", "text")
+    val rows = TextDedup.ngramNovelty(scored, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(1L) && !rows.contains(2L))
+    // distinct trigrams of the 9-token loop: xyz, yzx, zxy → 3, not 7
+    assert(rows(1L) == 3L)
+  }
 }
