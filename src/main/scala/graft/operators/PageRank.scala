@@ -38,12 +38,17 @@ object PageRank {
       damping: Double = 0.85, ordered: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // the raw edge list feeds THREE consumers before the loop (the degree
+    // aggregate, the degree join, and the dangling-node stats) — persist
+    // it, or an expensive upstream edge derivation (join + distinct +
+    // symmetrize) re-runs once per consumer
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .repartition(col("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
     // degree-annotated edges persist ONCE; every iteration's join + the
-    // node derivation run off this frame (persisting the raw edges
-    // instead re-runs the degree aggregate per iteration)
+    // node derivation run off this frame (persisting only the raw edges
+    // would re-run the degree aggregate per iteration)
     val withDeg = e.join(deg, "__s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -87,7 +92,7 @@ object PageRank {
         it += 1
       }
       pr
-    } finally withDeg.unpersist()
+    } finally { withDeg.unpersist(); e.unpersist() }
   }
 
   /** Undirected (symmetrized) edge set from a possibly-directed pair list:

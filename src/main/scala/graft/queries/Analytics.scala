@@ -130,6 +130,15 @@ object Analytics {
         // gate-sized graph: one decile of customers (the operator's scale
         // story lives in PageRank.run; an 11 s gate query was 9% of the
         // whole bench for no extra coverage). Filter pushes into BOTH scans.
+        // Residual gate cost (~5 s at sf0.1) is profiled, not mysterious:
+        // tools/ProfilePageRank measures ~2 s per iteration on the CACHED
+        // 60k-edge graph, unordered — i.e. the materialization barrier
+        // (persist+count per iteration, required for bounded lineage) plus
+        // ~5 exchanges of scheduling fixed cost, NOT data volume or the
+        // ordered fold (+0.1 s/iter marginal). At 100 TB the same barriers
+        // amortize over real shuffle work; an iterative recurrence cannot
+        // drop them without unbounded lineage (DupGroupsSpec pins that
+        // failure mode for connected components).
         val pairs = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
           .filter(col("o_custkey") % 10 === 0)
           .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
