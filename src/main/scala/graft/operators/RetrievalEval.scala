@@ -74,15 +74,18 @@ object RetrievalEval {
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
     // ordered fold (rank ascending) so the double sum is bit-reproducible
-    // at any partitioning — same discipline as the LM kernels
-    val dcg = t.join(a, Seq("query_id", "neighbor_id"))
+    // at any partitioning — same discipline as the LM kernels. Both sides
+    // are (queries × k) eval frames by contract — broadcast explicitly
+    // (they are derived aggregates, so the static planner has no stats
+    // and would pick a sort-merge join; PlanShapeSpec guards this)
+    val dcg = t.join(broadcast(a), Seq("query_id", "neighbor_id"))
       .select(col("query_id"), col("rank"), discCol.as("disc"))
       .groupBy("query_id")
       .agg(aggregate(
         sort_array(collect_list(struct(col("rank"), col("disc")))),
         lit(0.0), (acc, x) => acc + x.getField("disc")).as("dcg"))
     t.select("query_id").distinct()
-      .join(dcg, Seq("query_id"), "left")
+      .join(broadcast(dcg), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("dcg"), lit(0.0)).as("dcg"),
         (coalesce(col("dcg"), lit(0.0)) / lit(idcgConst(k))).as("ndcg"))

@@ -165,7 +165,72 @@ object Analytics {
          |SELECT v AS node, pr AS rank FROM p$iters ORDER BY node""".stripMargin)
   }
 
+  /** q168: pipeline-volume anomaly monitor — daily event counts per stream,
+    * robust-scaled ((x − median) / IQR over the exact quartile walk), days
+    * with |z| > 3 flagged. This is the data-level half of the reference's
+    * monitoring surface (pipeline_monitor.py's volume thresholds) made
+    * deterministic: batch-volume collapse/explosion shows up as an
+    * anomalous day regardless of wall-clock throughput. Oracle replays the
+    * daily rollup, the type-7 quartile interpolation (q152's pinned dag)
+    * and the same flag arithmetic.
+    */
+  private val volumeAnomaly = QueryDef(
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Quantiles.robustScale(daily, Seq("event_type"), "n_events")
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("median"), col("iqr"), col("robust_z"),
+          (abs(col("robust_z")) > 3.0).as("anomalous"))
+        .orderBy("event_type", "day")
+    },
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |counts AS (
+      |  SELECT event_type, CAST(n_events AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM daily GROUP BY event_type, CAST(n_events AS BIGINT)),
+      |pref AS (
+      |  SELECT event_type, v, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n,
+      |    LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY v) AS nxt
+      |  FROM counts),
+      |wanted AS (
+      |  SELECT p.event_type, p.v, p.c, p.cum, p.nxt, u.q,
+      |    u.q * (p.n - 1) AS h,
+      |    FLOOR(u.q * (p.n - 1)) AS lo,
+      |    CEIL(u.q * (p.n - 1)) AS hi
+      |  FROM pref p,
+      |    (SELECT CAST(q AS DOUBLE) AS q
+      |     FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q)) u),
+      |qsel AS (
+      |  SELECT event_type, q,
+      |    CAST(v AS DOUBLE) + (h - lo)
+      |      * CAST((CASE WHEN hi < cum THEN v ELSE nxt END) - v AS DOUBLE)
+      |      AS quantile
+      |  FROM wanted WHERE lo >= cum - c AND lo < cum),
+      |piv AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN q = 0.25 THEN quantile END) AS q1,
+      |    MAX(CASE WHEN q = 0.5 THEN quantile END) AS median,
+      |    MAX(CASE WHEN q = 0.75 THEN quantile END) AS q3
+      |  FROM qsel GROUP BY event_type),
+      |scored AS (
+      |  SELECT d.event_type, d.day, d.n_events, p.median,
+      |    p.q3 - p.q1 AS iqr,
+      |    CASE WHEN p.q3 - p.q1 > 0
+      |      THEN (CAST(d.n_events AS DOUBLE) - p.median) / (p.q3 - p.q1)
+      |      ELSE 0.0 END AS robust_z
+      |  FROM daily d JOIN piv p USING (event_type))
+      |SELECT event_type, day, n_events, median, iqr, robust_z,
+      |  abs(robust_z) > 3.0 AS anomalous
+      |FROM scored ORDER BY event_type, day""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
+    "q168_volume_anomaly" -> volumeAnomaly,
     "q143_funnel" -> funnel,
     "q144_retention_cohorts" -> retention,
     "q145_event_transitions" -> transitions,

@@ -154,4 +154,27 @@ class EmptyInputSpec extends AnyFunSuite {
       out.filter($"source".isNotNull).count() == 0)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("ngramNovelty against an EMPTY reference scores everything fully novel") {
+    val out = graft.operators.TextDedup.ngramNovelty(
+      someDocs, emptyDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("canonicalPerGroup with an empty cluster assignment yields nothing") {
+    val emptyGroups = Seq.empty[(Long, Long)].toDF("doc_id", "group_id")
+    assert(graft.operators.DupGroups.canonicalPerGroup(
+      emptyGroups, someDocs.withColumn("q", length($"text")), "doc_id", "q")
+      .count() == 0)
+  }
+
+  test("contentDefinedChunks on an empty corpus and ndcg on empty rankings") {
+    assert(graft.operators.Chunking.contentDefinedChunks(
+      emptyDocs, "doc_id", "text", k = 3, divisor = 4).count() == 0)
+    val emptyRanked =
+      Seq.empty[(Long, Long, Int)].toDF("query_id", "neighbor_id", "rank")
+    assert(graft.operators.RetrievalEval.ndcg(
+      emptyRanked, emptyRanked, k = 5).count() == 0)
+  }
 }

@@ -217,6 +217,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p.take(3000))
   }
 
+  test("URL canonicalization is one scan-side kernel into a two-phase agg, no join") {
+    val p = plan("q163_url_canonical")
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("Join"), "URL dedup must not join — the regex chain is a projection")
+  }
+
+  test("n-gram novelty probes the reference via a semi join, never materializing pairs") {
+    val p = plan("q164_ngram_novelty")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("nDCG eval joins are broadcast (queries x k frames are tiny)") {
+    assert(plan("q162_ndcg_eval").contains("BroadcastHashJoin"))
+  }
+
+  test("CDC chunking joins hash-wise on the doc key, never nested-loop") {
+    val p = plan("q167_cdc_chunks")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the windows expansion must be a generator over the scan, not a join
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
