@@ -43,8 +43,10 @@ object UrlFunctions {
     * only works if all three collapse. Normalizations, in order:
     * scheme+host lowercased (path/query stay case-sensitive per RFC 3986),
     * default port dropped (:80 http, :443 https), fragment dropped,
-    * tracking parameters removed (utm_*, gclid, fbclid), separators
-    * re-collapsed, and a bare trailing "/" path dropped.
+    * tracking parameters removed (utm_*, gclid, fbclid — delimiter-anchored,
+    * so "?sgclid=…" and path text never match), separators re-collapsed,
+    * and trailing path slashes normalized ("/a/" = "/a", "/a/?x" = "/a?x";
+    * a "/" ending a query value is preserved).
     *
     * Pure codegen'd string kernel — regexes are Java∩RE2 (no lookaround),
     * applied in a fixed order an oracle replays verbatim; at 100 TB this is
@@ -58,12 +60,21 @@ object UrlFunctions {
       .when(scheme === "https", regexp_replace(host, ":443$", ""))
       .otherwise(host)
     val noFragment = regexp_replace(rest, "#.*", "")
+    // tracking params must be DELIMITER-anchored ([?&], kept via capture):
+    // an unanchored pattern substring-matches inside other parameter names
+    // ("?sgclid=…") and even path segments, corrupting distinct URLs into
+    // false dedup merges
     val noTracking = regexp_replace(noFragment,
-      "(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "")
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
     val collapsed = regexp_replace(
       regexp_replace(regexp_replace(noTracking, "&+", "&"), "\\?&", "?"),
       "[?&]+$", "")
-    val noSlash = regexp_replace(collapsed, "^/$", "")
+    // trailing-slash normalization: slashes right before the query fold
+    // into it ("/a/?x" → "/a?x"); with no query, trailing slashes drop for
+    // ANY path ("/a/" → "/a", bare "/" → "") — the [^?]* guard spans the
+    // whole string, so a '/' ending a query VALUE is never touched
+    val noSlash = regexp_replace(
+      regexp_replace(collapsed, "/+\\?", "?"), "^([^?]*)/+$", "$1")
     concat(scheme, lit("://"), hostNoPort, noSlash)
   }
 }

@@ -316,11 +316,11 @@ object DupGroups {
     val joined = groups.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group_id").orderBy(desc(scoreCol), col(idCol))
-    val canon = joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("group_id"), col(idCol).as("canonical_id"))
-    joined.join(canon, Seq("group_id"))
+    // running first() over the ordered window IS the partition's top row at
+    // every position (default frame unboundedPreceding..currentRow) — one
+    // window pass tags every member, no rank-filter + re-join round trip
+    joined
+      .withColumn("canonical_id", first(col(idCol)).over(w))
       .select(col(idCol), col("group_id"), col("canonical_id"),
         (col(idCol) === col("canonical_id")).as("is_canonical"))
   }

@@ -144,7 +144,14 @@ object TextDedup {
     * and the semi-join tally.
     */
   def ngramNovelty(df: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int,
+      /** Eagerly compute the (document-sized) result and unpersist the
+        * corpus-sized gram expansion before returning — same lifecycle
+        * valve as [[ngramJaccardPairs]]; the stated use (per-increment
+        * admission) is a recurring call that would otherwise pin one
+        * expansion cache per invocation until LRU eviction.
+        */
+      materialize: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def grams(d: DataFrame) = d.select(col(idCol),
       explode(ColumnBridge.column(graft.expressions.ShingleHashes(
@@ -155,11 +162,18 @@ object TextDedup {
     val tot = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val seen = docGrams.join(refSet, Seq("h"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("seen_grams"))
-    tot.join(seen, Seq(idCol), "left")
+    val result = tot.join(seen, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("seen_grams"), lit(0L)).as("seen_grams"),
         ((col("n_grams") - coalesce(col("seen_grams"), lit(0L))).cast("double")
           / col("n_grams")).as("novelty"))
+    if (!materialize) result
+    else {
+      val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      docGrams.unpersist()
+      out
+    }
   }
 
   /** MinHash signatures: k universal-family min-hashes per document over

@@ -335,7 +335,7 @@ object Cleaning {
       val url = when(col("doc_id") % 2 === 0,
           when(b % 10 === 0, lit("HTTPS://Root.Example.COM:443/"))
             .otherwise(concat(lit("HTTP://WWW.Example.COM:80/p/"),
-              b.cast("string"), lit("?utm_campaign=spring&k="),
+              b.cast("string"), lit("/?utm_campaign=spring&k="),
               (b % 5).cast("string"), lit("#top"))))
         .otherwise(
           when(b % 10 === 0, lit("https://root.example.com"))
@@ -353,7 +353,7 @@ object Cleaning {
       |    CASE WHEN doc_id % 2 = 0 THEN
       |      CASE WHEN (doc_id // 2) % 10 = 0 THEN 'HTTPS://Root.Example.COM:443/'
       |        ELSE 'HTTP://WWW.Example.COM:80/p/' || CAST(doc_id // 2 AS VARCHAR)
-      |          || '?utm_campaign=spring&k=' || CAST((doc_id // 2) % 5 AS VARCHAR)
+      |          || '/?utm_campaign=spring&k=' || CAST((doc_id // 2) % 5 AS VARCHAR)
       |          || '#top' END
       |    ELSE
       |      CASE WHEN (doc_id // 2) % 10 = 0 THEN 'https://root.example.com'
@@ -379,12 +379,14 @@ object Cleaning {
       |        regexp_replace(
       |          regexp_replace(
       |            regexp_replace(
-      |              regexp_replace(rest, '#.*', '', 'g'),
-      |              '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
-      |            '&+', '&', 'g'),
-      |          '\?&', '?', 'g'),
-      |        '[?&]+$', '', 'g'),
-      |      '^/$', '', 'g') AS rest2
+      |              regexp_replace(
+      |                regexp_replace(rest, '#.*', '', 'g'),
+      |                '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |              '&+', '&', 'g'),
+      |            '\?&', '?', 'g'),
+      |          '[?&]+$', '', 'g'),
+      |        '/+\?', '?', 'g'),
+      |      '^([^?]*)/+$', '\1', 'g') AS rest2
       |  FROM parts)
       |SELECT scheme || '://' || host2 || rest2 AS canon,
       |  COUNT(*) AS n_urls, MIN(doc_id) AS first_doc

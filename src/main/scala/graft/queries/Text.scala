@@ -1926,7 +1926,8 @@ object Text {
       val docs = Tables.documents(s, dir)
       TextDedup.ngramNovelty(
         docs.filter(col("doc_id") % 5 >= 2),
-        docs.filter(col("doc_id") % 5 < 2), "doc_id", "text", n = 3)
+        docs.filter(col("doc_id") % 5 < 2), "doc_id", "text", n = 3,
+        materialize = true)
         .orderBy("doc_id")
     },
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
@@ -2034,7 +2035,7 @@ object Text {
   /** q167: content-defined chunking (Chunking.contentDefinedChunks, k=4,
     * divisor=8 → ~8-token expected chunks). Rows-only: cut positions
     * derive from the library's 64-bit shingle hash, which no SQL replays;
-    * CdcChunkingSpec pins full coverage, text reconstruction, determinism
+    * ChunkingSpec pins full coverage, text reconstruction, determinism
     * and the edit-locality property (prefix insertion leaves tail chunk
     * hashes identical — the reason CDC exists).
     */

@@ -154,7 +154,12 @@ class RepetitionRedactionSpec extends AnyFunSuite {
       (6L, "http://ex.com/p"),
       (7L, "http://ex.com/p?utm_a=1&utm_b=2"),           // all params tracking
       (8L, "http://host.com:8080/q?a=1#x"),               // non-default port kept
-      (9L, "https://CASE.com/Path/IsCaseSensitive?Q=Up") // path/query case kept
+      (9L, "https://CASE.com/Path/IsCaseSensitive?Q=Up"), // path/query case kept
+      (10L, "http://ex.com/p?sgclid=123"),   // NOT a tracking param — kept
+      (11L, "http://ex.com/a/gclid=1/b"),    // path text, not a param — kept
+      (12L, "http://ex.com/a/b/"),           // trailing path slash drops
+      (13L, "http://ex.com/a/?x=1"),         // slash before query folds in
+      (14L, "http://ex.com/p?k=v/")          // slash ending a VALUE is kept
     ).toDF("id", "u")
     val got = cases.select(col("id"), canonicalizeUrl(col("u")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -164,6 +169,11 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert(got(5L) == "http://ex.com/p" && got(5L) == got(6L) && got(5L) == got(7L))
     assert(got(8L) == "http://host.com:8080/q?a=1")
     assert(got(9L) == "https://case.com/Path/IsCaseSensitive?Q=Up")
+    assert(got(10L) == "http://ex.com/p?sgclid=123")
+    assert(got(11L) == "http://ex.com/a/gclid=1/b")
+    assert(got(12L) == "http://ex.com/a/b")
+    assert(got(13L) == "http://ex.com/a?x=1")
+    assert(got(14L) == "http://ex.com/p?k=v/")
   }
 
   test("NearestCell content equality enables canonicalization") {
