@@ -51,10 +51,12 @@ object PageRank {
     // would re-run the degree aggregate per iteration)
     val withDeg = e.join(deg, "__s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var nodesCache: Option[DataFrame] = None
     try {
       val nodes = withDeg.select(col("__s").as("node"))
         .union(withDeg.select(col("__d").as("node"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nodesCache = Some(nodes)
       // one driver action for BOTH the node count and the dangling check
       // (separate count() + anti-join count() jobs doubled the fixed cost)
       val stats = nodes
@@ -92,7 +94,7 @@ object PageRank {
         it += 1
       }
       pr
-    } finally { withDeg.unpersist(); e.unpersist() }
+    } finally { withDeg.unpersist(); e.unpersist(); nodesCache.foreach(_.unpersist()) }
   }
 
   /** Undirected (symmetrized) edge set from a possibly-directed pair list:
@@ -101,7 +103,13 @@ object PageRank {
     * customer–supplier, doc–host) with no dangling mass by construction.
     */
   def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // canonicalize BEFORE distinct: an input already holding both
+    // orientations of a pair would otherwise survive as two distinct rows
+    // and re-emit duplicate edges (a multigraph that inflates out-degrees
+    // and misweights every neighbor), violating run()'s own precondition
+    val p = pairs.select(
+        least(col(aCol), col(bCol)).as("src"),
+        greatest(col(aCol), col(bCol)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     p.union(p.select(col("dst").as("src"), col("src").as("dst")))
   }

@@ -95,9 +95,13 @@ object Quantiles {
         max(when(col("q") === 0.75, col("quantile"))).as("__q3"))
       .withColumn("iqr", col("__q3") - col("__q1"))
       .drop("__q1", "__q3")
-    df.join(broadcast(quartiles), groupCols)
+    // LEFT join: a group whose values are ALL NULL has no quartile row
+    // (NULLs are filtered before the walk) — an inner join would silently
+    // DROP that group's rows, where the contract (same as groupZScore's)
+    // is to keep them scored NULL
+    df.join(broadcast(quartiles), groupCols, "left")
       .withColumn("robust_z",
-        when(v.isNull, lit(null).cast("double"))
+        when(v.isNull || col("median").isNull, lit(null).cast("double"))
           .when(col("iqr") > 0.0, (v.cast("double") - col("median")) / col("iqr"))
           .otherwise(0.0))
   }

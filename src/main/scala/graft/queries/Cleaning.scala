@@ -191,6 +191,32 @@ object Cleaning {
       |FROM documents d JOIN s USING (source)
       |ORDER BY doc_id""".stripMargin)
 
+  /** Shared oracle CTE block for the per-source value-domain quantile walk
+    * (counts → prefix → type-7 interpolation inputs), parameterized by the
+    * quantile list — q151 and q152 must stay on ONE copy of this dag or a
+    * future interpolation fix could silently desynchronize them.
+    */
+  private def quantileWalkSql(qs: String): String =
+    s"""counts AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+       |  FROM documents WHERE n_chars IS NOT NULL
+       |  GROUP BY source, CAST(n_chars AS BIGINT)),
+       |pref AS (
+       |  SELECT source, v, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n,
+       |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) AS nxt
+       |  FROM counts),
+       |wanted AS (
+       |  SELECT p.source, p.v, p.c, p.cum, p.nxt, u.q,
+       |    u.q * (p.n - 1) AS h,
+       |    FLOOR(u.q * (p.n - 1)) AS lo,
+       |    CEIL(u.q * (p.n - 1)) AS hi
+       |  FROM pref p,
+       |    (SELECT CAST(q AS DOUBLE) AS q
+       |     FROM (SELECT unnest([$qs]) AS q)) u)""".stripMargin
+
   /** q151: exact per-source length deciles via the value-domain walk —
     * state bounded by distinct lengths, not documents, which is what makes
     * EXACT (not sketched) quantiles feasible at corpus scale. The oracle
@@ -203,25 +229,7 @@ object Cleaning {
       Quantiles.exactIntQuantiles(Tables.documents(s, dir), Seq("source"),
         "n_chars", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
         .orderBy("source", "q"),
-    """WITH counts AS (
-      |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
-      |  FROM documents WHERE n_chars IS NOT NULL
-      |  GROUP BY source, CAST(n_chars AS BIGINT)),
-      |pref AS (
-      |  SELECT source, v, c,
-      |    SUM(c) OVER (PARTITION BY source ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |    SUM(c) OVER (PARTITION BY source) AS n,
-      |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) AS nxt
-      |  FROM counts),
-      |wanted AS (
-      |  SELECT p.source, p.v, p.c, p.cum, p.nxt, u.q,
-      |    u.q * (p.n - 1) AS h,
-      |    FLOOR(u.q * (p.n - 1)) AS lo,
-      |    CEIL(u.q * (p.n - 1)) AS hi
-      |  FROM pref p,
-      |    (SELECT CAST(q AS DOUBLE) AS q
-      |     FROM (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)) u)
+    s"""WITH ${quantileWalkSql("0.1, 0.25, 0.5, 0.75, 0.9")}
       |SELECT source, q,
       |  CAST(v AS DOUBLE) + (h - lo)
       |    * CAST((CASE WHEN hi < cum THEN v ELSE nxt END) - v AS DOUBLE)
@@ -240,25 +248,7 @@ object Cleaning {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("median"), col("iqr"), col("robust_z"))
         .orderBy("doc_id"),
-    """WITH counts AS (
-      |  SELECT source, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
-      |  FROM documents WHERE n_chars IS NOT NULL
-      |  GROUP BY source, CAST(n_chars AS BIGINT)),
-      |pref AS (
-      |  SELECT source, v, c,
-      |    SUM(c) OVER (PARTITION BY source ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |    SUM(c) OVER (PARTITION BY source) AS n,
-      |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) AS nxt
-      |  FROM counts),
-      |wanted AS (
-      |  SELECT p.source, p.v, p.c, p.cum, p.nxt, u.q,
-      |    u.q * (p.n - 1) AS h,
-      |    FLOOR(u.q * (p.n - 1)) AS lo,
-      |    CEIL(u.q * (p.n - 1)) AS hi
-      |  FROM pref p,
-      |    (SELECT CAST(q AS DOUBLE) AS q
-      |     FROM (SELECT unnest([0.25, 0.5, 0.75]) AS q)) u),
+    s"""WITH ${quantileWalkSql("0.25, 0.5, 0.75")},
       |qsel AS (
       |  SELECT source, q,
       |    CAST(v AS DOUBLE) + (h - lo)

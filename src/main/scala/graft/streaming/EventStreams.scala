@@ -31,8 +31,19 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a streaming source needs its schema up front: probe the directory with
     // a one-off batch read (metadata only, no data scan), then normalize ts
-    // exactly like the batch loader (nanos-long vs micros-NTZ generations)
-    val fileSchema = spark.read.parquet(eventsDir).schema
+    // exactly like the batch loader (nanos-long vs micros-NTZ generations).
+    // A stream routinely starts on a still-EMPTY landing directory (files
+    // arrive later) — the probe then has nothing to infer from, so fall
+    // back to the current-generation declared schema instead of failing
+    // the stream definition
+    val fileSchema =
+      try spark.read.parquet(eventsDir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING")
+      }
     graft.core.Tables.normalizeEventTs(
       spark.readStream.schema(fileSchema).parquet(eventsDir))
   }
@@ -189,17 +200,15 @@ object EventStreams {
     * Delta does with a commit log: the partition path IS the commit key.
     * Readers take `spark.read.parquet(path)` and may drop `__batch_id`.
     */
-  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.withColumn("__batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("__batch_id").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit =
+    // partitionOverwriteMode as a PER-WRITE option, never a session conf
+    // flip: a set/restore around the write races with concurrent writers
+    // on the same session (their unrelated overwrite could inherit dynamic
+    // semantics, or lose its own setting to this write's restore)
+    batch.withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(path)
 
   /** [[sinkToTable]] with exactly-once output: the at-least-once replay of
     * foreachBatch is made idempotent by [[idempotentAppend]]'s

@@ -318,4 +318,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamedSet.size >= batchSet.size - 150) // ≤1 open session per user
     assert(streamedSet.nonEmpty)
   }
+
+  test("readEvents starts on an EMPTY landing directory and picks up late files") {
+    // the normal streaming-startup order: define the stream BEFORE the
+    // first file lands; the schema probe must fall back, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream")
+    val stream = EventStreams.readEvents(spark, dir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_files_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_files_out").count() == 0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("late_files_out").count() ==
+        Tables.events(spark, SparkTestSession.sfDir).count())
+    } finally q.stop()
+  }
 }

@@ -39,9 +39,12 @@ class PageRankSpec extends AnyFunSuite {
 
   test("symmetrize yields both directions, no self-loops, no dangling") {
     val pairs = Seq((1L, 2L), (2L, 1L), (3L, 3L), (2L, 3L)).toDF("a", "b")
+    // collect to a LIST, not a set: an input holding both orientations of
+    // (1,2) must still emit each direction exactly ONCE — a multigraph
+    // would inflate node 2's out-degree and misweight every neighbor
     val e = PageRank.symmetrize(pairs, "a", "b")
-      .as[(Long, Long)].collect().toSet
-    assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(e == Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
     PageRank.run(PageRank.symmetrize(pairs, "a", "b"), "src", "dst", 2)
   }
 

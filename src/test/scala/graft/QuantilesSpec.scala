@@ -88,4 +88,19 @@ class QuantilesSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("robustScale keeps all-NULL groups, scored NULL (groupZScore contract)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(3L)), ("a", Some(5L)), ("a", None),
+      ("b", None), ("b", None) // group with NO non-null values
+    ).toDF("g", "v")
+    val out = Quantiles.robustScale(df, Seq("g"), "v")
+    assert(out.count() == 6) // an inner quartile join would drop group b
+    val bRows = out.filter(col("g") === "b").collect()
+    assert(bRows.length == 2 && bRows.forall(_.isNullAt(out.columns.indexOf("robust_z"))))
+    // null values inside a scored group also come back NULL, others scored
+    val aNull = out.filter(col("g") === "a" && col("v").isNull).collect()
+    assert(aNull.length == 1 && aNull.head.isNullAt(out.columns.indexOf("robust_z")))
+  }
 }
