@@ -249,4 +249,46 @@ object Sampling {
       weightCol: String, budget: Long): DataFrame =
     Packing.withGlobalOffsets(df, orderCols, weightCol)
       .filter(col("offset") + col(weightCol) <= budget)
+
+  /** Proportional budget allocation across sources by largest remainder
+    * (Hamilton's method): split a total `budget` (tokens) over the groups
+    * of `groupCol` proportionally to their summed `weight`, exactly —
+    * Σ alloc = budget, each group gets ⌊budget·w/W⌋ plus one of the
+    * `budget − Σ⌊·⌋` leftover units, awarded by largest fractional part
+    * (ties to the first group). This is the "1B tokens across sources by
+    * quality mass" recipe step upstream of [[tokenBudgetFill]], which then
+    * cuts each source at its allocated budget.
+    *
+    * Arithmetic is a fixed IEEE-double dag (multiply, divide, floor —
+    * all correctly rounded, so two engines agree bitwise; same argument as
+    * [[temperatureMixture]]); the leftover ranking runs through the
+    * sharded prefix-sum rank, so even a million-group allocation never
+    * funnels through one partition. Output: one row per group —
+    * (groupCol, w, share, base_alloc, alloc).
+    */
+  def allocateBudget(df: DataFrame, groupCol: String, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val totals = df.groupBy(groupCol).agg(sum(weight).as("w"))
+    val grand = totals.agg(sum(col("w")).as("__W"))
+    val shared = totals.crossJoin(broadcast(grand))
+      // W ≤ 0 guard (cf. temperatureMixture): a zero/negative grand total
+      // would turn every share into NaN/±Inf; shares collapse to 0 and the
+      // whole budget distributes as leftover units in group order
+      .withColumn("share",
+        when(col("__W") > 0,
+          lit(budget.toDouble) * col("w").cast("double")
+            / col("__W").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("base_alloc", floor(col("share")).cast("long"))
+      .withColumn("__frac", col("share") - col("base_alloc"))
+    val leftover = shared.agg(
+      (lit(budget) - sum(col("base_alloc"))).as("__left"))
+    Curriculum.withGlobalRank(
+        shared.withColumn("__negfrac", -col("__frac")), Seq("__negfrac", groupCol))
+      .crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("base_alloc") + when(col("rank") <= col("__left"), 1L).otherwise(0L))
+      .select(col(groupCol), col("w"), col("share"), col("base_alloc"), col("alloc"))
+  }
 }

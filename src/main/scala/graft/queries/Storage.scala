@@ -331,5 +331,33 @@ object Storage {
     "q90_zorder_layout" -> zorderLayout,
     "q91_csv_quarantine" -> csvQuarantine,
     "q120_merge_schema" -> mergeSchemaAppend,
-    "q121_ingest_stamp" -> ingestStamp)
+    "q121_ingest_stamp" -> ingestStamp,
+    "q169_exactly_once_sink" -> exactlyOnceSink)
+
+  /** q169: the exactly-once sink semantics under crash-replay, on disk —
+    * a PARTIAL batch-0 write (the crash), a full batch-0 REPLAY
+    * (foreachBatch re-delivery; must overwrite the partial remnant, not
+    * append next to it), then batch 1. The read-back equals the clean
+    * union, which is the whole exactly-once claim; a plain append sink
+    * would return the 5 partial rows twice. Oracle is the trivial clean
+    * SELECT — the machinery under test is the partition-per-batch
+    * dynamic overwrite, not the query.
+    */
+  private lazy val exactlyOnceSink = QueryDef(
+    (s, dir) => {
+      val tag = Housekeeping.appTag(s)
+      Housekeeping.cleanStaleTmpDirs("graft_gate_xo_", tag)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_xo_$tag"
+      val nation = Tables.nation(s, dir)
+      val b0 = nation.filter(col("n_nationkey") < 13)
+      graft.streaming.EventStreams.idempotentAppend(b0.limit(5), 0L, path)
+      graft.streaming.EventStreams.idempotentAppend(b0, 0L, path)
+      graft.streaming.EventStreams.idempotentAppend(
+        nation.filter(col("n_nationkey") >= 13), 1L, path)
+      s.read.parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin)
 }

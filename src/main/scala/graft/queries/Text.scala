@@ -2048,7 +2048,42 @@ object Text {
         .orderBy("doc_id", "chunk_id"),
     None)
 
+  /** q170: exact proportional budget allocation (Sampling.allocateBudget,
+    * Hamilton largest-remainder) — 100k tokens across sources by summed
+    * document length; Σ alloc = budget exactly. The double dag (multiply,
+    * divide, floor — all correctly rounded) and the remainder ranking
+    * replay bitwise in the oracle; SamplingSpec pins the exact-sum and
+    * proportionality invariants.
+    */
+  private val budgetAllocation = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.allocateBudget(
+        Tables.documents(s, dir), "source", col("n_chars").cast("long"), 100000L)
+        .orderBy("source"),
+    """WITH totals AS (
+      |  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM totals),
+      |sh AS (SELECT source, w,
+      |         CASE WHEN g.tw > 0
+      |           THEN CAST(100000 AS DOUBLE) * CAST(w AS DOUBLE)
+      |                / CAST(g.tw AS DOUBLE)
+      |           ELSE 0.0 END AS share
+      |       FROM totals, g),
+      |b AS (SELECT source, w, share,
+      |        CAST(FLOOR(share) AS BIGINT) AS base_alloc,
+      |        share - FLOOR(share) AS frac
+      |      FROM sh),
+      |l AS (SELECT 100000 - SUM(base_alloc) AS leftover FROM b),
+      |r AS (SELECT source, w, share, base_alloc,
+      |        ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk FROM b)
+      |SELECT source, w, share, base_alloc,
+      |  CAST(base_alloc + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM r, l ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q170_budget_allocation" -> budgetAllocation,
     "q167_cdc_chunks" -> cdcChunks,
     "q166_oov_rate" -> oovRate,
     "q165_canonical_pick" -> canonicalPick,

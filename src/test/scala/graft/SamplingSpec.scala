@@ -138,4 +138,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(ratio > 7.0 && ratio < 13.0,
       s"heavy/light inclusion ratio $ratio, expected ~10")
   }
+
+  test("allocateBudget: exact total, proportional shares, remainder by largest frac") {
+    val docs = Seq(
+      ("a", 70L), ("a", 5L),   // w=75
+      ("b", 50L),              // w=50
+      ("c", 26L)               // w=26; W=151
+    ).toDF("source", "n")
+    val got = Sampling.allocateBudget(docs, "source", col("n"), 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // shares: a=49.668..., b=33.112..., c=17.218... → bases 49/33/17 = 99,
+    // one leftover unit goes to the largest fraction (a, .668)
+    assert(got == Map("a" -> ((75L, 50L)), "b" -> ((50L, 33L)), "c" -> ((26L, 17L))))
+    assert(got.values.map(_._2).sum == 100L)
+  }
+
+  test("allocateBudget: exact-sum invariant on corpus data and zero-weight guard") {
+    val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
+    val out = Sampling.allocateBudget(docs, "source", col("n_chars").cast("long"), 12345L)
+    assert(out.agg(sum("alloc")).collect().head.getLong(0) == 12345L)
+    // all-zero weights: shares collapse, budget distributes in group order
+    val zeros = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("source", "n")
+    val z = Sampling.allocateBudget(zeros, "source", col("n"), 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(z == Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+  }
 }
