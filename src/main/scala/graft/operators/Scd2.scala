@@ -28,17 +28,23 @@ object Scd2 {
 
   /** Apply a batch of updates to an existing snapshot: expire current rows
     * whose key has a newer version, append the new versions (dbt snapshot
-    * merge semantics on `updated_at`).
+    * merge semantics on `updated_at`). The result is identical to a full
+    * [[buildSnapshot]] over the combined history — q171 pins that
+    * equivalence — so incremental merging never drifts from a rebuild.
+    *
+    * `tieBreak` must make (key, ts, tieBreak) a version identity: the
+    * redelivery dedup keys on it (a retried batch must not create
+    * duplicate versions / zero-length intervals — dbt snapshot re-runs are
+    * no-ops) and the interval order uses it. Without it, two versions of
+    * a key sharing a timestamp would collapse arbitrarily here while a
+    * full rebuild with a tie-break keeps both.
     */
   def applyUpdates(snapshot: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val history = snapshot
       .drop("version", "valid_from", "valid_to", "is_current")
       .unionByName(updates)
-      // idempotent under redelivery: a retried batch must not create
-      // duplicate versions / zero-length intervals (dbt snapshot re-runs
-      // are no-ops)
-      .dropDuplicates(keyCols :+ tsCol)
-    buildSnapshot(history, keyCols, tsCol)
+      .dropDuplicates(keyCols ++ (tsCol +: tieBreak))
+    buildSnapshot(history, keyCols, tsCol, tieBreak)
   }
 }

@@ -31,6 +31,78 @@ object Extra {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin)
 
+  /** q171: incremental SCD2 merge (Scd2.applyUpdates) — snapshot the first
+    * 20 days of events, merge the remainder as an update batch, and merge
+    * that SAME batch a second time (redelivery). The result must equal a
+    * full rebuild over all events, which is exactly q19's oracle: the
+    * incremental path can never drift from the rebuild, and a retried
+    * batch is a no-op.
+    */
+  private val scd2Merge = QueryDef(
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+      val cutoff = events.agg(
+        date_add(min(col("ts")).cast("date"), 20).as("c")).collect().head.getDate(0)
+      val early = events.filter(col("ts").cast("date") < lit(cutoff))
+      val late = events.filter(col("ts").cast("date") >= lit(cutoff))
+      val snap0 = Scd2.buildSnapshot(early, Seq("user_id"), "ts", Seq("event_id"))
+      val snap1 = Scd2.applyUpdates(snap0, late, Seq("user_id"), "ts", Seq("event_id"))
+      Scd2.applyUpdates(snap1, late, Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "version", "valid_from", "valid_to",
+          "is_current")
+        .orderBy("user_id", "version")
+    },
+    """SELECT user_id, event_id,
+      |  ROW_NUMBER() OVER w AS version,
+      |  ts AS valid_from,
+      |  LEAD(ts, 1) OVER w AS valid_to,
+      |  LEAD(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin)
+
+  /** q172: the model-DAG runner proper (§3 E3 dbt semantics) — a 3-model
+    * bronze→silver→gold chain DECLARED IN SCRAMBLED ORDER (gold first), so
+    * only the topological sort can make it build: each model reads its
+    * upstream's target table, and the gold read-back equals the oracle's
+    * composed SQL. Closes the one ModelGraph path q79 doesn't drive
+    * (multi-model dependency ordering; q79 exercises the incremental
+    * high-watermark on a single model).
+    */
+  private val modelDag = QueryDef(
+    (s, dir) => {
+      val app = graft.core.Housekeeping.appTag(s)
+      graft.core.Housekeeping.dropStaleTables(s, "graft_gate_dag_", app)
+      val bron = s"graft_gate_dag_bronze_$app"
+      val silv = s"graft_gate_dag_silver_$app"
+      val gold = s"graft_gate_dag_gold_$app"
+      Seq(bron, silv, gold).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Tables.orders(s, dir).createOrReplaceTempView("gate_dag_orders")
+      val models = Seq( // scrambled on purpose: gold, bronze, silver
+        graft.models.Model.sql("gold", gold,
+          s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+             |FROM $silv GROUP BY o_orderpriority""".stripMargin,
+          deps = Seq("silver")),
+        graft.models.Model.sql("bronze", bron,
+          """SELECT o_orderkey, o_orderpriority, o_totalprice
+            |FROM gate_dag_orders WHERE o_totalprice > 0""".stripMargin),
+        graft.models.Model.sql("silver", silv,
+          s"""SELECT o_orderkey, o_orderpriority FROM $bron
+             |WHERE o_orderkey % 3 <> 0""".stripMargin,
+          deps = Seq("bronze")))
+      val runs = new graft.models.ModelGraph(models,
+        graft.sources.ParquetTableFormat).run(s)
+      require(runs.forall(_.ok), s"model DAG run failed: $runs")
+      s.table(gold).orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_totalprice > 0 AND o_orderkey % 3 <> 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   /** Rolling trend compliance (reference
     * test_insurance_data_quality.py:269-289): fraction of consecutive
     * per-customer orders whose price holds ≥80% of the previous one.
@@ -886,6 +958,8 @@ object Extra {
     "q94_histogram" -> histogram,
     "q95_grouping_sets" -> groupingSets,
     "q19_scd2" -> scd2Snapshot,
+    "q171_scd2_merge" -> scd2Merge,
+    "q172_model_dag" -> modelDag,
     "q78_upsert_roundtrip" -> upsertRoundtrip,
     "q79_incremental_model" -> incrementalRoundtrip,
     "q36_approx_stats" -> approxStats,

@@ -91,6 +91,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2 incremental merge equals a full rebuild and is redelivery-idempotent") {
+    forAll(genHistory) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "rid")
+          .withColumn("ts", timestamp_micros(col("ts")))
+        val late = df.filter(col("rid") % 2 === 1)
+        val full = Scd2.buildSnapshot(df, Seq("k"), "ts", Seq("rid"))
+        val snap0 = Scd2.buildSnapshot(
+          df.filter(col("rid") % 2 === 0), Seq("k"), "ts", Seq("rid"))
+        // merge the batch TWICE: redelivery must be a no-op
+        val merged = Scd2.applyUpdates(
+          Scd2.applyUpdates(snap0, late, Seq("k"), "ts", Seq("rid")),
+          late, Seq("k"), "ts", Seq("rid"))
+        assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+      }
+    }
+  }
+
   private val genEvents: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
     nl <- Gen.chooseNum(1, 20)
     nr <- Gen.chooseNum(0, 20)
