@@ -250,6 +250,35 @@ object Sampling {
     Packing.withGlobalOffsets(df, orderCols, weightCol)
       .filter(col("offset") + col(weightCol) <= budget)
 
+  /** Per-group [[tokenBudgetFill]]: charge each group's documents against
+    * that group's OWN budget (a (groupCol, alloc) frame — typically
+    * [[allocateBudget]]'s output) in `orderCols` order within the group.
+    * Composing the two is the full data-recipe materialization: "split 1B
+    * tokens across sources by quality mass, then cut each source at its
+    * allocation, best documents first".
+    *
+    * Scale shape: ONE global sharded prefix sum over (group, orderCols) —
+    * rows of a group are contiguous in that order, so the group-local
+    * running total is the global offset minus the group's base (its
+    * minimum global offset, a group-count-sized broadcast join) — the
+    * same no-per-group-window trick as [[Packing.groupedSequencePacking]];
+    * the budget test is then a stateless filter against the broadcast
+    * allocation. Same boundary semantics as [[tokenBudgetFill]]: an
+    * oversized document at the cut is dropped without redistributing its
+    * charge.
+    */
+  def tokenBudgetFillPerGroup(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], weightCol: String,
+      budgets: DataFrame): DataFrame = {
+    val globalOff = Packing.withGlobalOffsets(df, groupCol +: orderCols, weightCol)
+    val bases = globalOff.groupBy(groupCol).agg(min("offset").as("__base"))
+    globalOff.join(broadcast(bases), Seq(groupCol))
+      .withColumn("offset", col("offset") - col("__base"))
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("offset") + col(weightCol) <= col("alloc"))
+      .drop("__base")
+  }
+
   /** Proportional budget allocation across sources by largest remainder
     * (Hamilton's method): split a total `budget` (tokens) over the groups
     * of `groupCol` proportionally to their summed `weight`, exactly —

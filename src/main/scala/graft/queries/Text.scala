@@ -2082,7 +2082,67 @@ object Text {
       |    AS alloc
       |FROM r, l ORDER BY source""".stripMargin)
 
+  /** q173: the composed data recipe — allocate a 50k-token budget across
+    * sources by token mass (q170's Hamilton allocation), then cut each
+    * source at its allocation, longest documents first
+    * (Sampling.tokenBudgetFillPerGroup: one global sharded prefix sum,
+    * group bases and budgets broadcast — no per-group window). Every
+    * stage replays in the oracle: allocation dag, partitioned running
+    * total, boundary-drop filter.
+    */
+  private val budgetedMixture = QueryDef(
+    (s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("tok_cnt"))
+        .withColumn("neg_tc", -col("tok_cnt"))
+      val budgets = graft.operators.Sampling.allocateBudget(
+        scored, "source", col("tok_cnt"), 50000L)
+        .select(col("source"), col("alloc"))
+      graft.operators.Sampling.tokenBudgetFillPerGroup(
+        scored, "source", Seq("neg_tc", "doc_id"), "tok_cnt", budgets)
+        .select(col("doc_id"), col("source"), col("tok_cnt"),
+          col("offset").as("cum_before"), col("alloc"))
+        .orderBy("doc_id")
+    },
+    """WITH tc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok_cnt
+      |  FROM documents),
+      |totals AS (SELECT source, CAST(SUM(tok_cnt) AS BIGINT) AS w
+      |           FROM tc GROUP BY source),
+      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM totals),
+      |sh AS (SELECT source, w,
+      |         CASE WHEN g.tw > 0
+      |           THEN CAST(50000 AS DOUBLE) * CAST(w AS DOUBLE)
+      |                / CAST(g.tw AS DOUBLE)
+      |           ELSE 0.0 END AS share
+      |       FROM totals, g),
+      |b AS (SELECT source, w, share,
+      |        CAST(FLOOR(share) AS BIGINT) AS base_alloc,
+      |        share - FLOOR(share) AS frac
+      |      FROM sh),
+      |l AS (SELECT 50000 - SUM(base_alloc) AS leftover FROM b),
+      |r AS (SELECT source, base_alloc,
+      |        ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk FROM b),
+      |alloc AS (SELECT source,
+      |            CAST(base_alloc + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+      |              AS BIGINT) AS alloc
+      |          FROM r, l),
+      |cum AS (SELECT doc_id, source, tok_cnt,
+      |          COALESCE(SUM(tok_cnt) OVER (PARTITION BY source
+      |            ORDER BY tok_cnt DESC, doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS cum_before
+      |        FROM tc)
+      |SELECT c.doc_id, c.source, c.tok_cnt,
+      |  CAST(c.cum_before AS BIGINT) AS cum_before, a.alloc
+      |FROM cum c JOIN alloc a USING (source)
+      |WHERE c.cum_before + c.tok_cnt <= a.alloc
+      |ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q173_budgeted_mixture" -> budgetedMixture,
     "q170_budget_allocation" -> budgetAllocation,
     "q167_cdc_chunks" -> cdcChunks,
     "q166_oov_rate" -> oovRate,

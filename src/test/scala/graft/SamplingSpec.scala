@@ -163,4 +163,31 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(z == Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
   }
+
+  test("tokenBudgetFillPerGroup: each group's cut equals its standalone fill") {
+    val docs = spark.range(300).select(
+      col("id").as("k"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+      (col("id") % 17 + 1).as("w")).cache()
+    try {
+      val budgetMap = Map("g0" -> 200L, "g1" -> 500L, "g2" -> 50L)
+      val budgets = budgetMap.toSeq.toDF("g", "alloc")
+      val got = Sampling.tokenBudgetFillPerGroup(docs, "g", Seq("k"), "w", budgets)
+      val mass = got.groupBy("g").agg(sum(col("w")).as("m"))
+        .as[(String, Long)].collect().toMap
+      budgetMap.foreach { case (gk, b) =>
+        assert(mass(gk) <= b, s"$gk kept ${mass(gk)} > budget $b")
+      }
+      // the per-group cut must be EXACTLY the global fill restricted to the
+      // group — the group-base subtraction cannot change any boundary
+      budgetMap.foreach { case (gk, b) =>
+        val solo = Sampling.tokenBudgetFill(
+          docs.filter(col("g") === gk), Seq("k"), "w", b)
+          .select("k").as[Long].collect().toSet
+        val grouped = got.filter(col("g") === gk)
+          .select("k").as[Long].collect().toSet
+        assert(grouped == solo, s"$gk grouped != standalone")
+      }
+    } finally docs.unpersist()
+  }
 }
