@@ -38,6 +38,17 @@ object Tables {
     normalizeEventTs(load(spark, dir, "events"))
   }
 
+  /** Declared schema of the CURRENT events generation (micros-NTZ `ts`) —
+    * the single source of truth for readers that must commit to a schema
+    * before any file exists (the streaming reader's empty-directory
+    * start). Legacy nanos-as-long generations still need a real file to
+    * probe; [[normalizeEventTs]] handles both once data arrives.
+    */
+  val eventsDeclaredSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
   /** Type-adaptive `ts` normalization shared with the streaming reader. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

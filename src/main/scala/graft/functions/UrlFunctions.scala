@@ -69,12 +69,14 @@ object UrlFunctions {
     val collapsed = regexp_replace(
       regexp_replace(regexp_replace(noTracking, "&+", "&"), "\\?&", "?"),
       "[?&]+$", "")
-    // trailing-slash normalization: slashes right before the query fold
-    // into it ("/a/?x" → "/a?x"); with no query, trailing slashes drop for
-    // ANY path ("/a/" → "/a", bare "/" → "") — the [^?]* guard spans the
-    // whole string, so a '/' ending a query VALUE is never touched
+    // trailing-slash normalization: slashes right before the FIRST '?'
+    // fold into it ("/a/?x" → "/a?x"); with no query, trailing slashes
+    // drop for ANY path ("/a/" → "/a", bare "/" → ""). BOTH rules anchor
+    // through ^[^?]* so they only ever touch the path component — a '/'
+    // or '/?' inside a query VALUE (e.g. "?next=/foo/?page=2", common in
+    // redirect params) is never rewritten
     val noSlash = regexp_replace(
-      regexp_replace(collapsed, "/+\\?", "?"), "^([^?]*)/+$", "$1")
+      regexp_replace(collapsed, "^([^?]*?)/+\\?", "$1?"), "^([^?]*)/+$", "$1")
     concat(scheme, lit("://"), hostNoPort, noSlash)
   }
 }

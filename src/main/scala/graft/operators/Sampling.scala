@@ -298,17 +298,22 @@ object Sampling {
   def allocateBudget(df: DataFrame, groupCol: String, weight: Column,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val totals = df.groupBy(groupCol).agg(sum(weight).as("w"))
-    val grand = totals.agg(sum(col("w")).as("__W"))
+    // all-NULL groups carry zero weight (not a NULL that would poison the
+    // share dag and steal a leftover unit via NULL-first ordering)
+    val totals = df.groupBy(groupCol)
+      .agg(coalesce(sum(weight), lit(0L)).as("w"))
+    val grand = totals.agg(sum(col("w")).as("__W"),
+      count(lit(1)).as("__n"))
     val shared = totals.crossJoin(broadcast(grand))
       // W ≤ 0 guard (cf. temperatureMixture): a zero/negative grand total
-      // would turn every share into NaN/±Inf; shares collapse to 0 and the
-      // whole budget distributes as leftover units in group order
+      // would turn every share into NaN/±Inf; the budget then splits
+      // EQUALLY (budget/n per group) so the exact-sum contract survives —
+      // a flat 0 share could hand out at most one leftover unit per group
       .withColumn("share",
         when(col("__W") > 0,
           lit(budget.toDouble) * col("w").cast("double")
             / col("__W").cast("double"))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(budget.toDouble) / col("__n").cast("double")))
       .withColumn("base_alloc", floor(col("share")).cast("long"))
       .withColumn("__frac", col("share") - col("base_alloc"))
     val leftover = shared.agg(

@@ -118,8 +118,10 @@ object TextDedup {
     if (!materialize) result
     else {
       // pairs output is tiny (post-threshold); pinning it is cheap, while the
-      // corpus-sized expansion gets released immediately
+      // corpus-sized expansion gets released immediately; registered so
+      // Curriculum.releaseCaches can reclaim it in long-lived sessions
       val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ShardCaches.register(out)
       out.count()
       docShingles.unpersist()
       out
@@ -169,7 +171,12 @@ object TextDedup {
           / col("n_grams")).as("novelty"))
     if (!materialize) result
     else {
+      // the (document-sized) result cache is REGISTERED so a recurring
+      // caller has a release path (Curriculum.releaseCaches) — otherwise N
+      // admission calls would pin N result caches, the smaller sibling of
+      // the gram-expansion leak this valve exists to close
       val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ShardCaches.register(out)
       out.count()
       docGrams.unpersist()
       out

@@ -221,10 +221,11 @@ object Analytics {
       |scored AS (
       |  SELECT d.event_type, d.day, d.n_events, p.median,
       |    p.q3 - p.q1 AS iqr,
-      |    CASE WHEN p.q3 - p.q1 > 0
+      |    CASE WHEN p.median IS NULL THEN NULL
+      |      WHEN p.q3 - p.q1 > 0
       |      THEN (CAST(d.n_events AS DOUBLE) - p.median) / (p.q3 - p.q1)
       |      ELSE 0.0 END AS robust_z
-      |  FROM daily d JOIN piv p USING (event_type))
+      |  FROM daily d LEFT JOIN piv p USING (event_type))
       |SELECT event_type, day, n_events, median, iqr, robust_z,
       |  abs(robust_z) > 3.0 AS anomalous
       |FROM scored ORDER BY event_type, day""".stripMargin)

@@ -263,11 +263,11 @@ object Cleaning {
       |  FROM qsel GROUP BY source)
       |SELECT d.doc_id, d.source, d.n_chars, p.median,
       |  p.q3 - p.q1 AS iqr,
-      |  CASE WHEN d.n_chars IS NULL THEN NULL
+      |  CASE WHEN d.n_chars IS NULL OR p.median IS NULL THEN NULL
       |    WHEN p.q3 - p.q1 > 0
       |      THEN (CAST(d.n_chars AS DOUBLE) - p.median) / (p.q3 - p.q1)
       |    ELSE 0.0 END AS robust_z
-      |FROM documents d JOIN piv p USING (source)
+      |FROM documents d LEFT JOIN piv p USING (source)
       |ORDER BY doc_id""".stripMargin)
 
   /** q153: per-source weighted sample (5 docs per source, length-
@@ -375,7 +375,7 @@ object Cleaning {
       |              '&+', '&', 'g'),
       |            '\?&', '?', 'g'),
       |          '[?&]+$', '', 'g'),
-      |        '/+\?', '?', 'g'),
+      |        '^([^?]*?)/+\?', '\1?', 'g'),
       |      '^([^?]*)/+$', '\1', 'g') AS rest2
       |  FROM parts)
       |SELECT scheme || '://' || host2 || rest2 AS canon,

@@ -2063,12 +2063,12 @@ object Text {
     """WITH totals AS (
       |  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
       |  FROM documents GROUP BY source),
-      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM totals),
+      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n FROM totals),
       |sh AS (SELECT source, w,
       |         CASE WHEN g.tw > 0
       |           THEN CAST(100000 AS DOUBLE) * CAST(w AS DOUBLE)
       |                / CAST(g.tw AS DOUBLE)
-      |           ELSE 0.0 END AS share
+      |           ELSE CAST(100000 AS DOUBLE) / g.n END AS share
       |       FROM totals, g),
       |b AS (SELECT source, w, share,
       |        CAST(FLOOR(share) AS BIGINT) AS base_alloc,
@@ -2092,10 +2092,16 @@ object Text {
     */
   private val budgetedMixture = QueryDef(
     (s, dir) => {
+      // persisted: the tokenization projection feeds TWO independent
+      // actions (the allocation's totals and the fill's prefix-sum
+      // sharding) — uncached it would re-split every document's text per
+      // consumer, doubling the dominant scan; released by the harness's
+      // per-query clearCache
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           tokenCount(col("text")).cast("long").as("tok_cnt"))
         .withColumn("neg_tc", -col("tok_cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val budgets = graft.operators.Sampling.allocateBudget(
         scored, "source", col("tok_cnt"), 50000L)
         .select(col("source"), col("alloc"))
@@ -2111,12 +2117,12 @@ object Text {
       |  FROM documents),
       |totals AS (SELECT source, CAST(SUM(tok_cnt) AS BIGINT) AS w
       |           FROM tc GROUP BY source),
-      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM totals),
+      |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n FROM totals),
       |sh AS (SELECT source, w,
       |         CASE WHEN g.tw > 0
       |           THEN CAST(50000 AS DOUBLE) * CAST(w AS DOUBLE)
       |                / CAST(g.tw AS DOUBLE)
-      |           ELSE 0.0 END AS share
+      |           ELSE CAST(50000 AS DOUBLE) / g.n END AS share
       |       FROM totals, g),
       |b AS (SELECT source, w, share,
       |        CAST(FLOOR(share) AS BIGINT) AS base_alloc,

@@ -34,15 +34,19 @@ object EventStreams {
     // exactly like the batch loader (nanos-long vs micros-NTZ generations).
     // A stream routinely starts on a still-EMPTY landing directory (files
     // arrive later) — the probe then has nothing to infer from, so fall
-    // back to the current-generation declared schema instead of failing
-    // the stream definition
+    // back to the DECLARED current-generation schema (graft.core.Tables —
+    // one source of truth; a legacy nanos-generation producer landing into
+    // a dir that was empty at start is unsupported, it needs one probe
+    // file). A MISSING directory stays a loud failure: swallowing it would
+    // turn a typo'd path into a silently forever-empty stream
     val fileSchema =
       try spark.read.parquet(eventsDir).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
-              "event_type STRING, value DOUBLE, props STRING")
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(eventsDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) throw e
+          graft.core.Tables.eventsDeclaredSchema
       }
     graft.core.Tables.normalizeEventTs(
       spark.readStream.schema(fileSchema).parquet(eventsDir))

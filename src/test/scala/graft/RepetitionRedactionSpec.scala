@@ -159,7 +159,8 @@ class RepetitionRedactionSpec extends AnyFunSuite {
       (11L, "http://ex.com/a/gclid=1/b"),    // path text, not a param — kept
       (12L, "http://ex.com/a/b/"),           // trailing path slash drops
       (13L, "http://ex.com/a/?x=1"),         // slash before query folds in
-      (14L, "http://ex.com/p?k=v/")          // slash ending a VALUE is kept
+      (14L, "http://ex.com/p?k=v/"),         // slash ending a VALUE is kept
+      (15L, "http://ex.com/p?next=/foo/?page=2") // '/?' INSIDE a value kept
     ).toDF("id", "u")
     val got = cases.select(col("id"), canonicalizeUrl(col("u")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -174,6 +175,7 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert(got(12L) == "http://ex.com/a/b")
     assert(got(13L) == "http://ex.com/a?x=1")
     assert(got(14L) == "http://ex.com/p?k=v/")
+    assert(got(15L) == "http://ex.com/p?next=/foo/?page=2")
   }
 
   test("NearestCell content equality enables canonicalization") {

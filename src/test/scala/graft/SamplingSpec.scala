@@ -157,11 +157,21 @@ class SamplingSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
     val out = Sampling.allocateBudget(docs, "source", col("n_chars").cast("long"), 12345L)
     assert(out.agg(sum("alloc")).collect().head.getLong(0) == 12345L)
-    // all-zero weights: shares collapse, budget distributes in group order
+    // all-zero weights: equal split, exact-sum even when budget > #groups
     val zeros = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("source", "n")
     val z = Sampling.allocateBudget(zeros, "source", col("n"), 2L)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(z == Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    val z5 = Sampling.allocateBudget(zeros, "source", col("n"), 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(z5 == Map("a" -> 2L, "b" -> 2L, "c" -> 1L) && z5.values.sum == 5L)
+    // a group whose weights are ALL NULL gets weight 0, never poisons the
+    // ranking or steals a leftover unit
+    val withNull = Seq(("a", Some(3L)), ("b", None), ("b", None))
+      .toDF("source", "n")
+    val zn = Sampling.allocateBudget(withNull, "source", col("n"), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(zn == Map("a" -> 10L, "b" -> 0L) && zn.values.sum == 10L)
   }
 
   test("tokenBudgetFillPerGroup: each group's cut equals its standalone fill") {
