@@ -198,6 +198,37 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic round-robin source interleave — the training-ORDER
+    * complement of [[mixture]]/[[shards]]: emit the 1st document of every
+    * source (sources in name order), then the 2nd of every source, and so
+    * on, so a sequential reader sees sources evenly woven rather than
+    * concatenated (a corpus read source-by-source trains on one
+    * distribution for hours before seeing the next — the classic
+    * data-order pathology interleaving exists to prevent). Within each
+    * source, documents order by the md5 of their key (the same stable
+    * pseudo-random order as [[stratifiedSample]]), so the interleave is
+    * reproducible from keys alone at any partitioning.
+    *
+    * Output: input columns plus `source_pos` (1-based position within the
+    * source) and `train_pos` (1-based global training position).
+    *
+    * Scale shape: `source_pos` is a per-source window (partitioned — no
+    * global funnel); the global position is
+    * [[Curriculum.withGlobalRank]]'s two-phase sharded prefix sum over
+    * (source_pos, source), NOT an unpartitioned window. Two shuffles
+    * total, both key-only wide columns ride along once.
+    */
+  def interleaveBySource(df: DataFrame, keyCol: String,
+      sourceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    Curriculum.withGlobalRank(
+        df.withColumn("source_pos", row_number().over(w).cast("long")),
+        Seq("source_pos", sourceCol))
+      .withColumnRenamed("rank", "train_pos")
+      .drop("total")
+  }
+
   /** Exactly `nPerGroup` rows per group (fewer if the group is smaller),
     * chosen deterministically: rank rows inside each group by the md5 of
     * their key (a stable pseudo-random total order both engines compute

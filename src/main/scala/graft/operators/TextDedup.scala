@@ -79,38 +79,8 @@ object TextDedup {
         * otherwise leave the corpus-sized cache pinned until LRU eviction.
         */
       materialize: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    // Pairs join on 64-bit shingle HASHES (one-pass ShingleHashes), not the
-    // shingle strings: identical distinct/intersection counts (collisions at
-    // 2^-64 are noise) with a fixed-8-byte shuffle key instead of a string.
-    // The expansion feeds four plan branches (sizes, doc-freq filter, both
-    // join sides) — persist it once instead of re-exploding per branch.
-    // Lifecycle note: the cached expansion lives until LRU eviction or
-    // session end; long-running callers invoking this per batch should run
-    // inside a job scope that clears the block store (or call
-    // spark.catalog.clearCache between batches).
-    val docShingles = df
-      .select(col(idCol).as("doc"),
-        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
-          ColumnBridge.expression(col(textCol)), n))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered = docShingles.join(
-      docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("sh"),
-      Seq("sh"), "left_semi")
-    // sizes over the SAME filtered shingle space as the intersection —
-    // unfiltered denominators would deflate jaccard for docs containing
-    // stop-shingles
-    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val a = filtered.withColumnRenamed("doc", "doc_a")
-    val b = filtered.withColumnRenamed("doc", "doc_b")
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val result = inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    val (docShingles, pairs) = intersectionPairs(df, idCol, textCol, n, maxDocFreq)
+    val result = pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -126,6 +96,111 @@ object TextDedup {
       docShingles.unpersist()
       out
     }
+  }
+
+  /** The shared candidate-pair machinery behind [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: (doc_a, doc_b, inter, sz_a, sz_b) for every
+    * unordered pair sharing at least one surviving shingle, plus the
+    * persisted expansion for the caller to release.
+    *
+    * Pairs join on 64-bit shingle HASHES (one-pass ShingleHashes), not the
+    * shingle strings: identical distinct/intersection counts (collisions at
+    * 2^-64 are noise) with a fixed-8-byte shuffle key instead of a string.
+    * The expansion feeds four plan branches (sizes, doc-freq filter, both
+    * join sides) — persist it once instead of re-exploding per branch.
+    * Lifecycle note: the cached expansion lives until LRU eviction or
+    * session end; long-running callers invoking this per batch should run
+    * inside a job scope that clears the block store (or call
+    * spark.catalog.clearCache between batches).
+    */
+  private def intersectionPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docShingles = df
+      .select(col(idCol).as("doc"),
+        explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), n))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = docShingles.join(
+      docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("sh"),
+      Seq("sh"), "left_semi")
+    // sizes over the SAME filtered shingle space as the intersection —
+    // unfiltered denominators would deflate the similarity for docs
+    // containing stop-shingles
+    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val a = filtered.withColumnRenamed("doc", "doc_a")
+    val b = filtered.withColumnRenamed("doc", "doc_b")
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    (docShingles, pairs)
+  }
+
+  /** Asymmetric near-dup pairs by n-gram CONTAINMENT — Jaccard's blind
+    * spot: a short document wholly quoted inside a long one scores low
+    * Jaccard (the union is dominated by the long side) but containment 1.0
+    * on the short side. `cont_a = inter/sz_a` is the fraction of a's
+    * distinct n-grams present in b (and vice versa); a pair survives when
+    * EITHER direction clears `minContainment` — the "subset duplicate"
+    * detector (quoted articles, extended re-releases, prefix crawls) that
+    * symmetric Jaccard structurally misses. Same candidate machinery,
+    * stop-shingle cutoff, and scale shape as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double, maxDocFreq: Long = 1000L,
+      materialize: Boolean = false): DataFrame = {
+    val (docShingles, pairs) = intersectionPairs(df, idCol, textCol, n, maxDocFreq)
+    val result = pairs
+      .withColumn("cont_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "cont_a", "cont_b")
+    if (!materialize) result
+    else {
+      val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ShardCaches.register(out)
+      out.count()
+      docShingles.unpersist()
+      out
+    }
+  }
+
+  /** Corpus-level overlap audit between two corpora: distinct n-gram
+    * volumes, the shared count, both containment directions, and Jaccard —
+    * the one-row report read before admitting a new crawl dump ("how much
+    * of this is already in the corpus?") or after a split ("did any eval
+    * content leak into train?"). Doc-granular follow-ups are
+    * [[ngramNovelty]] (per-document) and [[contaminationReport]]
+    * (per-benchmark-doc); this is the corpus-granular headline.
+    *
+    * Scale shape: each side collapses to its DISTINCT 64-bit n-gram hash
+    * set (map-side-combining aggregate), the intersection is one join on
+    * the fixed 8-byte key, and the three counts reduce to a single row —
+    * no per-document state, no pair blow-up. 2^-64 hash collisions are the
+    * usual noise floor.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textColA: String,
+      textColB: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def gramSet(df: DataFrame, c: String) =
+      df.select(explode(ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(col(c)), n))).as("sh")).distinct()
+    val ga = gramSet(a, textColA)
+    val gb = gramSet(b, textColB)
+    val na = ga.agg(count(lit(1)).as("grams_a"))
+    val nb = gb.agg(count(lit(1)).as("grams_b"))
+    val shared = ga.join(gb, Seq("sh"), "left_semi")
+      .agg(count(lit(1)).as("shared"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(shared))
+      .withColumn("cont_a_in_b", col("shared").cast("double") / col("grams_a"))
+      .withColumn("cont_b_in_a", col("shared").cast("double") / col("grams_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("grams_a") + col("grams_b") - col("shared")))
   }
 
   /** Per-document n-gram novelty against a reference corpus: of each

@@ -382,7 +382,41 @@ object Cleaning {
       |  COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
       |FROM norm GROUP BY 1 ORDER BY canon""".stripMargin)
 
+  /** q177: C4-style line filter (Raffel et al. 2020 §2.2) over a
+    * constructed three-line corpus — a punctuation-less title, the
+    * document body with terminal punctuation, and a cookie-notice footer —
+    * so each rule (min words, terminal punctuation, phrase blocklist)
+    * fires on a distinct line. Pure fused projection; the oracle replays
+    * the assembly and all three rules with list_filter.
+    */
+  private val c4LineFilter = QueryDef(
+    (s, dir) => {
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("Title of doc "), col("doc_id"), lit("\n"),
+          col("text"), lit(".\n"), lit("Read our cookie policy.")).as("text"))
+      graft.operators.LineFilter.c4LineFilter(lined, "text", minWords = 30)
+        .select("doc_id", "n_lines", "kept_lines", "text")
+        .orderBy("doc_id")
+    },
+    """WITH lined AS (SELECT doc_id,
+      |    'Title of doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |      text || '.' || chr(10) || 'Read our cookie policy.' AS text
+      |  FROM documents),
+      |split AS (SELECT doc_id, string_split(text, chr(10)) ls FROM lined),
+      |f AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |    list_filter(ls, l ->
+      |      len(string_split(trim(l), ' ')) >= 30
+      |      AND regexp_matches(rtrim(l), '[.!?"]$')
+      |      AND NOT contains(lower(l), 'lorem ipsum')
+      |      AND NOT contains(lower(l), 'cookie')
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM split)
+      |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS kept_lines,
+      |  COALESCE(array_to_string(kept, chr(10)), '') AS text
+      |FROM f ORDER BY doc_id""".stripMargin)
+
   def defs: Map[String, QueryDef] = Map(
+    "q177_c4_line_filter" -> c4LineFilter,
     "q163_url_canonical" -> urlCanonical,
     "q146_paragraph_dedup" -> paragraphDedup,
     "q147_boilerplate_report" -> boilerplate,

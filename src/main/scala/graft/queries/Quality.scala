@@ -104,10 +104,49 @@ object Quality {
       |WHERE o_orderstatus = 'O' AND (o_orderdate >= TIMESTAMP '1998-01-01') IS NOT TRUE
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** q178: k-anonymity / l-diversity audit over the customer table —
+    * (nation × market segment) as the quasi-identifier, account balance as
+    * the sensitive attribute. One map-side-combining groupBy; flags are
+    * post-aggregate predicates (Privacy.audit).
+    */
+  private val kAnonymity = QueryDef(
+    (s, dir) =>
+      graft.operators.Privacy.audit(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5)
+        .orderBy("c_nationkey", "c_mktsegment"),
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n,
+      |  COUNT(DISTINCT c_acctbal) AS distinct_sensitive,
+      |  COUNT(*) >= 10 AS k_anonymous,
+      |  COUNT(DISTINCT c_acctbal) >= 5 AS l_diverse
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+
+  /** q180: the one-row disclosure-risk headline over the same audit —
+    * achieved k (smallest group) and the row mass below each criterion.
+    */
+  private val privacyReport = QueryDef(
+    (s, dir) =>
+      graft.operators.Privacy.riskReport(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5),
+    """SELECT CAST(SUM(group_n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_groups,
+      |  MIN(group_n) AS achieved_k,
+      |  CAST(SUM(CASE WHEN NOT k_anonymous THEN group_n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k,
+      |  CAST(SUM(CASE WHEN NOT l_diverse THEN group_n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_l
+      |FROM (
+      |  SELECT COUNT(*) AS group_n,
+      |    COUNT(*) >= 10 AS k_anonymous,
+      |    COUNT(DISTINCT c_acctbal) >= 5 AS l_diverse
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q20_rule_failures" -> ruleFailures,
     "q21_unique_violations" -> uniqueViolations,
     "q22_quality_profile" -> qualityProfile,
     "q23_dataset_checks" -> datasetChecks,
-    "q24_conditional_rule" -> conditionalRule)
+    "q24_conditional_rule" -> conditionalRule,
+    "q178_k_anonymity" -> kAnonymity,
+    "q180_privacy_report" -> privacyReport)
 }

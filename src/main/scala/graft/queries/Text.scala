@@ -2147,6 +2147,124 @@ object Text {
       |WHERE c.cum_before + c.tok_cnt <= a.alloc
       |ORDER BY doc_id""".stripMargin)
 
+  /** q174: Gopher rule battery (Rae et al. 2021 §A1.1) — per-document
+    * metrics, one flag per rule, and the conjunction. minWords lowered to
+    * 30 so the synthetic 10-99-word corpus exercises both branches; all
+    * other thresholds are the published defaults.
+    */
+  private val gopherRules = QueryDef(
+    (s, dir) =>
+      graft.operators.GopherQuality.report(Tables.documents(s, dir),
+          "doc_id", "text", stopwords,
+          graft.operators.GopherQuality.Thresholds(minWords = 30))
+        .orderBy("doc_id"),
+    """SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+      |  stop_hits, ok_words, ok_mean_len, ok_symbols, ok_alpha, ok_stops,
+      |  (ok_words AND ok_mean_len AND ok_symbols AND ok_alpha AND ok_stops)
+      |    AS pass
+      |FROM (
+      |  SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+      |    stop_hits,
+      |    n_words BETWEEN 30 AND 100000 AS ok_words,
+      |    mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+      |    symbol_ratio <= 0.1 AS ok_symbols,
+      |    alpha_frac >= 0.8 AS ok_alpha,
+      |    stop_hits >= 2 AS ok_stops
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(string_split(trim(text), ' ')) AS n_words,
+      |      CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+      |        / len(string_split(trim(text), ' ')) AS mean_word_len,
+      |      ((length(text) - length(replace(text, '#', ''))) / 1
+      |        + (length(text) - length(replace(text, '...', ''))) / 3)
+      |        / len(string_split(trim(text), ' ')) AS symbol_ratio,
+      |      CAST(len(list_filter(string_split(trim(text), ' '),
+      |          t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+      |        / len(string_split(trim(text), ' ')) AS alpha_frac,
+      |      len(list_filter(string_split(trim(text), ' '),
+      |          t -> t IN ('the','a','of','and','data'))) AS stop_hits
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin)
+
+  /** q175: asymmetric containment near-dup pairs — the subset-duplicate
+    * detector Jaccard misses (same candidate machinery and stop-shingle
+    * cutoff as q41; the oracle replays both containment directions).
+    */
+  private val containmentPairs = QueryDef(
+    (s, dir) =>
+      TextDedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id",
+          "text", n = 3, minContainment = 0.5, maxDocFreq = 1000L,
+          materialize = true)
+        .orderBy("doc_a", "doc_b"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      |fsh AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+      |sz AS (SELECT doc_id, COUNT(*) sz FROM fsh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+      |          FROM fsh a JOIN fsh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sz_a, sz_b, cont_a, cont_b FROM (
+      |  SELECT doc_a, doc_b, inter, x.sz AS sz_a, y.sz AS sz_b,
+      |    CAST(inter AS DOUBLE) / x.sz AS cont_a,
+      |    CAST(inter AS DOUBLE) / y.sz AS cont_b
+      |  FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+      |WHERE greatest(cont_a, cont_b) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** q176: corpus-granular n-gram overlap between the even- and odd-id
+    * halves of the corpus — distinct trigram volumes, the shared count,
+    * both containments and Jaccard in one row (TextDedup.corpusOverlap;
+    * hash vs string trigram identity classifies identically, as q41 pins).
+    */
+  private val corpusOverlap = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "text", n = 3)
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |ga AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+      |gb AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+      |counts AS (SELECT
+      |  (SELECT COUNT(*) FROM ga) AS grams_a,
+      |  (SELECT COUNT(*) FROM gb) AS grams_b,
+      |  (SELECT COUNT(*) FROM ga JOIN gb USING (s)) AS shared)
+      |SELECT grams_a, grams_b, shared,
+      |  CAST(shared AS DOUBLE) / grams_a AS cont_a_in_b,
+      |  CAST(shared AS DOUBLE) / grams_b AS cont_b_in_a,
+      |  CAST(shared AS DOUBLE) / (grams_a + grams_b - shared) AS jaccard
+      |FROM counts""".stripMargin)
+
+  /** q179: deterministic round-robin source interleave — training order as
+    * (source_pos, source), md5-stable within each source; the global
+    * position runs through the sharded prefix-sum rank, never a global
+    * window (Sampling.interleaveBySource). Gated on the first 60 positions.
+    */
+  private val interleave = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.interleaveBySource(
+          Tables.documents(s, dir), "doc_id", "source")
+        .filter(col("train_pos") <= 60)
+        .select("doc_id", "source", "source_pos", "train_pos")
+        .orderBy("train_pos"),
+    """SELECT doc_id, source, source_pos, train_pos FROM (
+      |  SELECT doc_id, source, source_pos,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source_pos, source) AS BIGINT)
+      |      AS train_pos
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |        AS source_pos
+      |    FROM documents))
+      |WHERE train_pos <= 60 ORDER BY train_pos""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q173_budgeted_mixture" -> budgetedMixture,
     "q170_budget_allocation" -> budgetAllocation,
@@ -2197,6 +2315,10 @@ object Text {
     "q66_winnow_fingerprints" -> winnowFp,
     "q67_bpe_tokens" -> bpeTokens,
     "q68_dup_groups" -> dupGroups,
+    "q174_gopher_rules" -> gopherRules,
+    "q175_containment_pairs" -> containmentPairs,
+    "q176_corpus_overlap" -> corpusOverlap,
+    "q179_interleave" -> interleave,
     "q37_token_stats" -> tokenStats,
     "q38_lang_stats" -> langStats,
     "q39_quality_filter" -> qualityFilter,
