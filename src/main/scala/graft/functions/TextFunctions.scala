@@ -120,6 +120,36 @@ object TextFunctions {
     (lenOk + stopOk + wordOk) / 3.0
   }
 
+  /** The common UTF-8-read-as-Windows-1252 mojibake artifacts and their
+    * intended characters — curly quotes, dashes, ellipsis, accented Latin
+    * letters, and the Â prefix a double-encoded NBSP leaves. Each artifact
+    * is DERIVED from its definition (the target's UTF-8 bytes decoded as
+    * cp1252) rather than hand-typed — mojibake keys are exactly the strings
+    * a human mistranscribes. Three-byte artifacts (the U+20xx punctuation)
+    * precede two-byte ones, so the replace chain never rewrites the prefix
+    * of a longer artifact.
+    */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "\u2019", "\u2018", "\u201c", "\u201d", "\u2013", "\u2014", "\u2026",
+    "\u00e9", "\u00e8", "\u00e1", "\u00f3", "\u00fa", "\u00e4", "\u00f6",
+    "\u00fc", "\u00f1", "\u00e7", "\u00a0")
+    .map(good => new String(
+      good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252")) -> good)
+
+  /** Repair double-encoded (UTF-8 bytes decoded as Windows-1252) text —
+    * the ftfy-style cleanup pass a crawled corpus runs before any
+    * byte-identity operator (fingerprints, shingle hashes) sees it:
+    * "cafÃ©" and "café" must hash identically. A literal replace chain
+    * over [[mojibakeTable]] — one fused codegen projection, engine-portable
+    * (the same chain replays as nested replace() in an oracle). Text
+    * without artifacts passes through untouched.
+    */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (acc, (bad, good)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+    }
+
   /** Markup removal for crawled text: drop `<...>` tags, decode the five
     * entities that dominate crawled prose (&amp; &lt; &gt; &quot; &nbsp;),
     * collapse whitespace runs, trim. A real boilerplate extractor (DOM

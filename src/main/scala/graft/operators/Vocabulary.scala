@@ -34,6 +34,41 @@ object Vocabulary {
       .select(col("term"), col("freq"), col("rank").as("vid"))
   }
 
+  /** Coverage-pruned vocabulary: the SMALLEST frequency-ranked prefix of
+    * [[dictionary]] whose terms cover at least `coverage` (0..1] of the
+    * corpus token mass — "the vocab that explains 99.5% of tokens", the
+    * standard size/coverage trade a tokenizer owner makes before freezing
+    * (everything outside maps to OOV, whose rate q166 then audits).
+    * A term is kept iff the token mass BELOW its rank is still short of
+    * the target — exactly the minimal covering prefix, with no
+    * tie-ambiguity because the rank order is total (freq desc, term).
+    *
+    * Output: (term, freq, vid, cum_tokens, cum_frac) for kept terms —
+    * `cum_tokens` the inclusive running mass in rank order, `cum_frac`
+    * its fraction of the corpus total.
+    *
+    * Scale shape: the cumulative mass is [[Packing.withGlobalOffsets]]'s
+    * two-phase sharded prefix sum over the vid order (a vocabulary can be
+    * hundreds of millions of n-grams — no single-partition window); the
+    * corpus total rides in as a broadcast single-row frame and the cut is
+    * then a stateless filter.
+    */
+  def coveragePrune(df: DataFrame, textCol: String,
+      coverage: Double): DataFrame = {
+    require(coverage > 0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    val dict = dictionary(df, textCol)
+    val withCum = Packing.withGlobalOffsets(dict, Seq("vid"), "freq")
+    val total = dict.agg(sum(col("freq")).as("__total"))
+    withCum.crossJoin(broadcast(total))
+      .filter(col("offset").cast("double") <
+        lit(coverage) * col("__total").cast("double"))
+      .select(col("term"), col("freq"), col("vid"),
+        (col("offset") + col("freq")).as("cum_tokens"),
+        ((col("offset") + col("freq")).cast("double")
+          / col("__total").cast("double")).as("cum_frac"))
+  }
+
   /** Per-occurrence encoding: (id, pos, term, vid) for every token of every
     * document, `pos` 1-based in document order; tokens absent from the
     * dictionary (possible when encoding NEW data with a frozen vocab) get

@@ -415,7 +415,41 @@ object Cleaning {
       |  COALESCE(array_to_string(kept, chr(10)), '') AS text
       |FROM f ORDER BY doc_id""".stripMargin)
 
+  /** The clean suffix q183 corrupts and repairs: one artifact from each
+    * mojibake class (accented letter, dash, curly quotes incl. the
+    * U+009D-producing right quote, ellipsis).
+    */
+  private val mojiClean = " caf\u00e9 \u2014 \u201cquoted\u201d\u2026"
+
+  /** q183: ftfy-style mojibake repair — append the suffix double-encoded
+    * (UTF-8 bytes read back as Windows-1252, computed from the definition,
+    * not hand-typed), then fix; the oracle replays the same corruption and
+    * the same replace chain, generated from the SAME table so the two can
+    * never drift. Repair must restore the text byte-exactly (the gate
+    * compares full text), because downstream fingerprints hash bytes.
+    */
+  private val fixMojibake = QueryDef(
+    (s, dir) => {
+      val bad = new String(
+        mojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.fixMojibake(concat(col("text"), lit(bad))).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }, {
+      val bad = new String(
+        mojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      val chain = TextFunctions.mojibakeTable.foldLeft(
+        s"text || '$bad'") { case (acc, (b, g)) => s"replace($acc, '$b', '$g')" }
+      s"""SELECT doc_id, $chain AS text, CAST(length($chain) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
+
   def defs: Map[String, QueryDef] = Map(
+    "q183_fix_mojibake" -> fixMojibake,
     "q177_c4_line_filter" -> c4LineFilter,
     "q163_url_canonical" -> urlCanonical,
     "q146_paragraph_dedup" -> paragraphDedup,

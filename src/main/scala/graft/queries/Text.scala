@@ -2265,7 +2265,74 @@ object Text {
       |    FROM documents))
       |WHERE train_pos <= 60 ORDER BY train_pos""".stripMargin)
 
+  /** q181: coverage-pruned vocabulary — the smallest frequency-ranked
+    * prefix covering half the corpus token mass (Vocabulary.coveragePrune;
+    * sharded prefix sum, broadcast total, stateless cut). The coverage
+    * literal rides into the oracle as a quoted-string DOUBLE cast so both
+    * engines compare against the identical IEEE value.
+    */
+  private val vocabCoverage = QueryDef(
+    (s, dir) =>
+      graft.operators.Vocabulary.coveragePrune(
+          Tables.documents(s, dir), "text", coverage = 0.5)
+        .orderBy("vid"),
+    """WITH tf AS (
+      |  SELECT term, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(trim(text), ' ')) AS term
+      |    FROM documents) GROUP BY term),
+      |r AS (
+      |  SELECT term, freq,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS vid,
+      |    CAST(SUM(freq) OVER (ORDER BY freq DESC, term
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM tf),
+      |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf)
+      |SELECT term, freq, vid, cum_tokens,
+      |  CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+      |FROM r, t
+      |WHERE CAST(cum_tokens - freq AS DOUBLE)
+      |  < CAST('0.5' AS DOUBLE) * CAST(total AS DOUBLE)
+      |ORDER BY vid""".stripMargin)
+
+  /** q182: split-leakage audit — the 80/20 content-hash split (q62's
+    * bucketing) composed with the corpus-granular overlap report: how much
+    * trigram mass the holdout shares with train. The number an eval-set
+    * owner checks BEFORE trusting held-out loss; composition of two
+    * already-gated operators, verified end-to-end.
+    */
+  private val splitLeakage = QueryDef(
+    (s, dir) => {
+      val sp = graft.operators.Sampling.split(
+        Tables.documents(s, dir), "doc_id", trainPct = 80)
+      TextDedup.corpusOverlap(
+        sp.filter(col("split") === "train"),
+        sp.filter(col("split") === "holdout"), "text", "text", n = 3)
+    },
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |        AS BIGINT) % 100 < 80
+      |      THEN 'train' ELSE 'holdout' END AS split
+      |  FROM documents),
+      |toks AS (SELECT doc_id, split, string_split(trim(text), ' ') t FROM sp),
+      |sh AS (SELECT doc_id, split, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |ga AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+      |gb AS (SELECT DISTINCT s FROM sh WHERE split = 'holdout'),
+      |counts AS (SELECT
+      |  (SELECT COUNT(*) FROM ga) AS grams_a,
+      |  (SELECT COUNT(*) FROM gb) AS grams_b,
+      |  (SELECT COUNT(*) FROM ga JOIN gb USING (s)) AS shared)
+      |SELECT grams_a, grams_b, shared,
+      |  CAST(shared AS DOUBLE) / grams_a AS cont_a_in_b,
+      |  CAST(shared AS DOUBLE) / grams_b AS cont_b_in_a,
+      |  CAST(shared AS DOUBLE) / (grams_a + grams_b - shared) AS jaccard
+      |FROM counts""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q181_vocab_coverage" -> vocabCoverage,
+    "q182_split_leakage" -> splitLeakage,
     "q173_budgeted_mixture" -> budgetedMixture,
     "q170_budget_allocation" -> budgetAllocation,
     "q167_cdc_chunks" -> cdcChunks,

@@ -170,4 +170,30 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(got === want, s"input: $in")
     }
   }
+
+  test("fixMojibake restores double-encoded text byte-exactly") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    val cp1252 = Charset.forName("windows-1252")
+    def corrupt(s: String) = new String(s.getBytes(StandardCharsets.UTF_8), cp1252)
+    // every table target round-trips, alone and in context
+    for ((bad, good) <- graft.functions.TextFunctions.mojibakeTable) {
+      val got = one[String](
+        graft.functions.TextFunctions.fixMojibake(col("t")), s"x${bad}y")
+      assert(got === s"x${good}y", s"artifact for '$good'")
+    }
+    // a full sentence with mixed artifacts, derived from the encoding
+    val clean = "café — “quoted”… naïve? no: señor"
+      .replace("ï", "i") // ï not in the table; keep the test honest
+    val got = one[String](
+      graft.functions.TextFunctions.fixMojibake(col("t")), corrupt(clean))
+    assert(got === clean)
+  }
+
+  test("fixMojibake leaves clean text untouched") {
+    for (s <- Seq("plain ascii", "café déjà?", "", "a—b")) {
+      // NOTE déjà: à is NOT a table target, must survive
+      val got = one[String](graft.functions.TextFunctions.fixMojibake(col("t")), s)
+      assert(got === s, s"input: $s")
+    }
+  }
 }

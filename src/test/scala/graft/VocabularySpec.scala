@@ -52,4 +52,24 @@ class VocabularySpec extends AnyFunSuite {
     assert(enc.head._1 == "zzz_never_seen" && enc.head._2 == 0L)
     assert(enc.drop(1).forall(_._2 > 0L))
   }
+
+  test("coveragePrune keeps the minimal covering prefix") {
+    // masses: a=6, b=3, c=2, d=1 (total 12)
+    val corpus = Seq((1L, "a a a a a a b b b c c d")).toDF("doc_id", "text")
+    def kept(cov: Double) =
+      Vocabulary.coveragePrune(corpus, "text", cov)
+        .orderBy("vid").collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("cum_tokens")))
+    // 50% of 12 = 6: {a} alone reaches it
+    assert(kept(0.5).map(_._1).toSeq === Seq("a"))
+    // 58%: a alone (6) is short of 6.96 — b joins (9 covers)
+    assert(kept(0.58).map(_._1).toSeq === Seq("a", "b"))
+    // full coverage keeps everything, cumulative is exact
+    assert(kept(1.0).toSeq ===
+      Seq(("a", 6L), ("b", 9L), ("c", 11L), ("d", 12L)))
+    // cum_frac of the last kept term at full coverage is exactly 1.0
+    val full = Vocabulary.coveragePrune(corpus, "text", 1.0)
+      .orderBy(org.apache.spark.sql.functions.desc("vid")).head()
+    assert(full.getAs[Double]("cum_frac") === 1.0)
+  }
 }
