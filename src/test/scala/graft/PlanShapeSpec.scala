@@ -239,6 +239,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p.take(2000))
   }
 
+  test("Gopher rule report is a zero-shuffle projection") {
+    val p = plan("q174_gopher_rules")
+    // every rule folds into the scan projection; the only allowed exchange
+    // is the presentation orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("source interleave: global rank is sharded, never one global partition") {
+    val p = plan("q179_interleave")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(3000))
+  }
+
+  test("vocab coverage prune: sharded prefix sum + broadcast total") {
+    // the scalar corpus total legitimately funnels ONE row per partition
+    // through a SinglePartition agg; the vocabulary-sized rank and prefix
+    // windows must stay sharded (range/hash partitioned, partition-local)
+    val p = plan("q181_vocab_coverage")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    // no window may run unpartitioned: every windowspecdefinition in the
+    // plan carries the shard key
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val sharded = "windowspecdefinition\\(graft_\\w+_shard".r.findAllIn(p).size
+    assert(specs > 0 && specs == sharded, s"$specs specs, $sharded sharded")
+  }
+
+  test("corpus overlap: distinct-set semi join, single-row frames broadcast") {
+    val p = plan("q176_corpus_overlap")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("C4 line filter and mojibake repair stay scan-level projections") {
+    for (q <- Seq("q177_c4_line_filter", "q183_fix_mojibake")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("privacy audit aggregates two-phase on the quasi-identifier") {
+    val p = plan("q178_k_anonymity")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
