@@ -848,6 +848,54 @@ object Extra {
     },
     None)
 
+  /** q185: mergeable histogram-sketch quantiles — the quantile counterpart
+    * of q101's HLL shard merge: per-shard fixed-bin histograms of document
+    * length, merged by count addition, p50/p90/p99 interpolated off the
+    * merged cumulative. UNLIKE the HLL gate this one is fully
+    * oracle-exact: binning, merge, and interpolation are a fixed
+    * integer/IEEE dag (quantile LITERALS ride in as quoted-string DOUBLE
+    * casts — a bare 0.99 would run DuckDB's compare in DECIMAL).
+    */
+  private val histQuantiles = QueryDef(
+    (s, dir) => {
+      val sk = graft.operators.HistogramSketch.sketch(
+        Tables.documents(s, dir)
+          .withColumn("shard", (col("doc_id") % 4).cast("int")),
+        "shard", "n_chars", lo = 0.0, hi = 600.0, nBins = 60)
+      graft.operators.HistogramSketch.quantiles(
+          graft.operators.HistogramSketch.merge(sk),
+          Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 600.0, nBins = 60)
+        .orderBy("q")
+    },
+    """WITH h AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT CAST(LEAST(GREATEST(
+      |        FLOOR((CAST(n_chars AS DOUBLE) - CAST('0.0' AS DOUBLE))
+      |          / CAST('10.0' AS DOUBLE)), CAST('0.0' AS DOUBLE)),
+      |        CAST('59.0' AS DOUBLE)) AS INT) AS bin
+      |    FROM documents WHERE n_chars IS NOT NULL)
+      |  GROUP BY bin),
+      |c AS (
+      |  SELECT bin, cnt,
+      |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_below,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+      |  FROM h),
+      |t AS (
+      |  SELECT c.*, q, q * CAST(total AS DOUBLE) AS target
+      |  FROM c CROSS JOIN (VALUES (CAST('0.5' AS DOUBLE)),
+      |    (CAST('0.9' AS DOUBLE)), (CAST('0.99' AS DOUBLE))) AS qs(q))
+      |SELECT q,
+      |  CAST('0.0' AS DOUBLE) + CAST('10.0' AS DOUBLE)
+      |    * (CAST(bin AS DOUBLE)
+      |      + (target - CAST(cum_below AS DOUBLE)) / CAST(cnt AS DOUBLE))
+      |    AS estimate
+      |FROM t
+      |WHERE CAST(cum_below AS DOUBLE) < target
+      |  AND target <= CAST(cum_below + cnt AS DOUBLE)
+      |ORDER BY q""".stripMargin)
+
   /** Robust MAD outlier rule (Outliers.madOutliers): per-priority order
     * totals flagged at |x − median| > 3·MAD — the skew-immune drift/anomaly
     * quality check. Exact interpolated medians, so DuckDB's median()
@@ -953,6 +1001,7 @@ object Extra {
     "q159_linkage_score" -> linkageScore,
     "q99_snapshot_diff" -> snapshotDiff,
     "q101_hll_shard_merge" -> hllShardMerge,
+    "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,
     "q93_full_outer" -> fullOuter,
     "q94_histogram" -> histogram,

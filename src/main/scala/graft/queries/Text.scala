@@ -2330,7 +2330,42 @@ object Text {
       |  CAST(shared AS DOUBLE) / (grams_a + grams_b - shared) AS jaccard
       |FROM counts""".stripMargin)
 
+  /** q184: collocation detection by pointwise lift over adjacent bigrams
+    * (Collocations.bigramLift) — PMI sans logarithm so the score is a
+    * fixed multiply/divide dag both engines compute bitwise-identically;
+    * top 30 at support ≥ 20, ties broken lexically.
+    */
+  private val collocations = QueryDef(
+    (s, dir) =>
+      graft.operators.Collocations.bigramLift(
+          Tables.documents(s, dir), "text", minCount = 20L)
+        .orderBy(desc("lift"), col("a"), col("b"))
+        .limit(30),
+    """WITH toks AS (SELECT string_split(trim(text), ' ') t FROM documents),
+      |uni AS (SELECT unnest(t) w FROM toks),
+      |uc AS (SELECT w, COUNT(*) c FROM uni GROUP BY w),
+      |tt AS (SELECT COUNT(*) tot_t FROM uni),
+      |bt AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) tot_b FROM toks),
+      |bc AS (SELECT s, COUNT(*) c_ab FROM (
+      |    SELECT unnest([array_to_string(t[i:i+1], ' ')
+      |      for i in range(1, len(t))]) s
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY s HAVING COUNT(*) >= 20),
+      |scored AS (
+      |  SELECT split_part(s, ' ', 1) AS a, split_part(s, ' ', 2) AS b,
+      |    c_ab, x.c AS c_a, y.c AS c_b,
+      |    (CAST(c_ab AS DOUBLE) * CAST(tot_t AS DOUBLE) * CAST(tot_t AS DOUBLE))
+      |      / (CAST(tot_b AS DOUBLE) * CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))
+      |      AS lift
+      |  FROM bc
+      |  CROSS JOIN tt CROSS JOIN bt
+      |  JOIN uc x ON split_part(s, ' ', 1) = x.w
+      |  JOIN uc y ON split_part(s, ' ', 2) = y.w)
+      |SELECT a, b, c_ab, c_a, c_b, lift FROM scored
+      |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q184_collocations" -> collocations,
     "q181_vocab_coverage" -> vocabCoverage,
     "q182_split_leakage" -> splitLeakage,
     "q173_budgeted_mixture" -> budgetedMixture,
