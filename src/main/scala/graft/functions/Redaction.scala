@@ -43,4 +43,26 @@ object Redaction {
         regexp_replace(text, emailPattern, "<EMAIL>"),
         phonePattern, "<PHONE>"),
       ipPattern, "<IP>")
+
+  /** Per-group PII density profile — the release-review report over a
+    * corpus slice (per source/domain/language): document volume, total
+    * hits per category, how many documents carry ANY hit, and that
+    * fraction. The number a release gate thresholds ("block the source if
+    * >1% of its documents leak emails"), upstream of [[redactPii]] which
+    * then scrubs what ships. One map-side-combining aggregate; the three
+    * counts ride the same scan-level projection as the redaction itself.
+    */
+  def piiProfile(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val hits = emailCount(text) + phoneCount(text) + ipCount(text)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(emailCount(text)).as("n_emails"),
+        sum(phoneCount(text)).as("n_phones"),
+        sum(ipCount(text)).as("n_ips"),
+        sum(when(hits > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+      .withColumn("pii_rate",
+        col("docs_with_pii").cast("double") / col("n_docs"))
+  }
 }

@@ -50,6 +50,29 @@ object Stream {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY media_id""".stripMargin)
 
+  /** The h/d stub-decode CTEs shared by the q61 and q186 oracles — one
+    * definition of the Arrays.hashCode replay so the two gates can never
+    * disagree about the decoder's arithmetic.
+    */
+  private val stubDecodeSql: String =
+    """SELECT doc_id AS media_id, kind, byte_len,
+      |    CAST(64 + ((jh % 1024) + 1024) % 1024 AS INTEGER) AS width,
+      |    CAST(64 + ((CAST(floor(jh / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
+      |      AS INTEGER) AS height,
+      |    CAST(CASE WHEN kind = 'video'
+      |      THEN 1 + ((CAST(floor(jh / 1048576.0) AS BIGINT) % 300) + 300) % 300
+      |      ELSE 1 END AS INTEGER) AS n_frames
+      |  FROM (
+      |  SELECT doc_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |    CASE WHEN length(text) = 0 THEN 1 ELSE list_reduce(
+      |      list_prepend(CAST(1 AS BIGINT),
+      |        [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (((31 * a + b + 2147483648) % 4294967296 + 4294967296)
+      |                 % 4294967296) - 2147483648) END AS jh
+      |  FROM documents)""".stripMargin
+
   /** Stub decode + resize plumbing. The stub decoder is DETERMINISTIC
     * (dimensions from the JVM byte-array hash, frame count likewise), so
     * the oracle replays it: `java.util.Arrays.hashCode(byte[])` is the
@@ -74,34 +97,16 @@ object Stream {
           "out_width", "out_height", "n_frames")
         .orderBy("media_id")
     },
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-      |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-      |    CASE WHEN length(text) = 0 THEN 1 ELSE list_reduce(
-      |      list_prepend(CAST(1 AS BIGINT),
-      |        [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
-      |      (a, b) -> (((31 * a + b + 2147483648) % 4294967296 + 4294967296)
-      |                 % 4294967296) - 2147483648) END AS jh
-      |  FROM documents),
-      |d AS (
-      |  SELECT doc_id AS media_id, kind, byte_len,
-      |    CAST(64 + ((jh % 1024) + 1024) % 1024 AS INTEGER) AS width,
-      |    CAST(64 + ((CAST(floor(jh / 1024.0) AS BIGINT) % 1024) + 1024) % 1024
-      |      AS INTEGER) AS height,
-      |    CAST(CASE WHEN kind = 'video'
-      |      THEN 1 + ((CAST(floor(jh / 1048576.0) AS BIGINT) % 300) + 300) % 300
-      |      ELSE 1 END AS INTEGER) AS n_frames
-      |  FROM h)
-      |SELECT media_id, kind, byte_len, width, height,
-      |  CAST(CASE WHEN greatest(width, height) > 256
-      |    THEN floor(width * (256.0 / greatest(width, height)))
-      |    ELSE width END AS INTEGER) AS out_width,
-      |  CAST(CASE WHEN greatest(width, height) > 256
-      |    THEN floor(height * (256.0 / greatest(width, height)))
-      |    ELSE height END AS INTEGER) AS out_height,
-      |  n_frames
-      |FROM d ORDER BY media_id""".stripMargin)
+    s"""WITH d AS ($stubDecodeSql)
+       |SELECT media_id, kind, byte_len, width, height,
+       |  CAST(CASE WHEN greatest(width, height) > 256
+       |    THEN floor(width * (256.0 / greatest(width, height)))
+       |    ELSE width END AS INTEGER) AS out_width,
+       |  CAST(CASE WHEN greatest(width, height) > 256
+       |    THEN floor(height * (256.0 / greatest(width, height)))
+       |    ELSE height END AS INTEGER) AS out_height,
+       |  n_frames
+       |FROM d ORDER BY media_id""".stripMargin)
 
   /** Sliding windows (1 h window, 15 min slide) as a batch computation:
     * each event belongs to 4 overlapping windows — explode the covering
@@ -168,11 +173,33 @@ object Stream {
        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)
 
+  /** q186: deterministic video frame sampling over the decoded media —
+    * every 7th frame index per video record (MultimodalOps.sampleFrames;
+    * metadata-level, the real pipeline explodes nested frame bytes the
+    * same way). Oracle rides the shared stub-decode CTE.
+    */
+  private val frameSampling = QueryDef(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = MultimodalOps.textAsMedia(Tables.documents(s, dir), "doc_id", "text")
+        .as[graft.multimodal.MediaRecord]
+      MultimodalOps.sampleFrames(
+        MultimodalOps.decodeAll(media, StubDecoder), everyN = 7)
+        .orderBy("media_id", "frame_idx")
+    },
+    s"""WITH d AS ($stubDecodeSql)
+       |SELECT media_id, CAST(f AS INTEGER) AS frame_idx FROM (
+       |  SELECT media_id, unnest(range(0, n_frames, 7)) AS f
+       |  FROM d WHERE kind = 'video')
+       |ORDER BY media_id, frame_idx""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q102_stream_enrich" -> streamEnrich,
     "q55_sessions" -> sessions,
     "q56_sliding_windows" -> slidingWindows,
     "q57_purchase_view_join" -> purchaseViewJoin,
     "q60_binary_meta" -> binaryMeta,
-    "q61_decoded_media" -> decodedMedia)
+    "q61_decoded_media" -> decodedMedia,
+    "q186_frame_sampling" -> frameSampling)
 }

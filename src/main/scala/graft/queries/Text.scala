@@ -2364,7 +2364,58 @@ object Text {
       |SELECT a, b, c_ab, c_a, c_b, lift FROM scored
       |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin)
 
+  /** q187: per-source PII density profile (Redaction.piiProfile) over a
+    * synthetic leak pattern — every 3rd doc leaks an email, every 5th a
+    * phone, every 7th an IP — so sources differ in rate and every category
+    * sums independently. The release-gate report upstream of q71's
+    * scrubbing.
+    */
+  private val piiReport = QueryDef(
+    (s, dir) => {
+      val leak = concat(substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" u"), col("doc_id"), lit("@ex.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" +1-555-0100")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" 10.0.0."), col("doc_id") % 250)).otherwise(lit("")))
+      graft.functions.Redaction.piiProfile(
+          Tables.documents(s, dir).withColumn("msg", leak),
+          Seq("source"), col("msg"))
+        .orderBy("source")
+    },
+    """WITH synth AS (
+      |  SELECT source,
+      |    substring(text, 1, 40)
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' +1-555-0100' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+      |      AS msg
+      |  FROM documents),
+      |counted AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(msg,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+      |    CAST(len(regexp_extract_all(msg,
+      |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS p,
+      |    CAST(len(regexp_extract_all(msg,
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS i
+      |  FROM synth)
+      |SELECT source, n_docs, n_emails, n_phones, n_ips, docs_with_pii,
+      |  CAST(docs_with_pii AS DOUBLE) / n_docs AS pii_rate
+      |FROM (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(e) AS BIGINT) AS n_emails,
+      |    CAST(SUM(p) AS BIGINT) AS n_phones,
+      |    CAST(SUM(i) AS BIGINT) AS n_ips,
+      |    CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS docs_with_pii
+      |  FROM counted GROUP BY source)
+      |ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q187_pii_report" -> piiReport,
     "q184_collocations" -> collocations,
     "q181_vocab_coverage" -> vocabCoverage,
     "q182_split_leakage" -> splitLeakage,

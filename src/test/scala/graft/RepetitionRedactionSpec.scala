@@ -60,6 +60,28 @@ class RepetitionRedactionSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L)))
   }
 
+  test("piiProfile tallies per-group densities on a hand-countable corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("a", "mail me at x@y.io and z@w.io"),     // 2 emails
+      ("a", "call +1-555-0100 now"),             // 1 phone
+      ("a", "nothing to see"),
+      ("b", "host 10.0.0.1 x@y.io +1-555-0100")  // one of each
+    ).toDF("src", "msg")
+    val got = graft.functions.Redaction.piiProfile(rows, Seq("src"), col("msg"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_emails") === 2L)
+    assert(a.getAs[Long]("n_phones") === 1L)
+    assert(a.getAs[Long]("n_ips") === 0L)
+    assert(a.getAs[Long]("docs_with_pii") === 2L)
+    assert(math.abs(a.getAs[Double]("pii_rate") - 2.0 / 3.0) < 1e-12)
+    val b = got("b")
+    assert(b.getAs[Long]("docs_with_pii") === 1L &&
+      b.getAs[Double]("pii_rate") === 1.0)
+  }
+
   test("redaction leaves clean text untouched") {
     val msg = "no personal data in this sentence at all"
     val r = Seq(msg).toDF("t").select(Redaction.redactPii(col("t"))).head()
