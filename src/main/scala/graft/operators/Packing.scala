@@ -83,6 +83,57 @@ object Packing {
       .drop(shard)
   }
 
+  /** Each row with the EXCLUSIVE global running maximum of long column
+    * `valueCol` in `orderCols` order (the max over strictly-preceding
+    * rows; NULL for the global first row) as column `out` — the
+    * watermark primitive: "the highest event time seen before this
+    * arrival". Same two-phase sharded shape as [[withGlobalOffsets]]
+    * (running max is associative exactly like the running sum): phase 1
+    * collects one per-shard max (driver state the size of the shard
+    * count), phase 2 combines each shard's exclusive prefix max with a
+    * within-shard window — no global single-partition window. The shard
+    * cache is a correctness pin exactly as in [[withGlobalOffsets]]
+    * (resampled boundaries would desynchronize the prefix map).
+    */
+  def withGlobalRunningMax(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, out: String = "running_max"): DataFrame = {
+    val shard = "graft_rmax_shard"
+    val sharded = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn(shard, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(sharded)
+    val shardMax = sharded.groupBy(shard)
+      .agg(max(col(valueCol).cast("long")).as("m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    val maxShard = if (shardMax.isEmpty) -1 else shardMax.keys.max
+    // exclusive prefix max per shard; MinValue = "nothing before"
+    val prefix = new Array[Long](maxShard + 1)
+    var acc = Long.MinValue
+    var p = 0
+    while (p <= maxShard) {
+      prefix(p) = acc
+      acc = math.max(acc, shardMax.getOrElse(p, Long.MinValue))
+      p += 1
+    }
+    val prefixLookup: Column =
+      if (maxShard < 0) lit(Long.MinValue)
+      else element_at(
+        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
+        col(shard))
+    val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val combined = greatest(
+      coalesce(max(col(valueCol).cast("long")).over(withinShard),
+        lit(Long.MinValue)),
+      prefixLookup)
+    sharded
+      .withColumn(out,
+        when(combined === Long.MinValue, lit(null).cast("long"))
+          .otherwise(combined))
+      .drop(shard)
+  }
+
   /** Concat-and-chunk packing at `capacity` tokens per bin: global offset,
     * first/last bin index and the boundary-straddle flag per document.
     */

@@ -229,6 +229,37 @@ object Sampling {
       .drop("total")
   }
 
+  /** Integrity manifest over [[shards]]' output — one row per shard with
+    * the counts, bounds and content checksum a training loader verifies
+    * before (and a resumed run re-verifies after) reading the shard files:
+    * row count, total weight (tokens), the first/last keys in shard
+    * order, and an ORDER-INSENSITIVE content checksum (bit-XOR of each
+    * row's 60-bit content hash). XOR, not an ordered fold: it is
+    * associative/commutative, so the checksum map-side combines like any
+    * aggregate and never materializes a shard-sized string — and shard
+    * CONTENT is what the manifest certifies (order is already pinned by
+    * `shard_pos`, whose extent the count cross-checks).
+    *
+    * Scale shape: one groupBy over the sharded corpus; manifest size =
+    * shard count. The rewrite-proof pairing is (manifest row, shard
+    * file) — a flipped bit in any document flips the XOR.
+    */
+  def shardManifest(df: DataFrame, keyCol: String, contentCol: String,
+      nShards: Int, weight: Column): DataFrame =
+    shards(df, keyCol, nShards)
+      .withColumn("__ch",
+        conv(substring(md5(col(contentCol).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(weight.cast("long")).as("total_weight"),
+        min(struct(col("shard_pos"), col(keyCol))).getField(keyCol)
+          .as("first_key"),
+        max(struct(col("shard_pos"), col(keyCol))).getField(keyCol)
+          .as("last_key"),
+        expr("bit_xor(__ch)").as("checksum"))
+
   /** Exactly `nPerGroup` rows per group (fewer if the group is smaller),
     * chosen deterministically: rank rows inside each group by the md5 of
     * their key (a stable pseudo-random total order both engines compute

@@ -194,7 +194,52 @@ object Stream {
        |  FROM d WHERE kind = 'video')
        |ORDER BY media_id, frame_idx""".stripMargin)
 
+  /** q188: watermark-lateness audit (EventStreams.latenessAudit) — the
+    * recorded events arrive perfectly ordered, so the gate perturbs event
+    * time deterministically (each event's time pulled back by
+    * (event_id mod 13) × 90 s) to create real disorder, then tallies per
+    * event type what a 5-minute watermark would drop. The running max is
+    * the sharded two-phase pass; the oracle replays it with a plain
+    * running-max window over arrival order.
+    */
+  private val lateEvents = QueryDef(
+    (s, dir) => {
+      val perturbed = Tables.events(s, dir)
+        .withColumn("ev_us",
+          unix_micros(col("ts")) - (col("event_id") % 13) * lit(90000000L))
+      graft.streaming.EventStreams.latenessAudit(
+          perturbed, "event_id", "ev_us", allowedLatenessUs = 300000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+          max(col("lateness_us")).as("max_lateness_us"))
+        .withColumn("late_rate",
+          col("n_late").cast("double") / col("n_events"))
+        .orderBy("event_type")
+    },
+    """WITH perturbed AS (
+      |  SELECT event_id, event_type,
+      |    epoch_us(ts) - (event_id % 13) * 90000000 AS ev_us
+      |  FROM events),
+      |marked AS (
+      |  SELECT event_type, ev_us,
+      |    MAX(ev_us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM perturbed),
+      |flagged AS (
+      |  SELECT event_type,
+      |    GREATEST(COALESCE(wm - ev_us, 0), 0) AS lateness_us
+      |  FROM marked)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN lateness_us > 300000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late,
+      |  CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us,
+      |  CAST(SUM(CASE WHEN lateness_us > 300000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS late_rate
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q188_late_events" -> lateEvents,
     "q102_stream_enrich" -> streamEnrich,
     "q55_sessions" -> sessions,
     "q56_sliding_windows" -> slidingWindows,

@@ -2414,7 +2414,39 @@ object Text {
       |  FROM counted GROUP BY source)
       |ORDER BY source""".stripMargin)
 
+  /** q189: training-shard integrity manifest (Sampling.shardManifest) —
+    * per shard: rows, token mass, first/last key in shard order, and the
+    * order-insensitive XOR content checksum. The oracle replays the md5
+    * shard/order assignment (q85's bucketing) and the 60-bit hash XOR.
+    */
+  private val shardManifest = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.shardManifest(
+          Tables.documents(s, dir), "doc_id", "text", nShards = 8,
+          weight = tokenCount(col("text")))
+        .orderBy("shard"),
+    """WITH sharded AS (
+      |  SELECT doc_id, text,
+      |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 8 AS INTEGER) AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text, shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+      |      AS BIGINT) AS shard_pos,
+      |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS ch
+      |  FROM sharded)
+      |SELECT shard, COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+      |    AS total_weight,
+      |  FIRST(doc_id ORDER BY shard_pos) AS first_key,
+      |  LAST(doc_id ORDER BY shard_pos) AS last_key,
+      |  bit_xor(ch) AS checksum
+      |FROM pos GROUP BY shard ORDER BY shard""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q189_shard_manifest" -> shardManifest,
     "q187_pii_report" -> piiReport,
     "q184_collocations" -> collocations,
     "q181_vocab_coverage" -> vocabCoverage,

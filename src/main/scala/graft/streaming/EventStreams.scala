@@ -246,4 +246,33 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .drop("session_no")
   }
+
+  /** Watermark-lateness audit over a RECORDED stream: replay the arrival
+    * order and flag every event whose event time trails the running
+    * maximum seen before it by more than `allowedLatenessUs` — exactly the
+    * rows a live watermark of that bound would have dropped. This is the
+    * calibration tool for choosing `withWatermark` bounds
+    * ([[tumblingCounts]]/[[dedupWithinWatermark]]): run it over yesterday's
+    * log at candidate bounds, read the drop rate per stream.
+    *
+    * `arrivalCol` must be a total arrival order (a log sequence number);
+    * `eventTimeUs` is event time in epoch micros (a long — convert
+    * timestamps with `unix_micros`). The running max is
+    * [[graft.operators.Packing.withGlobalRunningMax]]'s two-phase sharded
+    * pass, NOT a global window — the audit scales like any other corpus
+    * scan. Output: every input row plus `watermark_us` (exclusive running
+    * max, NULL on the global first arrival), `lateness_us` (how far behind
+    * the watermark, 0 when on time) and `is_late`.
+    */
+  def latenessAudit(events: DataFrame, arrivalCol: String,
+      eventTimeUs: String, allowedLatenessUs: Long): DataFrame = {
+    require(allowedLatenessUs >= 0,
+      s"allowedLatenessUs must be >= 0, got $allowedLatenessUs")
+    graft.operators.Packing.withGlobalRunningMax(
+        events, Seq(arrivalCol), eventTimeUs, out = "watermark_us")
+      .withColumn("lateness_us",
+        greatest(coalesce(col("watermark_us") - col(eventTimeUs), lit(0L)),
+          lit(0L)))
+      .withColumn("is_late", col("lateness_us") > allowedLatenessUs)
+  }
 }

@@ -24,6 +24,39 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("global running max equals the exclusive scan max in order") {
+    // values deliberately non-monotone in id order
+    val rows = (1L to 400L).map(i => (i, (i * 37) % 101))
+    val df = rows.toDF("id", "v").repartition(11)
+    val got = Packing.withGlobalRunningMax(df, Seq("id"), "v")
+      .select("id", "running_max").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    var acc = Option.empty[Long]
+    rows.foreach { case (i, v) =>
+      assert(got(i) === acc, s"running max mismatch at id=$i")
+      acc = Some(math.max(acc.getOrElse(Long.MinValue), v))
+    }
+  }
+
+  test("lateness audit flags exactly the events a watermark would drop") {
+    // arrival order 1..6; event times (us): on-time except id 4 (3 units
+    // behind the max) and id 6 (1 behind — inside the bound)
+    val ev = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 27L, "b"), (5L, 40L, "a"), (6L, 39L, "b"))
+      .toDF("arr", "ev_us", "kind")
+    val got = graft.streaming.EventStreams.latenessAudit(
+        ev, "arr", "ev_us", allowedLatenessUs = 2L)
+      .select("arr", "watermark_us", "lateness_us", "is_late")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toMap
+    assert(got(1L) === ((-1L, 0L, false))) // first arrival: no watermark
+    assert(got(2L) === ((10L, 0L, false)))
+    assert(got(4L) === ((30L, 3L, true)))  // 3 > allowed 2
+    assert(got(6L) === ((40L, 1L, false))) // within the bound
+  }
+
   test("sequencePacking assigns bins and flags boundary straddlers") {
     // capacity 10: doc 1 (w=4) fills [0,4); doc 2 (w=8) spans [4,12) across
     // the bin-0/bin-1 cut; doc 3 (w=3) sits inside bin 1

@@ -200,4 +200,24 @@ class SamplingSpec extends AnyFunSuite {
       }
     } finally docs.unpersist()
   }
+
+  test("shard manifest: partition-invariant, content-sensitive checksum") {
+    val docs = spark.range(200).select(col("id").as("k"),
+      concat(lit("doc "), col("id")).as("body"))
+    def mf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(df, "k", "body", nShards = 4, weight = lit(1L))
+        .orderBy("shard").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val base = mf(docs)
+    assert(base.map(_._2).sum === 200L)            // every row landed
+    assert(base === mf(docs.repartition(17)))      // layout-independent
+    // a single flipped document changes exactly its shard's checksum
+    val tampered = docs.withColumn("body",
+      when(col("k") === 42L, lit("doc 42 TAMPERED")).otherwise(col("body")))
+    val diff = base.zip(mf(tampered)).filter { case (a, b) => a != b }
+    assert(diff.size === 1)
+    val (orig, tamp) = diff.head
+    assert(orig._1 === tamp._1 && orig._2 === tamp._2 && orig._6 != tamp._6)
+  }
 }
