@@ -2445,7 +2445,60 @@ object Text {
       |  bit_xor(ch) AS checksum
       |FROM pos GROUP BY shard ORDER BY shard""".stripMargin)
 
+  /** q190: BM25 ranked retrieval (Bm25.scoreTopK) — three term queries
+    * against the corpus, top 10 each through the native heap exec. Logs
+    * run on the driver (Math.log ≡ DuckDB ln bitwise — the LM gates'
+    * contract); the per-document sum folds in sorted term order, so the
+    * oracle's list_sum(list(… ORDER BY term)) replays it float-exactly.
+    */
+  private val bm25 = QueryDef(
+    (s, dir) =>
+      graft.operators.Bm25.scoreTopK(Tables.documents(s, dir), "doc_id",
+          "text", Seq(
+            "q1" -> "spark table join",
+            "q2" -> "customer stream window",
+            "q3" -> "vector data fast"), topK = 10)
+        .orderBy(col("query_id"), desc("score"), col("doc_id")),
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |q(query_id, term) AS (VALUES
+      |  ('q1', 'spark'), ('q1', 'table'), ('q1', 'join'),
+      |  ('q2', 'customer'), ('q2', 'stream'), ('q2', 'window'),
+      |  ('q3', 'vector'), ('q3', 'data'), ('q3', 'fast')),
+      |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+      |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+      |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+      |idf AS (SELECT q.query_id, q.term,
+      |    ln((CAST(st.n - dfs.df AS DOUBLE) + CAST('0.5' AS DOUBLE))
+      |      / (CAST(dfs.df AS DOUBLE) + CAST('0.5' AS DOUBLE)) + 1) AS idf,
+      |    st.avgdl
+      |  FROM q JOIN dfs USING (term) CROSS JOIN st),
+      |tf AS (SELECT e.doc_id, l.dl, e.term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) e
+      |  JOIN dl l USING (doc_id)
+      |  WHERE e.term IN (SELECT term FROM q)
+      |  GROUP BY e.doc_id, l.dl, e.term),
+      |contrib AS (SELECT i.query_id, tf.doc_id, tf.term,
+      |    i.idf * (tf.tf * (CAST('1.2' AS DOUBLE) + 1))
+      |      / (tf.tf + CAST('1.2' AS DOUBLE) * ((1 - CAST('0.75' AS DOUBLE))
+      |        + CAST('0.75' AS DOUBLE) * CAST(tf.dl AS DOUBLE) / i.avgdl))
+      |      AS contrib
+      |  FROM tf JOIN idf i USING (term)),
+      |scored AS (SELECT query_id, doc_id,
+      |    list_sum(list(contrib ORDER BY term)) AS score
+      |  FROM contrib GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, score FROM (
+      |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q190_bm25" -> bm25,
     "q189_shard_manifest" -> shardManifest,
     "q187_pii_report" -> piiReport,
     "q184_collocations" -> collocations,
