@@ -112,4 +112,21 @@ object Freshness {
         when(col("age_hours") <= freshHours, "fresh")
           .when(col("age_hours") <= agingHours, "aging")
           .otherwise("stale"))
+
+  /** Per-stream form of [[check]] — one freshness row per group (stream,
+    * source, partition): the dashboard table a pipeline owner reads, with
+    * the same fresh/aging/stale thresholds per group. One
+    * map-side-combining max aggregate; classification is a projection.
+    */
+  def checkPerGroup(df: DataFrame, groupCols: Seq[String], tsCol: String,
+      nowEpochSec: Long, freshHours: Int = 12,
+      agingHours: Int = 24): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max(col(tsCol)).as("latest"))
+      .withColumn("age_hours",
+        (lit(nowEpochSec) - unix_timestamp(col("latest"))) / 3600.0)
+      .withColumn("status",
+        when(col("age_hours") <= freshHours, "fresh")
+          .when(col("age_hours") <= agingHours, "aging")
+          .otherwise("stale"))
 }

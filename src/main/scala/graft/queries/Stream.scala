@@ -238,7 +238,46 @@ object Stream {
       |    AS DOUBLE) / COUNT(*) AS late_rate
       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** q192: per-stream freshness classification (Freshness.checkPerGroup,
+    * reference health_check.py:318-387 thresholds) — the recorded streams
+    * are all equally fresh, so the gate ages each event type by a fixed
+    * injected offset and classifies against a fixed "now", hitting all
+    * three statuses deterministically.
+    */
+  private val freshness = QueryDef(
+    (s, dir) => {
+      val shift = when(col("event_type") === "click", expr("INTERVAL 0 HOURS"))
+        .when(col("event_type") === "view", expr("INTERVAL 16 HOURS"))
+        .when(col("event_type") === "purchase", expr("INTERVAL 30 HOURS"))
+        .when(col("event_type") === "signup", expr("INTERVAL 5 HOURS"))
+        .otherwise(expr("INTERVAL 50 HOURS"))
+      graft.observe.Freshness.checkPerGroup(
+          Tables.events(s, dir).withColumn("ts", col("ts") - shift),
+          Seq("event_type"), "ts", nowEpochSec = 1706680800L)
+        .orderBy("event_type")
+    },
+    """WITH shifted AS (
+      |  SELECT event_type, ts - CASE event_type
+      |    WHEN 'click' THEN INTERVAL 0 HOUR
+      |    WHEN 'view' THEN INTERVAL 16 HOUR
+      |    WHEN 'purchase' THEN INTERVAL 30 HOUR
+      |    WHEN 'signup' THEN INTERVAL 5 HOUR
+      |    ELSE INTERVAL 50 HOUR END AS ts2
+      |  FROM events),
+      |g AS (SELECT event_type, MAX(ts2) AS latest
+      |  FROM shifted GROUP BY event_type),
+      |aged AS (SELECT event_type, latest,
+      |    (1706680800 - epoch_us(latest) // 1000000)
+      |      / CAST('3600.0' AS DOUBLE) AS age_hours
+      |  FROM g)
+      |SELECT event_type, latest, age_hours,
+      |  CASE WHEN age_hours <= 12 THEN 'fresh'
+      |    WHEN age_hours <= 24 THEN 'aging'
+      |    ELSE 'stale' END AS status
+      |FROM aged ORDER BY event_type""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q192_freshness" -> freshness,
     "q188_late_events" -> lateEvents,
     "q102_stream_enrich" -> streamEnrich,
     "q55_sessions" -> sessions,

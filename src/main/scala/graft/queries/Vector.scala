@@ -378,7 +378,94 @@ object Vector {
          |ORDER BY query_id""".stripMargin)
   }
 
+  /** q191: hybrid retrieval — BM25 over each query document's text fused
+    * with exact cosine KNN over its embedding by Reciprocal Rank Fusion
+    * (RankFusion.rrf). The corpus carries aligned ids (doc_id ≡ vec_id),
+    * so this is the real two-tower + lexical hybrid stack end-to-end, and
+    * every stage (driver-ln idf, sorted-term float fold, sequential cosine
+    * fold, 1/(60+rank) fusion in declared run order) is bitwise
+    * oracle-replayable.
+    */
+  private val hybridRrf = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val qs = docs.filter(col("doc_id") < 3).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0).toString, r.getString(1))).toSeq
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      val sparse = graft.operators.Bm25
+        .scoreTopK(docs, "doc_id", "text", qs, topK = 20)
+        .withColumn("rank", row_number().over(wq))
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val dense = Similarity
+        .knnBruteForce(emb, emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("item_id"), col("rank"))
+      graft.operators.RankFusion.rrf(Seq(sparse, dense), k = 60, topK = 10)
+        .orderBy("query_id", "rank")
+    },
+    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |qd AS (SELECT CAST(doc_id AS VARCHAR) AS query_id,
+       |    unnest(list_distinct(toks)) AS term
+       |  FROM d WHERE doc_id < 3),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+       |  WHERE term IN (SELECT term FROM qd) GROUP BY term),
+       |idf AS (SELECT qd.query_id, qd.term,
+       |    ln((CAST(st.n - dfs.df AS DOUBLE) + CAST('0.5' AS DOUBLE))
+       |      / (CAST(dfs.df AS DOUBLE) + CAST('0.5' AS DOUBLE)) + 1) AS idf,
+       |    st.avgdl
+       |  FROM qd JOIN dfs USING (term) CROSS JOIN st),
+       |tf AS (SELECT e.doc_id, l.dl, e.term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) e
+       |  JOIN dl l USING (doc_id)
+       |  WHERE e.term IN (SELECT term FROM qd)
+       |  GROUP BY e.doc_id, l.dl, e.term),
+       |contrib AS (SELECT i.query_id, tf.doc_id, tf.term,
+       |    i.idf * (tf.tf * (CAST('1.2' AS DOUBLE) + 1))
+       |      / (tf.tf + CAST('1.2' AS DOUBLE) * ((1 - CAST('0.75' AS DOUBLE))
+       |        + CAST('0.75' AS DOUBLE) * CAST(tf.dl AS DOUBLE) / i.avgdl))
+       |      AS contrib
+       |  FROM tf JOIN idf i USING (term)),
+       |scoredb AS (SELECT query_id, doc_id,
+       |    list_sum(list(contrib ORDER BY term)) AS score
+       |  FROM contrib GROUP BY query_id, doc_id),
+       |sparse AS (SELECT query_id, doc_id AS item_id, rank FROM (
+       |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |    FROM scoredb)
+       |  WHERE rank <= 20),
+       |dense AS (SELECT CAST(query_id AS VARCHAR) AS query_id,
+       |    vec_id AS item_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+       |          c.vec_id ASC) AS rank
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 20),
+       |fused AS (SELECT query_id, item_id,
+       |    COALESCE(CAST('1.0' AS DOUBLE)
+       |      / (CAST('60.0' AS DOUBLE) + CAST(s.rank AS DOUBLE)),
+       |      CAST('0.0' AS DOUBLE))
+       |    + COALESCE(CAST('1.0' AS DOUBLE)
+       |      / (CAST('60.0' AS DOUBLE) + CAST(de.rank AS DOUBLE)),
+       |      CAST('0.0' AS DOUBLE)) AS rrf
+       |  FROM sparse s FULL JOIN dense de USING (query_id, item_id))
+       |SELECT query_id, item_id, rrf, rank FROM (
+       |  SELECT query_id, item_id, rrf, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, item_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q191_hybrid_rrf" -> hybridRrf,
     "q162_ndcg_eval" -> ndcgEval,
     "q139_ann_recall" -> annRecall,
     "q136_random_projection" -> randomProjection,
