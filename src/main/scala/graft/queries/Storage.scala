@@ -332,7 +332,105 @@ object Storage {
     "q91_csv_quarantine" -> csvQuarantine,
     "q120_merge_schema" -> mergeSchemaAppend,
     "q121_ingest_stamp" -> ingestStamp,
-    "q169_exactly_once_sink" -> exactlyOnceSink)
+    "q169_exactly_once_sink" -> exactlyOnceSink,
+    "q193_cdc_apply" -> cdcApply,
+    "q194_time_travel" -> timeTravel)
+
+  /** q193: CDC apply (Cdc.applyChanges) — a change log with updates,
+    * deletes, a delete-then-revive sequence, and fresh inserts folded
+    * into the customer snapshot; the latest change per key wins. The
+    * oracle replays the log with a per-key ROW_NUMBER over the sequence
+    * (unique per key here, matching the operator's seq contract).
+    */
+  private lazy val cdcApply = QueryDef(
+    (s, dir) => {
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      def change(rows: org.apache.spark.sql.DataFrame, seq: Long, op: String,
+          name: org.apache.spark.sql.Column,
+          bal: org.apache.spark.sql.Column) =
+        rows.select(col("k"), lit(seq).as("seq"), lit(op).as("op"),
+          name.as("name"), bal.as("acctbal"))
+      val changes = change(base.filter(col("k") % 10 === 0), 1L, "U",
+          col("name"), col("acctbal") + 500.0)
+        .unionByName(change(base.filter(col("k") % 17 === 0), 2L, "D",
+          col("name"), col("acctbal")))
+        .unionByName(change(base.filter(col("k") % 34 === 0), 3L, "I",
+          concat(lit("revived_"), col("k").cast("string")), lit(1.5)))
+        .unionByName(change(
+          base.filter(col("k") <= 20)
+            .select((col("k") + 500000L).as("k"), col("name"), col("acctbal")),
+          1L, "I", concat(lit("cdc_new_"), (col("k") - 500000L).cast("string")),
+          lit(7.25)))
+      graft.operators.Cdc.applyChanges(base, changes, Seq("k"))
+        .orderBy("k")
+    },
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS acctbal
+      |  FROM customer),
+      |changes AS (
+      |  SELECT k, 1 AS seq, 'U' AS op, name, acctbal + 500.0 AS acctbal
+      |  FROM base WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k, 2, 'D', name, acctbal FROM base WHERE k % 17 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'I', 'revived_' || CAST(k AS VARCHAR), 1.5
+      |  FROM base WHERE k % 34 = 0
+      |  UNION ALL
+      |  SELECT k + 500000, 1, 'I', 'cdc_new_' || CAST(k AS VARCHAR), 7.25
+      |  FROM base WHERE k <= 20),
+      |latest AS (SELECT k, op, name, acctbal FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+      |      AS rn
+      |    FROM changes) WHERE rn = 1)
+      |SELECT k, name, acctbal FROM (
+      |  SELECT b.k, b.name, b.acctbal FROM base b
+      |  LEFT JOIN latest l ON b.k = l.k WHERE l.k IS NULL
+      |  UNION ALL
+      |  SELECT k, name, acctbal FROM latest WHERE op <> 'D')
+      |ORDER BY k""".stripMargin)
+
+  /** q194: versioned-table time travel (VersionedTable) — two committed
+    * snapshots read back BY VERSION after both commits: v1 must still
+    * read exactly as written after v2 lands (the whole time-travel
+    * claim). The oracle rebuilds both snapshot definitions from the
+    * source table.
+    */
+  private lazy val timeTravel = QueryDef(
+    (s, dir) => {
+      val tag = Housekeeping.appTag(s)
+      Housekeeping.cleanStaleTmpDirs("graft_gate_tt_", tag)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gate_tt_$tag"
+      val vt = graft.sources.VersionedTable
+      val v1 = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("acctbal"))
+      val v2 = v1.withColumn("acctbal",
+          when(col("k") % 3 === 0, col("acctbal") * 2.0)
+            .otherwise(col("acctbal")))
+        .unionByName(v1.filter(col("k") <= 10)
+          .select((col("k") + 900000L).as("k"), lit(3.25).as("acctbal")))
+      vt.commit(s, v1, path)
+      vt.commit(s, v2, path)
+      vt.read(s, path, 1L).withColumn("version", lit(1L))
+        .unionByName(vt.readLatest(s, path).withColumn("version", lit(2L)))
+        .orderBy("version", "k")
+    },
+    """WITH v1 AS (
+      |  SELECT c_custkey AS k, c_acctbal AS acctbal FROM customer
+      |  WHERE c_custkey <= 500),
+      |v2 AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN acctbal * 2.0 ELSE acctbal END
+      |    AS acctbal
+      |  FROM v1
+      |  UNION ALL
+      |  SELECT k + 900000, 3.25 FROM v1 WHERE k <= 10)
+      |SELECT k, acctbal, version FROM (
+      |  SELECT k, acctbal, CAST(1 AS BIGINT) AS version FROM v1
+      |  UNION ALL
+      |  SELECT k, acctbal, CAST(2 AS BIGINT) FROM v2)
+      |ORDER BY version, k""".stripMargin)
 
   /** q169: the exactly-once sink semantics under crash-replay, on disk —
     * a PARTIAL batch-0 write (the crash), a full batch-0 REPLAY
