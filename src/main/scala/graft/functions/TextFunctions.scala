@@ -120,22 +120,46 @@ object TextFunctions {
     (lenOk + stopOk + wordOk) / 3.0
   }
 
+  /** WHATWG windows-1252 decode of one byte: Java's cp1252 decoder for
+    * the defined bytes, but the five bytes cp1252 leaves UNDEFINED
+    * (0x81 0x8D 0x8F 0x90 0x9D) pass through as the same-valued C1
+    * control character — which is what real-world decoders (browsers,
+    * the WHATWG encoding registry, PHP) emit, and what actual crawled
+    * mojibake therefore contains. Java instead substitutes U+FFFD there,
+    * which would (a) never match real artifacts of \u201d and (b) collide
+    * the keys of every target whose UTF-8 carries one of those bytes
+    * (\u201d and the zero-width joiner would both key as "\u00e2\u20ac\ufffd",
+    * misrepairing unrelated replacement-char text).
+    */
+  private def cp1252Char(b: Byte): Char = {
+    val decoded = new String(Array(b),
+      java.nio.charset.Charset.forName("windows-1252")).charAt(0)
+    if (decoded == '\ufffd') (b & 0xFF).toChar else decoded
+  }
+
+  /** How a string READS when its UTF-8 bytes are decoded as WHATWG
+    * windows-1252 — the exact artifact a double-encoding bug produces.
+    * Public so gates and specs corrupt test text through the SAME mapping
+    * the repair table derives from.
+    */
+  def mojibakeOf(clean: String): String =
+    new String(clean.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(cp1252Char))
+
   /** The common UTF-8-read-as-Windows-1252 mojibake artifacts and their
     * intended characters — curly quotes, dashes, ellipsis, accented Latin
     * letters, and the Â prefix a double-encoded NBSP leaves. Each artifact
-    * is DERIVED from its definition (the target's UTF-8 bytes decoded as
-    * cp1252) rather than hand-typed — mojibake keys are exactly the strings
-    * a human mistranscribes. Three-byte artifacts (the U+20xx punctuation)
-    * precede two-byte ones, so the replace chain never rewrites the prefix
-    * of a longer artifact.
+    * is DERIVED from its definition ([[mojibakeOf]] of the target) rather
+    * than hand-typed — mojibake keys are exactly the strings a human
+    * mistranscribes. Three-byte artifacts (the U+20xx punctuation) precede
+    * two-byte ones, so the replace chain never rewrites the prefix of a
+    * longer artifact.
     */
   val mojibakeTable: Seq[(String, String)] = Seq(
     "\u2019", "\u2018", "\u201c", "\u201d", "\u2013", "\u2014", "\u2026",
     "\u00e9", "\u00e8", "\u00e1", "\u00f3", "\u00fa", "\u00e4", "\u00f6",
     "\u00fc", "\u00f1", "\u00e7", "\u00a0")
-    .map(good => new String(
-      good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.charset.Charset.forName("windows-1252")) -> good)
+    .map(good => mojibakeOf(good) -> good)
 
   /** Repair double-encoded (UTF-8 bytes decoded as Windows-1252) text —
     * the ftfy-style cleanup pass a crawled corpus runs before any

@@ -103,15 +103,24 @@ object AlertManager {
   * aggregate, pushdown-friendly.
   */
 object Freshness {
-  def check(df: DataFrame, tsCol: String, nowEpochSec: Long,
-      freshHours: Int = 12, agingHours: Int = 24): DataFrame =
-    df.agg(max(col(tsCol)).as("latest"))
+  /** Shared classification: attaches `age_hours` and `status` to a frame
+    * carrying a `latest` timestamp — ONE definition of the thresholds so
+    * the corpus-level and per-stream reports can never drift.
+    */
+  private def classify(withLatest: DataFrame, nowEpochSec: Long,
+      freshHours: Int, agingHours: Int): DataFrame =
+    withLatest
       .withColumn("age_hours",
         (lit(nowEpochSec) - unix_timestamp(col("latest"))) / 3600.0)
       .withColumn("status",
         when(col("age_hours") <= freshHours, "fresh")
           .when(col("age_hours") <= agingHours, "aging")
           .otherwise("stale"))
+
+  def check(df: DataFrame, tsCol: String, nowEpochSec: Long,
+      freshHours: Int = 12, agingHours: Int = 24): DataFrame =
+    classify(df.agg(max(col(tsCol)).as("latest")),
+      nowEpochSec, freshHours, agingHours)
 
   /** Per-stream form of [[check]] — one freshness row per group (stream,
     * source, partition): the dashboard table a pipeline owner reads, with
@@ -121,12 +130,7 @@ object Freshness {
   def checkPerGroup(df: DataFrame, groupCols: Seq[String], tsCol: String,
       nowEpochSec: Long, freshHours: Int = 12,
       agingHours: Int = 24): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(max(col(tsCol)).as("latest"))
-      .withColumn("age_hours",
-        (lit(nowEpochSec) - unix_timestamp(col("latest"))) / 3600.0)
-      .withColumn("status",
-        when(col("age_hours") <= freshHours, "fresh")
-          .when(col("age_hours") <= agingHours, "aging")
-          .otherwise("stale"))
+    classify(
+      df.groupBy(groupCols.map(col): _*).agg(max(col(tsCol)).as("latest")),
+      nowEpochSec, freshHours, agingHours)
 }

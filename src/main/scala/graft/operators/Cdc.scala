@@ -33,7 +33,14 @@ object Cdc {
     require(!base.columns.contains(opCol) && !base.columns.contains(seqCol),
       s"base must not carry the change-metadata columns '$opCol'/'$seqCol'")
     val valueCols = base.columns.filterNot(keyCols.contains).toSeq
-    val packed = changes.groupBy(keyCols.map(col): _*)
+    // an op outside {I, U, D} (including NULL — a malformed log record)
+    // must fail LOUDLY: a NULL op would otherwise null through the
+    // =!= "D" filter below and silently delete the key
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(lit("unknown CDC op: "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+    val packed = changes.withColumn(opCol, checkedOp)
+      .groupBy(keyCols.map(col): _*)
       .agg(max(struct(col(seqCol) +: col(opCol) +: valueCols.map(col): _*))
         .as("__c"))
     val latest = packed.select(

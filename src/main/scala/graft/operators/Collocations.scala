@@ -29,9 +29,18 @@ object Collocations {
     * standard support cutoff).
     */
   def bigramLift(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    // the tokenized corpus feeds the unigram tally, the bigram tally and
+    // the bigram total; the unigram counts feed their total and both join
+    // sides — persist each once (corpus- and vocabulary-sized
+    // respectively) instead of re-tokenizing per branch; registered so
+    // Curriculum.releaseCaches can reclaim them
     val toks = df.select(TextFunctions.tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(toks)
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(uni)
     val totalT = uni.agg(sum(col("c")).as("__T"))
     val bi = toks
       .select(explode(TextFunctions.shinglesOfTokens(col("t"), 2)).as("s"))

@@ -43,7 +43,10 @@ object HistogramSketch {
   def sketch(df: DataFrame, shardCol: String, valueCol: String,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 1 && hi > lo, "need hi > lo and nBins >= 1")
-    df.filter(col(valueCol).isNotNull)
+    // NaN is dropped like NULL (it is a non-measurement, not an outlier):
+    // Spark orders NaN above every double, so an unfiltered NaN would
+    // clamp into the TOP bin and silently inflate high quantiles
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .groupBy(col(shardCol), binOf(col(valueCol), lo, hi, nBins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }

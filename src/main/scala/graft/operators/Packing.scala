@@ -94,6 +94,12 @@ object Packing {
     * within-shard window — no global single-partition window. The shard
     * cache is a correctness pin exactly as in [[withGlobalOffsets]]
     * (resampled boundaries would desynchronize the prefix map).
+    *
+    * Reserved value: `Long.MinValue` is the internal "nothing before"
+    * sentinel, so a data value equal to it is indistinguishable from an
+    * absent prefix and reports NULL. Real value domains (epoch micros,
+    * sequence numbers, counts) never carry it; a column that could must
+    * be shifted by the caller first.
     */
   def withGlobalRunningMax(df: DataFrame, orderCols: Seq[String],
       valueCol: String, out: String = "running_max"): DataFrame = {

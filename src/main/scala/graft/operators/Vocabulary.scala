@@ -59,7 +59,10 @@ object Vocabulary {
       s"coverage must be in (0, 1], got $coverage")
     val dict = dictionary(df, textCol)
     val withCum = Packing.withGlobalOffsets(dict, Seq("vid"), "freq")
-    val total = dict.agg(sum(col("freq")).as("__total"))
+    // total over the frame withGlobalOffsets already persisted — summing
+    // `dict` directly would rebuild the whole tokenize+count aggregate a
+    // second time just for one scalar
+    val total = withCum.agg(sum(col("freq")).as("__total"))
     withCum.crossJoin(broadcast(total))
       .filter(col("offset").cast("double") <
         lit(coverage) * col("__total").cast("double"))

@@ -430,18 +430,14 @@ object Cleaning {
     */
   private val fixMojibake = QueryDef(
     (s, dir) => {
-      val bad = new String(
-        mojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.charset.Charset.forName("windows-1252"))
+      val bad = TextFunctions.mojibakeOf(mojiClean)
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextFunctions.fixMojibake(concat(col("text"), lit(bad))).as("text"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .orderBy("doc_id")
     }, {
-      val bad = new String(
-        mojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.charset.Charset.forName("windows-1252"))
+      val bad = TextFunctions.mojibakeOf(mojiClean)
       val chain = TextFunctions.mojibakeTable.foldLeft(
         s"text || '$bad'") { case (acc, (b, g)) => s"replace($acc, '$b', '$g')" }
       s"""SELECT doc_id, $chain AS text, CAST(length($chain) AS BIGINT) AS n_chars

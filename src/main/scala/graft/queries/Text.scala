@@ -2459,9 +2459,10 @@ object Text {
             "q2" -> "customer stream window",
             "q3" -> "vector data fast"), topK = 10)
         .orderBy(col("query_id"), desc("score"), col("doc_id")),
-    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+    """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
       |  FROM documents),
-      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |dl AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(len(toks) AS BIGINT) END AS dl FROM d),
       |st AS (SELECT COUNT(*) AS n,
       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
       |  FROM dl),

@@ -405,9 +405,10 @@ object Vector {
       graft.operators.RankFusion.rrf(Seq(sparse, dense), k = 60, topK = 10)
         .orderBy("query_id", "rank")
     },
-    s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+    s"""WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
        |  FROM documents),
-       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |dl AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(len(toks) AS BIGINT) END AS dl FROM d),
        |st AS (SELECT COUNT(*) AS n,
        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
        |  FROM dl),

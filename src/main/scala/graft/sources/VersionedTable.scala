@@ -40,16 +40,23 @@ object VersionedTable {
   /** Write `df` as the next version; returns the committed version
     * number (1-based). Stage-then-rename: concurrent readers see either
     * the previous latest or the complete new version, never a partial.
+    * The staging directory is WRITER-UNIQUE (version + UUID), so two
+    * racing committers never interleave files — the rename decides the
+    * race (directory renames are atomic on HDFS-like stores), the loser
+    * throws, and its orphaned staging is cleaned up before throwing.
     */
   def commit(spark: SparkSession, df: DataFrame, path: String): Long = {
     val next = versions(spark, path).lastOption.getOrElse(0L) + 1
     val fs = fsOf(spark, path)
-    val stage = new Path(s"$path/.staging_v$next")
+    val stage = new Path(
+      s"$path/.staging_v${next}_${java.util.UUID.randomUUID().toString}")
     val target = new Path(s"$path/v$next")
     df.write.mode("overwrite").parquet(stage.toString)
-    if (!fs.rename(stage, target))
+    if (fs.exists(target) || !fs.rename(stage, target)) {
+      fs.delete(stage, true)
       throw new IllegalStateException(
         s"commit of version $next at $path lost a rename race")
+    }
     next
   }
 

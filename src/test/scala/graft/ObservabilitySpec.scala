@@ -52,4 +52,24 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(statusAt(latest + 18 * 3600) == "aging")
     assert(statusAt(latest + 48 * 3600) == "stale")
   }
+
+  test("per-group freshness classifies each stream independently") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, SparkTestSession.sfDir)
+    val latest = events.agg(max("ts")).head.getTimestamp(0)
+      .toInstant.getEpochSecond
+    // age one stream by 20 h, another by 40 h; the rest stay fresh
+    val skewed = events.withColumn("ts",
+      when(col("event_type") === "view", col("ts") - expr("INTERVAL 20 HOURS"))
+        .when(col("event_type") === "error", col("ts") - expr("INTERVAL 40 HOURS"))
+        .otherwise(col("ts")))
+    val got = Freshness.checkPerGroup(skewed, Seq("event_type"), "ts",
+        nowEpochSec = latest + 3600)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(got("view") === "aging")
+    assert(got("error") === "stale")
+    assert(got("click") === "fresh")
+    // same thresholds as the corpus-level check by construction
+    assert(got.values.toSet.subsetOf(Set("fresh", "aging", "stale")))
+  }
 }

@@ -172,9 +172,7 @@ class TextFunctionsSpec extends AnyFunSuite {
   }
 
   test("fixMojibake restores double-encoded text byte-exactly") {
-    import java.nio.charset.{Charset, StandardCharsets}
-    val cp1252 = Charset.forName("windows-1252")
-    def corrupt(s: String) = new String(s.getBytes(StandardCharsets.UTF_8), cp1252)
+    def corrupt(s: String) = graft.functions.TextFunctions.mojibakeOf(s)
     // every table target round-trips, alone and in context
     for ((bad, good) <- graft.functions.TextFunctions.mojibakeTable) {
       val got = one[String](
