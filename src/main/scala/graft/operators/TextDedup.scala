@@ -196,11 +196,16 @@ object TextDedup {
     val nb = gb.agg(count(lit(1)).as("grams_b"))
     val shared = ga.join(gb, Seq("sh"), "left_semi")
       .agg(count(lit(1)).as("shared"))
+    // an EMPTY side carries no n-gram mass: its containment (and, when
+    // both are empty, jaccard) is 0 by convention rather than a 0/0 —
+    // under ANSI mode an unguarded division would abort the whole report
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
     na.crossJoin(broadcast(nb)).crossJoin(broadcast(shared))
-      .withColumn("cont_a_in_b", col("shared").cast("double") / col("grams_a"))
-      .withColumn("cont_b_in_a", col("shared").cast("double") / col("grams_b"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("grams_a") + col("grams_b") - col("shared")))
+      .withColumn("cont_a_in_b", ratio(col("shared"), col("grams_a")))
+      .withColumn("cont_b_in_a", ratio(col("shared"), col("grams_b")))
+      .withColumn("jaccard", ratio(col("shared"),
+        col("grams_a") + col("grams_b") - col("shared")))
   }
 
   /** Per-document n-gram novelty against a reference corpus: of each

@@ -177,4 +177,48 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.operators.RetrievalEval.ndcg(
       emptyRanked, emptyRanked, k = 5).count() == 0)
   }
+
+  test("round-6 additions on empty corpora") {
+    assert(graft.operators.GopherQuality.report(
+      emptyDocs, "doc_id", "text", Seq("the")).count() == 0)
+    assert(graft.operators.LineFilter.c4LineFilter(emptyDocs, "text")
+      .count() == 0)
+    assert(graft.operators.TextDedup.ngramContainmentPairs(
+      emptyDocs, "doc_id", "text", n = 3, minContainment = 0.5).count() == 0)
+    // overlap of an empty side: zero shared, zero grams on that side
+    val ov = graft.operators.TextDedup.corpusOverlap(
+      emptyDocs, someDocs, "text", "text", n = 3).head()
+    assert(ov.getAs[Long]("grams_a") == 0L && ov.getAs[Long]("shared") == 0L)
+    assert(graft.operators.Collocations.bigramLift(
+      emptyDocs, "text", minCount = 1L).count() == 0)
+    assert(graft.operators.Sampling.interleaveBySource(
+      emptyDocs, "doc_id", "source").count() == 0)
+    assert(graft.operators.Vocabulary.coveragePrune(
+      emptyDocs, "text", coverage = 0.9).count() == 0)
+    assert(graft.operators.Sampling.shardManifest(
+      emptyDocs, "doc_id", "text", nShards = 4, weight = lit(1L)).count() == 0)
+    assert(graft.operators.Packing.withGlobalRunningMax(
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), "v").count() == 0)
+    // CDC over an empty change log is the identity
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val got = graft.operators.Cdc.applyChanges(base,
+      Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v"),
+      Seq("k"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+    // fusing a run with an empty run is the identity ranking
+    val run = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "item_id", "rank")
+    val emptyRun =
+      Seq.empty[(String, Long, Int)].toDF("query_id", "item_id", "rank")
+    val fused = graft.operators.RankFusion.rrf(Seq(run, emptyRun))
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(fused == Seq(1L, 2L))
+  }
+
+  test("BM25 against an empty corpus fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Bm25.scoreTopK(emptyDocs, "doc_id", "text",
+        Seq("q" -> "anything"))
+    }
+  }
 }
