@@ -289,6 +289,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("BM25: query frame broadcasts; top-k is the native heap, no corpus sort") {
+    val p = plan("q190_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TopKPerGroup"), p.take(3000))
+  }
+
+  test("CDC apply: latest-change is one aggregate, no per-key window") {
+    val p = plan("q193_cdc_apply")
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("histogram sketch: bins aggregate two-phase before any exchange") {
+    val p = plan("q185_hist_quantiles")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("lateness audit: running max windows are sharded, never global") {
+    val p = plan("q188_late_events")
+    assert(!p.contains("SinglePartition) windowspecdefinition"), p.take(3000))
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val sharded = "windowspecdefinition\\(graft_\\w+_shard".r.findAllIn(p).size
+    assert(specs > 0 && specs == sharded, s"$specs specs, $sharded sharded")
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
