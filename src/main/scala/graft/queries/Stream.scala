@@ -276,7 +276,54 @@ object Stream {
       |    ELSE 'stale' END AS status
       |FROM aged ORDER BY event_type""".stripMargin)
 
+  /** q195: conversation assembly (Conversations.assemble) — per-user
+    * event streams cut into chat-style conversations at a 30-minute gap,
+    * with role alternation / opens-with-user validation and the flattened
+    * transcript (roles derived from event type: view/click = user, the
+    * rest = assistant). The oracle replays the session cut (q55's rule),
+    * the lag-based alternation flag, and the ordered string_agg.
+    */
+  private val conversations = QueryDef(
+    (s, dir) =>
+      graft.operators.Conversations.assemble(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          role = when(col("event_type").isin("view", "click"), "user")
+            .otherwise("assistant"),
+          content = col("event_type"),
+          gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_no"),
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+      |      ELSE 'assistant' END AS role,
+      |    event_type AS content,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |      ELSE 0 END AS cut
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(SUM(cut) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS session_no
+      |  FROM t),
+      |d AS (
+      |  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_no
+      |      ORDER BY ts, event_id) = role THEN 1 ELSE 0 END AS dup
+      |  FROM s)
+      |SELECT user_id, session_no, COUNT(*) AS n_turns,
+      |  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_user_turns,
+      |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_assistant_turns,
+      |  SUM(dup) = 0 AS alternation_ok,
+      |  FIRST(role ORDER BY ts, event_id) = 'user' AS starts_with_user,
+      |  string_agg(role || ':' || content, ' | ' ORDER BY ts, event_id)
+      |    AS transcript
+      |FROM d GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q195_conversations" -> conversations,
     "q192_freshness" -> freshness,
     "q188_late_events" -> lateEvents,
     "q102_stream_enrich" -> streamEnrich,

@@ -2498,7 +2498,36 @@ object Text {
       |  FROM scored)
       |WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin)
 
+  /** q196: preference-pair construction (PreferencePairs.pairByScore) —
+    * per source, the i-th longest document chosen against the i-th
+    * shortest at margin ≥ 1 character, mirror tie-breaks guaranteeing
+    * disjoint sides. The oracle replays both rank orders and the join.
+    */
+  private val preferencePairs = QueryDef(
+    (s, dir) =>
+      graft.operators.PreferencePairs.pairByScore(
+          Tables.documents(s, dir), "doc_id", "source",
+          col("n_chars").cast("double"), minMargin = 1.0)
+        .orderBy("source", "pos"),
+    """WITH scored AS (
+      |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents),
+      |b AS (SELECT source, doc_id, s,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY s DESC, doc_id ASC) AS BIGINT) AS pos,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM scored),
+      |w AS (SELECT source, doc_id, s,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY s ASC, doc_id DESC) AS BIGINT) AS pos
+      |  FROM scored)
+      |SELECT b.source, b.pos, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+      |  b.s AS chosen_score, w.s AS rejected_score, b.s - w.s AS margin
+      |FROM b JOIN w ON b.source = w.source AND b.pos = w.pos
+      |WHERE b.pos <= FLOOR(n / 2) AND b.s - w.s >= 1.0
+      |ORDER BY b.source, b.pos""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q196_preference_pairs" -> preferencePairs,
     "q190_bm25" -> bm25,
     "q189_shard_manifest" -> shardManifest,
     "q187_pii_report" -> piiReport,
