@@ -56,31 +56,14 @@ object Curriculum {
     */
   def withGlobalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val shard = "graft_cur_shard"
-    val sharded = df.repartitionByRange(orderCols.map(col): _*)
-      .withColumn(shard, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ShardCaches.register(sharded)
-    val shardCounts = sharded.groupBy(shard).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = shardCounts.values.sum
-    val maxShard = if (shardCounts.isEmpty) -1 else shardCounts.keys.max
-    val prefix = new Array[Long](maxShard + 1)
-    var acc = 0L
-    var p = 0
-    while (p <= maxShard) {
-      prefix(p) = acc
-      acc += shardCounts.getOrElse(p, 0L)
-      p += 1
-    }
-    val prefixLookup: Column =
-      if (maxShard < 0) lit(0L)
-      else element_at(
-        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
-        col(shard))
+    // shared two-phase scaffolding (persist pin, cache registration,
+    // prefix fold) lives in ShardedScan; counts scan, row_number ranks
+    val s = ShardedScan.prefix(df, orderCols, shard, count(lit(1)), 0L, _ + _)
     val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
-    sharded
-      .withColumn("rank", prefixLookup + row_number().over(withinShard).cast("long"))
-      .withColumn("total", lit(total))
+    s.frame
+      .withColumn("rank",
+        s.prefixLookup + row_number().over(withinShard).cast("long"))
+      .withColumn("total", lit(s.folded))
       .drop(shard)
   }
 

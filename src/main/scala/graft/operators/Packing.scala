@@ -37,49 +37,24 @@ object Packing {
   def withGlobalOffsets(df: DataFrame, orderCols: Seq[String],
       weightCol: String): DataFrame = {
     val shard = "graft_pack_shard"
-    // persisted: phase 1 (shard totals) and phase 2 (per-shard windows) both
-    // read the same materialized shards — one corpus scan, and the shard
-    // boundaries the prefix map was built from are bitwise the ones the
-    // window phase sees. The cache backs the RETURNED frame, so it cannot be
-    // released here; it is registered so Curriculum.releaseCaches (or an
-    // external clearCache, which the registry self-prunes after) reclaims
-    // it once the packed result is fully consumed. NOTE releaseCaches is a
-    // session-wide sweep over every prefix-sum cache: calling it with a
-    // packed/ranked result still PENDING recomputes that result over
-    // freshly-sampled shard boundaries (inconsistent offsets) — consume
-    // all such results first, as its scaladoc requires
-    val sharded = df.repartitionByRange(orderCols.map(col): _*)
-      .withColumn(shard, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ShardCaches.register(sharded)
-    // one row per shard — driver state the size of the shard count, the
-    // same scale class as a broadcast build side or IVF centroid set
-    // cast BEFORE summing, matching the within-shard window below — casting
-    // the sum instead would make fractional weights contribute to the next
-    // shard's prefix but not to their own shard's running totals, producing
-    // partitioning-dependent offsets
-    val shardSums = sharded.groupBy(shard)
-      .agg(sum(col(weightCol).cast("long")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxShard = if (shardSums.isEmpty) -1 else shardSums.keys.max
-    val prefix = new Array[Long](maxShard + 1)
-    var acc = 0L
-    var p = 0
-    while (p <= maxShard) {
-      prefix(p) = acc
-      acc += shardSums.getOrElse(p, 0L)
-      p += 1
-    }
-    val prefixLookup: Column =
-      if (maxShard < 0) lit(0L)
-      else element_at(
-        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
-        col(shard))
+    // shared two-phase scaffolding (persist-as-correctness-pin, cache
+    // registration, prefix fold) lives in ShardedScan; NOTE releaseCaches
+    // is a session-wide sweep over every prefix-scan cache: calling it
+    // with a packed/ranked result still PENDING recomputes that result
+    // over freshly-sampled shard boundaries (inconsistent offsets) —
+    // consume all such results first, as its scaladoc requires.
+    // cast BEFORE summing, matching the within-shard window below —
+    // casting the sum instead would make fractional weights contribute to
+    // the next shard's prefix but not to their own shard's running
+    // totals, producing partitioning-dependent offsets
+    val s = ShardedScan.prefix(df, orderCols, shard,
+      sum(col(weightCol).cast("long")), 0L, _ + _)
     val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    sharded
+    s.frame
       .withColumn("offset",
-        prefixLookup + coalesce(sum(col(weightCol).cast("long")).over(withinShard), lit(0L)))
+        s.prefixLookup +
+          coalesce(sum(col(weightCol).cast("long")).over(withinShard), lit(0L)))
       .drop(shard)
   }
 
@@ -104,36 +79,17 @@ object Packing {
   def withGlobalRunningMax(df: DataFrame, orderCols: Seq[String],
       valueCol: String, out: String = "running_max"): DataFrame = {
     val shard = "graft_rmax_shard"
-    val sharded = df.repartitionByRange(orderCols.map(col): _*)
-      .withColumn(shard, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ShardCaches.register(sharded)
-    val shardMax = sharded.groupBy(shard)
-      .agg(max(col(valueCol).cast("long")).as("m"))
-      .collect().map(r => r.getInt(0) ->
-        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
-    val maxShard = if (shardMax.isEmpty) -1 else shardMax.keys.max
-    // exclusive prefix max per shard; MinValue = "nothing before"
-    val prefix = new Array[Long](maxShard + 1)
-    var acc = Long.MinValue
-    var p = 0
-    while (p <= maxShard) {
-      prefix(p) = acc
-      acc = math.max(acc, shardMax.getOrElse(p, Long.MinValue))
-      p += 1
-    }
-    val prefixLookup: Column =
-      if (maxShard < 0) lit(Long.MinValue)
-      else element_at(
-        map((0 to maxShard).flatMap(i => Seq(lit(i), lit(prefix(i)))): _*),
-        col(shard))
+    // MinValue = "nothing before" (running max's identity); the combined
+    // exclusive max folds the shard prefix with the within-shard window
+    val s = ShardedScan.prefix(df, orderCols, shard,
+      max(col(valueCol).cast("long")), Long.MinValue, math.max)
     val withinShard = Window.partitionBy(shard).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val combined = greatest(
       coalesce(max(col(valueCol).cast("long")).over(withinShard),
         lit(Long.MinValue)),
-      prefixLookup)
-    sharded
+      s.prefixLookup)
+    s.frame
       .withColumn(out,
         when(combined === Long.MinValue, lit(null).cast("long"))
           .otherwise(combined))

@@ -187,9 +187,18 @@ object TextDedup {
   def corpusOverlap(a: DataFrame, b: DataFrame, textColA: String,
       textColB: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    def gramSet(df: DataFrame, c: String) =
-      df.select(explode(ColumnBridge.column(graft.expressions.ShingleHashes(
-        ColumnBridge.expression(col(c)), n))).as("sh")).distinct()
+    // each side's distinct-gram set feeds TWO branches (its own count and
+    // the shared semi-join) — persist the vocabulary-sized sets so the
+    // corpus-scale tokenize+explode+distinct pass runs once per side
+    // (same discipline as intersectionPairs); registered for release
+    def gramSet(df: DataFrame, c: String) = {
+      val g = df.select(explode(ColumnBridge.column(graft.expressions
+        .ShingleHashes(ColumnBridge.expression(col(c)), n))).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ShardCaches.register(g)
+      g
+    }
     val ga = gramSet(a, textColA)
     val gb = gramSet(b, textColB)
     val na = ga.agg(count(lit(1)).as("grams_a"))

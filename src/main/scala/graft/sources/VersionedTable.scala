@@ -52,7 +52,15 @@ object VersionedTable {
       s"$path/.staging_v${next}_${java.util.UUID.randomUUID().toString}")
     val target = new Path(s"$path/v$next")
     df.write.mode("overwrite").parquet(stage.toString)
-    if (fs.exists(target) || !fs.rename(stage, target)) {
+    val renamed = !fs.exists(target) && fs.rename(stage, target)
+    // Hadoop rename(src, dst) with dst an EXISTING directory moves src
+    // INSIDE dst and reports true — a race loser on HDFS-like stores
+    // would "succeed" while its snapshot sat hidden under the winner's
+    // version. Detect that by probing for our (unique) staging name
+    // nested in the target; clean up whichever orphan exists and throw.
+    val nested = new Path(target, stage.getName)
+    if (!renamed || fs.exists(nested)) {
+      fs.delete(nested, true)
       fs.delete(stage, true)
       throw new IllegalStateException(
         s"commit of version $next at $path lost a rename race")
