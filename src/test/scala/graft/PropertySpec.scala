@@ -266,4 +266,85 @@ class PropertySpec extends AnyFunSuite {
       assert(fps(0).intersect(fps(1)).nonEmpty, s"a=$a b=$b")
     }
   }
+
+  test("property: global running max equals the sequential exclusive scan") {
+    val genVals = Gen.listOfN(60, Gen.chooseNum(-1000L, 1000L))
+    forAll(genVals, n = 8) { vals =>
+      whenever(vals.nonEmpty) {
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v").repartition(5)
+        val got = graft.operators.Packing
+          .withGlobalRunningMax(df, Seq("id"), "v")
+          .select("id", "running_max").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        var acc = Option.empty[Long]
+        vals.zipWithIndex.foreach { case (v, i) =>
+          assert(got(i.toLong) === acc, s"at $i of $vals")
+          acc = Some(acc.fold(v)(math.max(_, v)))
+        }
+      }
+    }
+  }
+
+  test("property: CDC apply equals a driver-side fold of the change log") {
+    val genOps = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0L, 9L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(0, 999)
+    } yield (k, op, v))
+    forAll(genOps, n = 8) { ops =>
+      val base = (0L to 4L).map(k => (k, s"base$k")).toDF("k", "v")
+      val changes = ops.zipWithIndex
+        .map { case ((k, op, v), i) => (k, i.toLong, op, s"c$v") }
+        .toDF("k", "seq", "op", "v")
+      val got = graft.operators.Cdc.applyChanges(base, changes, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: replay the log in seq order over a mutable map
+      val ref = scala.collection.mutable.Map((0L to 4L).map(k => k -> s"base$k"): _*)
+      ops.zipWithIndex.foreach { case ((k, op, v), _) =>
+        if (op == "D") ref.remove(k) else ref(k) = s"c$v"
+      }
+      assert(got === ref.toMap, s"ops=$ops")
+    }
+  }
+
+  test("property: histogram quantile estimate within one bin width of exact") {
+    val genVals = Gen.listOfN(300, Gen.chooseNum(0.0, 100.0))
+    forAll(genVals, n = 6) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 3, v) }
+        .toDF("shard", "x")
+      val merged = graft.operators.HistogramSketch.merge(
+        graft.operators.HistogramSketch.sketch(df, "shard", "x", 0.0, 100.0, 20))
+      val est = graft.operators.HistogramSketch
+        .quantiles(merged, Seq(0.5, 0.95), 0.0, 100.0, 20)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = vals.sorted
+      def exact(q: Double) = sorted(math.min(
+        math.ceil(q * vals.size).toInt - 1, vals.size - 1))
+      assert(math.abs(est(0.5) - exact(0.5)) <= 5.0 + 1e-9)
+      assert(math.abs(est(0.95) - exact(0.95)) <= 5.0 + 1e-9)
+    }
+  }
+
+  test("property: RRF fused output equals the brute-force formula") {
+    val genRun = Gen.listOfN(12, Gen.chooseNum(1L, 20L)).map(_.distinct)
+    val genPair = for { a <- genRun; b <- genRun } yield (a, b)
+    forAll(genPair, n = 6) { case (a, b) =>
+      whenever(a.nonEmpty && b.nonEmpty) {
+        def run(items: List[Long]) = items.zipWithIndex
+          .map { case (it, i) => ("q", it, i + 1) }
+          .toDF("query_id", "item_id", "rank")
+        val got = graft.operators.RankFusion.rrf(Seq(run(a), run(b)),
+          k = 60, topK = 100)
+          .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        val want = (a ++ b).distinct.map { it =>
+          val ta = a.indexOf(it) match { case -1 => 0.0; case i => 1.0 / (60.0 + (i + 1)) }
+          val tb = b.indexOf(it) match { case -1 => 0.0; case i => 1.0 / (60.0 + (i + 1)) }
+          it -> (ta + tb)
+        }.toMap
+        assert(got === want, s"a=$a b=$b")
+      }
+    }
+  }
 }
