@@ -322,7 +322,65 @@ object Stream {
       |FROM d GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin)
 
+  /** SFT loss-mask spans (§2.10 fine-tuning prep): the q195 turn stream
+    * annotated with token-offset segments and the assistant-only loss
+    * weight a trainer applies per span. Deterministic integer arithmetic
+    * end to end (hash-aligned token counts + window prefix sums), so the
+    * oracle replays it exactly. Gated on a ~1%-of-users slice (user_id %
+    * 97 = 0): the windows are per-user, so the slice changes no kept
+    * user's spans, and the dump stays bounded (turn-level output is
+    * corpus-sized unsliced).
+    */
+  private val sftMasks = QueryDef(
+    (s, dir) =>
+      graft.operators.SftMasks.lossMaskSpans(
+          Tables.events(s, dir).filter(pmod(col("user_id"), lit(97)) === 0),
+          "user_id", "ts", "event_id",
+          role = when(col("event_type").isin("view", "click"), "user")
+            .otherwise("assistant"),
+          content = concat(col("event_type"), lit(" "), col("props")),
+          gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_no", "turn_idx"),
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+      |      ELSE 'assistant' END AS role,
+      |    CAST(len(list_filter(
+      |      string_split_regex(event_type || ' ' || props, '[ \t\n\r]+'),
+      |      t -> t != '')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+      |      ELSE 0 END AS cut
+      |  FROM events WHERE user_id % 97 = 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(SUM(cut) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS session_no
+      |  FROM e)
+      |SELECT user_id, session_no,
+      |  CAST(row_number() OVER ws AS BIGINT) AS turn_idx, role, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id, session_no
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS seg_start,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id, session_no
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens
+      |    AS BIGINT) AS seg_end,
+      |  CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INTEGER)
+      |    AS loss_weight,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY user_id, session_no)
+      |    AS BIGINT) AS example_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN n_tokens END)
+      |    OVER (PARTITION BY user_id, session_no), 0) AS BIGINT)
+      |    AS loss_tokens
+      |FROM s WINDOW ws AS (PARTITION BY user_id, session_no
+      |  ORDER BY ts, event_id)
+      |ORDER BY user_id, session_no, turn_idx""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q197_sft_masks" -> sftMasks,
     "q195_conversations" -> conversations,
     "q192_freshness" -> freshness,
     "q188_late_events" -> lateEvents,

@@ -1424,32 +1424,149 @@ object Text {
     * partition order (~ulp drift); LogisticQualitySpec verifies learning
     * (loss descent, holdout accuracy) instead.
     */
-  private val logisticScore: QueryDef = {
-    val dim = 64
-    val bias = 0.25
-    val w = Array.tabulate(dim)(j => ((j * 37 + 11) % 101 - 50) / 100.0)
-    val wSql = w.map(_.toString).mkString("[", ", ", "]")
-    QueryDef(
-      (s, dir) =>
-        graft.operators.LogisticQuality.logits(
-          Tables.documents(s, dir), "doc_id", "text",
-          graft.operators.LogisticQuality.Model(1, w, bias))
-          .orderBy("doc_id"),
-      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-         |              FROM documents WHERE trim(text) != ''),
-         |feat AS (SELECT doc_id, u.pos AS pos,
-         |           CAST('0x' || substring(md5(u.g), 1, 8) AS BIGINT) % $dim AS b
-         |         FROM (SELECT doc_id,
-         |                 unnest([struct_pack(pos := i, g := t[i]) for i in range(1, len(t) + 1)]) AS u
-         |               FROM toks)),
-         |wl AS (SELECT doc_id, pos, (CAST($wSql AS DOUBLE[]))[b + 1] AS w
-         |       FROM feat),
-         |agg AS (SELECT doc_id, list_sum(list(w ORDER BY pos)) AS s, COUNT(*) AS n
-         |        FROM wl GROUP BY doc_id)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_features,
-         |  $bias + s / n AS logit, ($bias + s / n) > 0 AS pred
-         |FROM agg ORDER BY doc_id""".stripMargin)
+  // the FIXED q158 scoring model (training is spec-verified; scoring with
+  // fixed weights is oracle-exact) — shared with the calibration gates so
+  // the two can never disagree about the model
+  private val logitDim = 64
+  private val logitBias = 0.25
+  private val logitW =
+    Array.tabulate(logitDim)(j => ((j * 37 + 11) % 101 - 50) / 100.0)
+
+  /** DuckDB replay of `LogisticQuality.logits` under the fixed model:
+    * CTE chain ending in `lg(doc_id, lang, n_features, logit)`.
+    */
+  private val logitCte: String = {
+    val wSql = logitW.map(_.toString).mkString("[", ", ", "]")
+    s"""toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+       |              FROM documents WHERE trim(text) != ''),
+       |feat AS (SELECT doc_id, lang, u.pos AS pos,
+       |           CAST('0x' || substring(md5(u.g), 1, 8) AS BIGINT) % $logitDim AS b
+       |         FROM (SELECT doc_id, lang,
+       |                 unnest([struct_pack(pos := i, g := t[i]) for i in range(1, len(t) + 1)]) AS u
+       |               FROM toks)),
+       |wl AS (SELECT doc_id, lang, pos, (CAST($wSql AS DOUBLE[]))[b + 1] AS w
+       |       FROM feat),
+       |agg AS (SELECT doc_id, any_value(lang) AS lang,
+       |          list_sum(list(w ORDER BY pos)) AS s, COUNT(*) AS n
+       |        FROM wl GROUP BY doc_id),
+       |lg AS (SELECT doc_id, lang, CAST(n AS BIGINT) AS n_features,
+       |         $logitBias + s / n AS logit
+       |       FROM agg)""".stripMargin
   }
+
+  private val logisticScore: QueryDef = QueryDef(
+    (s, dir) =>
+      graft.operators.LogisticQuality.logits(
+        Tables.documents(s, dir), "doc_id", "text",
+        graft.operators.LogisticQuality.Model(1, logitW, logitBias))
+        .orderBy("doc_id"),
+    s"""WITH $logitCte
+       |SELECT doc_id, n_features, logit, logit > 0 AS pred
+       |FROM lg ORDER BY doc_id""".stripMargin)
+
+  // 7 fixed logit-space bins spanning the fixed model's observed score
+  // range (~[0, 0.35]); end bins clamp outliers, so every scored row is
+  // accounted for even if a future corpus widens the range
+  private val calEdges =
+    Array(0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35)
+
+  private def calScored(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.LogisticQuality.logits(
+        Tables.documents(s, dir), "doc_id", "text",
+        graft.operators.LogisticQuality.Model(1, logitW, logitBias))
+      // label ride-along: a key-equi self-join the optimizer co-partitions
+      // (at corpus scale this is the standard enrich shape; the logits
+      // frame carries only (id, score), never text)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+
+  /** The bin CASE + per-bin literal-array SQL shared by q198/q199 —
+    * generated from the SAME `calEdges`/sigmoid midpoints the Spark side
+    * uses, so the two engines see identical doubles.
+    */
+  private val calRelCte: String = {
+    val nBins = calEdges.length - 1
+    val binCase = (1 until nBins)
+      .map(i => s"WHEN logit < ${calEdges(i)} THEN ${i - 1}")
+      .mkString("CASE ", " ", s" ELSE ${nBins - 1} END")
+    val lo = calEdges.dropRight(1).map(_.toString).mkString("[", ", ", "]")
+    val hi = calEdges.drop(1).map(_.toString).mkString("[", ", ", "]")
+    val conf = calEdges.dropRight(1).zip(calEdges.drop(1))
+      .map { case (a, b) => (1.0 / (1.0 + math.exp(-(a + b) / 2.0))).toString }
+      .mkString("[", ", ", "]")
+    s"""$logitCte,
+       |binned AS (SELECT CAST($binCase AS INTEGER) AS bin,
+       |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |           FROM lg),
+       |rel AS (SELECT bin,
+       |          (CAST($lo AS DOUBLE[]))[bin + 1] AS bin_lo,
+       |          (CAST($hi AS DOUBLE[]))[bin + 1] AS bin_hi,
+       |          (CAST($conf AS DOUBLE[]))[bin + 1] AS conf,
+       |          COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives
+       |        FROM binned GROUP BY bin)""".stripMargin
+  }
+
+  /** Reliability table of the fixed quality classifier against the
+    * lang='en' label (§2.10 corpus analytics): per logit bin, count,
+    * positives, empirical positive rate vs the model's midpoint
+    * confidence. Bin midpoint sigmoids are driver-computed literals —
+    * no in-engine transcendental, so the table is oracle-exact.
+    */
+  private val calibration = QueryDef(
+    (s, dir) =>
+      graft.operators.Calibration.reliability(
+          calScored(s, dir), "logit", col("lang") === "en", calEdges)
+        .orderBy("bin"),
+    s"""WITH $calRelCte
+       |SELECT bin, bin_lo, bin_hi, conf, n, positives,
+       |  CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+       |FROM rel ORDER BY bin""".stripMargin)
+
+  /** Tokenizer fertility audit (§2.10 tokenization): per (lang, source),
+    * subwords-per-word and bytes-per-subword from exact integer sums —
+    * the table read when validating a tokenizer against a multilingual
+    * corpus mix. One scan, slice-cardinality output.
+    */
+  private val fertility = QueryDef(
+    (s, dir) =>
+      graft.operators.TokenizerAudit.fertility(
+          Tables.documents(s, dir), Seq("lang", "source"), "text")
+        .orderBy("lang", "source"),
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS words,
+      |  CAST(SUM(s) AS BIGINT) AS subwords,
+      |  CAST(SUM(b) AS BIGINT) AS bytes,
+      |  CAST(SUM(s) AS DOUBLE) / CAST(NULLIF(SUM(w), 0) AS DOUBLE)
+      |    AS fertility,
+      |  CAST(SUM(b) AS DOUBLE) / CAST(NULLIF(SUM(s), 0) AS DOUBLE)
+      |    AS bytes_per_subword
+      |FROM (
+      |  SELECT lang, source,
+      |    len(list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |      t -> t != '')) AS w,
+      |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+      |      + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]')) AS s,
+      |    octet_length(encode(text)) AS b
+      |  FROM documents)
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin)
+
+  /** Expected calibration error condensed from the q198 table: one row
+    * (n_total, ece), the number a pipeline gate thresholds before
+    * trusting the classifier's probabilities as admission rates. The
+    * weighted-gap sum folds bins IN BIN ORDER on both engines.
+    */
+  private val eceGate = QueryDef(
+    (s, dir) =>
+      graft.operators.Calibration.ece(
+        graft.operators.Calibration.reliability(
+          calScored(s, dir), "logit", col("lang") === "en", calEdges)),
+    s"""WITH $calRelCte
+       |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       |  list_sum(list(
+       |      abs(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) - conf)
+       |        * CAST(n AS DOUBLE) ORDER BY bin))
+       |    / CAST(SUM(n) AS DOUBLE) AS ece
+       |FROM rel""".stripMargin)
 
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
@@ -2598,6 +2715,9 @@ object Text {
     "q123_incremental_dedup" -> incrementalDedup,
     "q124_dsir_score" -> dsirScore,
     "q158_logistic_score" -> logisticScore,
+    "q198_calibration" -> calibration,
+    "q199_ece" -> eceGate,
+    "q200_fertility" -> fertility,
     "q160_length_batches" -> lengthBatches,
     "q125_dsir_select" -> dsirSelect,
     "q126_epoch_upsample" -> epochUpsample,
