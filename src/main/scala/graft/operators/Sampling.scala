@@ -341,6 +341,37 @@ object Sampling {
       .drop("__base")
   }
 
+  /** Effective-epoch audit over an [[allocateBudget]] allocation — the
+    * over-repetition risk table of a data recipe (Muennighoff et al.,
+    * NeurIPS'23 "Scaling Data-Constrained Language Models": value decays
+    * past ~4 epochs of reuse). An allocation charges each source
+    * `alloc` tokens against `w` available, so the recipe implicitly
+    * trains `alloc / w` epochs of that source; this reports those
+    * effective epochs, flags sources past `maxEpochs`, and shows the
+    * capped allocation (`min(alloc, ⌊maxEpochs·w⌋)`) plus the budget
+    * mass the cap would surrender. Surrendered mass is REPORTED, not
+    * silently reallocated — redistribution changes the recipe and is the
+    * owner's call (rerun [[allocateBudget]] on the uncapped sources).
+    *
+    * Pure projection over the group-cardinality allocation frame —
+    * correctly-rounded double ops only (divide, multiply, floor), so the
+    * audit is bit-deterministic and oracle-replayable.
+    */
+  def epochAudit(alloc: DataFrame, groupCol: String,
+      maxEpochs: Double): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val capped = least(col("alloc"),
+      floor(lit(maxEpochs) * col("w").cast("double")).cast("long"))
+    alloc.select(col(groupCol), col("w"), col("alloc"),
+        (col("alloc").cast("double") /
+          nullif(col("w"), lit(0L)).cast("double")).as("epochs"))
+      .withColumn("over_cap",
+        coalesce(col("epochs") > maxEpochs, lit(false)))
+      .withColumn("capped_alloc",
+        when(col("w") > 0, capped).otherwise(lit(0L)))
+      .withColumn("surrendered", col("alloc") - col("capped_alloc"))
+  }
+
   /** Proportional budget allocation across sources by largest remainder
     * (Hamilton's method): split a total `budget` (tokens) over the groups
     * of `groupCol` proportionally to their summed `weight`, exactly —

@@ -2172,12 +2172,12 @@ object Text {
     * replay bitwise in the oracle; SamplingSpec pins the exact-sum and
     * proportionality invariants.
     */
-  private val budgetAllocation = QueryDef(
-    (s, dir) =>
-      graft.operators.Sampling.allocateBudget(
-        Tables.documents(s, dir), "source", col("n_chars").cast("long"), 100000L)
-        .orderBy("source"),
-    """WITH totals AS (
+  /** DuckDB replay of `Sampling.allocateBudget(documents, source,
+    * n_chars, 100000)` — CTE chain ending in
+    * `a(source, w, share, base_alloc, alloc)`; shared by q170/q201.
+    */
+  private val allocCte: String =
+    """totals AS (
       |  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
       |  FROM documents GROUP BY source),
       |g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n FROM totals),
@@ -2193,11 +2193,48 @@ object Text {
       |      FROM sh),
       |l AS (SELECT 100000 - SUM(base_alloc) AS leftover FROM b),
       |r AS (SELECT source, w, share, base_alloc,
-      |        ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk FROM b)
-      |SELECT source, w, share, base_alloc,
-      |  CAST(base_alloc + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
-      |    AS alloc
-      |FROM r, l ORDER BY source""".stripMargin)
+      |        ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk FROM b),
+      |a AS (SELECT source, w, share, base_alloc,
+      |        CAST(base_alloc + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+      |          AS BIGINT) AS alloc
+      |      FROM r, l)""".stripMargin
+
+  private val budgetAllocation = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.allocateBudget(
+        Tables.documents(s, dir), "source", col("n_chars").cast("long"), 100000L)
+        .orderBy("source"),
+    s"""WITH $allocCte
+       |SELECT source, w, share, base_alloc, alloc FROM a
+       |ORDER BY source""".stripMargin)
+
+  /** Effective-epoch / over-repetition audit of the q170 recipe (§2.10
+    * sampling): epochs = alloc/w per source, the >4-epoch flag, and the
+    * capped allocation + surrendered budget mass. Pure projection over
+    * the allocation frame; every op correctly rounded, so oracle-exact.
+    */
+  private val epochAudit = QueryDef(
+    (s, dir) =>
+      graft.operators.Sampling.epochAudit(
+          graft.operators.Sampling.allocateBudget(
+            Tables.documents(s, dir), "source",
+            col("n_chars").cast("long"), 100000L),
+          "source", maxEpochs = 4.0)
+        .orderBy("source"),
+    s"""WITH $allocCte
+       |SELECT source, w, alloc,
+       |  CAST(alloc AS DOUBLE) / CAST(NULLIF(w, 0) AS DOUBLE) AS epochs,
+       |  COALESCE(CAST(alloc AS DOUBLE) / CAST(NULLIF(w, 0) AS DOUBLE)
+       |    > CAST('4.0' AS DOUBLE), FALSE) AS over_cap,
+       |  CAST(CASE WHEN w > 0 THEN LEAST(alloc,
+       |      CAST(FLOOR(CAST('4.0' AS DOUBLE) * CAST(w AS DOUBLE))
+       |        AS BIGINT))
+       |    ELSE 0 END AS BIGINT) AS capped_alloc,
+       |  CAST(alloc - (CASE WHEN w > 0 THEN LEAST(alloc,
+       |      CAST(FLOOR(CAST('4.0' AS DOUBLE) * CAST(w AS DOUBLE))
+       |        AS BIGINT))
+       |    ELSE 0 END) AS BIGINT) AS surrendered
+       |FROM a ORDER BY source""".stripMargin)
 
   /** q173: the composed data recipe — allocate a 50k-token budget across
     * sources by token mass (q170's Hamilton allocation), then cut each
@@ -2653,6 +2690,7 @@ object Text {
     "q182_split_leakage" -> splitLeakage,
     "q173_budgeted_mixture" -> budgetedMixture,
     "q170_budget_allocation" -> budgetAllocation,
+    "q201_epoch_audit" -> epochAudit,
     "q167_cdc_chunks" -> cdcChunks,
     "q166_oov_rate" -> oovRate,
     "q165_canonical_pick" -> canonicalPick,

@@ -153,6 +153,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 100L)
   }
 
+  test("epochAudit: epochs ratio, cap flag, capped alloc and surrendered mass") {
+    // a: alloc 90 over w=10 → 9 epochs, capped at 4*10=40, surrenders 50
+    // b: alloc 10 over w=90 → ~0.11 epochs, untouched
+    // z: zero availability → epochs NULL, over_cap false, capped 0
+    val alloc = Seq(
+      ("a", 10L, 9.0, 9L, 90L),
+      ("b", 90L, 0.1, 0L, 10L),
+      ("z", 0L, 0.0, 0L, 5L)
+    ).toDF("source", "w", "share", "base_alloc", "alloc")
+    val got = Sampling.epochAudit(alloc, "source", maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Double]("epochs") === 9.0)
+    assert(got("a").getAs[Boolean]("over_cap"))
+    assert(got("a").getAs[Long]("capped_alloc") === 40L)
+    assert(got("a").getAs[Long]("surrendered") === 50L)
+    assert(!got("b").getAs[Boolean]("over_cap"))
+    assert(got("b").getAs[Long]("capped_alloc") === 10L)
+    assert(got("b").getAs[Long]("surrendered") === 0L)
+    assert(got("z").isNullAt(got("z").fieldIndex("epochs")))
+    assert(!got("z").getAs[Boolean]("over_cap"))
+    assert(got("z").getAs[Long]("capped_alloc") === 0L)
+    assert(got("z").getAs[Long]("surrendered") === 5L)
+  }
+
   test("allocateBudget: exact-sum invariant on corpus data and zero-weight guard") {
     val docs = graft.core.Tables.documents(spark, SparkTestSession.sfDir)
     val out = Sampling.allocateBudget(docs, "source", col("n_chars").cast("long"), 12345L)
