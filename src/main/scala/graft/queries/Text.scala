@@ -1568,6 +1568,64 @@ object Text {
        |    / CAST(SUM(n) AS DOUBLE) AS ece
        |FROM rel""".stripMargin)
 
+  /** Exact AUC of the fixed quality classifier against the lang='en'
+    * label (§2.10 corpus analytics) — the threshold-free ranking-power
+    * companion to q198/q199's calibration report. Mann-Whitney midrank
+    * identity over distinct-score levels; the exclusive rank prefix is
+    * the sharded two-phase scan (no single-task funnel), rank sums stay
+    * integral (DECIMAL vs the oracle's HUGEINT) with one final double
+    * division, so the statistic is oracle-exact.
+    */
+  private val aucGate = QueryDef(
+    (s, dir) =>
+      graft.operators.Roc.auc(calScored(s, dir), "logit", col("lang") === "en"),
+    s"""WITH $logitCte,
+       |lv AS (SELECT logit AS score, COUNT(*) AS cnt,
+       |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+       |       FROM lg GROUP BY logit),
+       |o AS (SELECT score, cnt, pos,
+       |        COALESCE(SUM(cnt) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before
+       |      FROM lv)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+       |  CASE WHEN SUM(pos) > 0 AND SUM(cnt - pos) > 0 THEN
+       |    CAST(SUM(pos * (2 * cum_before + cnt + 1))
+       |        - SUM(pos) * (SUM(pos) + 1) AS DOUBLE)
+       |      / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(cnt - pos) AS DOUBLE))
+       |  ELSE NULL END AS auc
+       |FROM o""".stripMargin)
+
+  /** ROC curve points at the q198 reliability-bin thresholds: per bin,
+    * tp/fp and tpr/fpr under "keep when logit ≥ bin lower edge" — the
+    * table read when picking the admission threshold a quality filter
+    * will actually run with. Bins-cardinality ordered fold (same
+    * discipline as ECE), integer counts, double ratios at the end.
+    */
+  private val rocGate = QueryDef(
+    (s, dir) =>
+      graft.operators.Roc.rocPoints(
+          graft.operators.Calibration.reliability(
+            calScored(s, dir), "logit", col("lang") === "en", calEdges))
+        .orderBy("bin"),
+    s"""WITH $calRelCte,
+       |t AS (SELECT CAST(SUM(positives) AS BIGINT) AS p,
+       |        CAST(SUM(n - positives) AS BIGINT) AS ng
+       |      FROM rel),
+       |c AS (SELECT bin, bin_lo AS threshold,
+       |        t.p - COALESCE(SUM(positives) OVER (ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
+       |        t.ng - COALESCE(SUM(n - positives) OVER (ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fp,
+       |        t.p AS p, t.ng AS ng
+       |      FROM rel, t)
+       |SELECT bin, threshold, CAST(tp AS BIGINT) AS tp,
+       |  CAST(fp AS BIGINT) AS fp,
+       |  CAST(tp AS DOUBLE) / CAST(NULLIF(p, 0) AS DOUBLE) AS tpr,
+       |  CAST(fp AS DOUBLE) / CAST(NULLIF(ng, 0) AS DOUBLE) AS fpr
+       |FROM c ORDER BY bin""".stripMargin)
+
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
     * sort. Scores are bitwise reproducible (q124 pins them), so the
@@ -2754,6 +2812,8 @@ object Text {
     "q124_dsir_score" -> dsirScore,
     "q158_logistic_score" -> logisticScore,
     "q198_calibration" -> calibration,
+    "q202_auc" -> aucGate,
+    "q203_roc" -> rocGate,
     "q199_ece" -> eceGate,
     "q200_fertility" -> fertility,
     "q160_length_batches" -> lengthBatches,

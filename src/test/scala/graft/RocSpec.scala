@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Calibration, Roc}
+
+/** Exact-AUC midrank arithmetic (ties, degenerate classes, perfect
+  * separation) and the bin-threshold ROC points, on hand-computed frames.
+  */
+class RocSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def aucOf(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
+    Roc.auc(rows.toDF("score", "y"), "score", col("y")).collect().head
+
+  test("auc: midranks handle cross-class ties") {
+    // pairs: (.2T,.1F)=1, (.2T,.2F)=.5, (.3T,.1F)=1, (.3T,.2F)=1 → 3.5/4
+    val r = aucOf(Seq((0.1, false), (0.2, true), (0.2, false), (0.3, true)))
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
+  test("auc: perfect separation is 1.0, reversed is 0.0") {
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+    assert(aucOf(sep).getAs[Double]("auc") === 1.0)
+    assert(aucOf(sep.map { case (s, y) => (-s, y) }).getAs[Double]("auc") === 0.0)
+  }
+
+  test("auc: undefined (NULL) when a class is empty") {
+    val r = aucOf(Seq((0.1, true), (0.2, true)))
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("rocPoints: descending-threshold cumulative counts and rates") {
+    val scored = Seq(
+      // bin 0 [0,1): n=4 pos=1; bin 1 [1,2): n=3 pos=2; bin 2 [2,3): n=2 pos=2
+      (0.1, true), (0.2, false), (0.3, false), (0.4, false),
+      (1.1, true), (1.2, true), (1.3, false),
+      (2.1, true), (2.2, true)
+    ).toDF("logit", "y")
+    val rel = Calibration.reliability(scored, "logit", col("y"),
+      Array(0.0, 1.0, 2.0, 3.0))
+    val pts = Roc.rocPoints(rel).orderBy("bin").collect()
+    assert(pts.map(r => (r.getAs[Int]("bin"), r.getAs[Double]("threshold"),
+      r.getAs[Long]("tp"), r.getAs[Long]("fp"))).toSeq ===
+      Seq((0, 0.0, 5L, 4L), (1, 1.0, 4L, 1L), (2, 2.0, 2L, 0L)))
+    assert(pts.map(_.getAs[Double]("tpr")).toSeq === Seq(1.0, 0.8, 0.4))
+    assert(pts.map(_.getAs[Double]("fpr")).toSeq === Seq(1.0, 0.25, 0.0))
+  }
+
+  test("rocPoints: empty reliability table yields zero rows") {
+    val rel = Calibration.reliability(
+      Seq.empty[(Double, Boolean)].toDF("logit", "y"), "logit", col("y"),
+      Array(0.0, 1.0))
+    assert(Roc.rocPoints(rel).count() === 0L)
+  }
+}
