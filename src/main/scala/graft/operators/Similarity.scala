@@ -61,6 +61,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for embedding-model training (Karpukhin et al.,
+    * EMNLP'20 DPR; Xiong et al., ICLR'21 ANCE): for each anchor, the k
+    * MOST-similar candidates carrying a DIFFERENT label — the negatives
+    * that actually move a contrastive loss, where random negatives are
+    * trivially separable. Candidates at or above `dupCeiling` cosine are
+    * excluded: that near-duplicate band is where a "negative" is most
+    * likely an unlabeled positive, and training on it poisons the model
+    * (ANCE's false-negative guard).
+    *
+    * Same scale shape as [[knnBruteForce]]: anchors broadcast with
+    * pre-projected norms, one linear corpus scan, label/ceiling filters
+    * applied BEFORE the heap top-k — the corpus never shuffles and no
+    * all-pairs stage exists.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      dupCeiling: Double): DataFrame = {
+    val q = broadcast(withNorm(
+      anchors.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"), col("embedding").as("q_emb")),
+      "q_emb", "q_norm"))
+    val c = withNorm(
+      corpus.select(col("vec_id"), col("label"), col("embedding")),
+      "embedding", "c_norm")
+    val scored = c
+      .join(q, col("query_id") =!= col("vec_id") &&
+        col("q_label") =!= col("label"))
+      .withColumn("cos_sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+      .filter(col("cos_sim") < dupCeiling)
+    rankTopK(scored, k)
+  }
+
   /** All pairs with cosine ≥ threshold, blocked by a partition column (e.g.
     * a label, a shard key, or an LSH bucket): pairs are only formed within a
     * block, so cost is Σ block² instead of corpus².

@@ -41,6 +41,33 @@ object Vector {
        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 
+  /** Hard-negative mining (§2.10 fine-tuning data prep): for the first 10
+    * vectors as anchors, the top-5 most-similar DIFFERENT-label vectors
+    * below the 0.95 near-dup ceiling — the contrastive-training negatives
+    * a DPR-style run would consume. Broadcast anchors, linear scan,
+    * pre-rank filters; cosine folds are bit-identical across engines, so
+    * the ranked set is oracle-exact.
+    */
+  private val hardNegatives = QueryDef(
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(
+        corpus, corpus.filter(col("vec_id") < 10), k = 5, dupCeiling = 0.95)
+        .orderBy("query_id", "rank")
+    },
+    s"""SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ${sqlCosine("q.embedding", "c.embedding")} AS cos_sim
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |        AND q.label <> c.label)
+       |  WHERE cos_sim < 0.95)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
   /** Similar pairs within a block (label): Σ block² cost instead of corpus². */
   private val similarPairs = QueryDef(
     (s, dir) =>
@@ -479,6 +506,7 @@ object Vector {
     "q80_ivf_index" -> ivfIndexQuery,
     "q69_embedding_dup_groups" -> embeddingDupGroups,
     "q51_knn_exact" -> knnExact,
+    "q204_hard_negatives" -> hardNegatives,
     "q52_similar_pairs" -> similarPairs,
     "q53_knn_lsh" -> knnLsh,
     "q54_knn_ivf" -> knnIvf)

@@ -125,4 +125,51 @@ class SimilaritySpec extends AnyFunSuite {
       exact.get((q, n)).foreach(es => assert(math.abs(es - s) < 1e-12))
     }
   }
+
+  test("hardNegatives: different-label only, below the dup ceiling, ranked") {
+    // anchor 0 (label A): same-label 1 excluded; 2 is a near-dup clone
+    // (cos ~1 ≥ 0.9 ceiling) excluded; 3 and 4 rank by cosine
+    val rows = Seq(
+      (0L, "A", Array(1f, 0f)),
+      (1L, "A", Array(0.9f, 0.1f)),
+      (2L, "B", Array(2f, 0f)),
+      (3L, "B", Array(1f, 1f)),
+      (4L, "B", Array(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(
+        rows, rows.filter(col("vec_id") === 0), k = 5, dupCeiling = 0.9)
+      .orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((3L, 1), (4L, 2)))
+  }
+
+  test("hardNegatives agree with an exhaustive driver-side computation") {
+    val all = emb.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    // same fold shape as FloatVecDot: sequential double accumulation,
+    // sqrt(na)*sqrt(nb) denominator — bit-identical to the engine
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = all.filter(_._1 < 5).map { case (qid, ql, qe) =>
+      qid -> all
+        .filter { case (vid, vl, _) => vid != qid && vl != ql }
+        .map { case (vid, _, ve) => (vid, cos(qe, ve)) }
+        .filter(_._2 < 0.95)
+        .sortBy(t => (-t._2, t._1)).take(3).map(_._1).toSeq
+    }.toMap.filter(_._2.nonEmpty)
+    val mined = Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 5), k = 3, dupCeiling = 0.95)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, c) => q -> c.map(_._2).toSeq }
+    assert(mined === expected)
+  }
 }
