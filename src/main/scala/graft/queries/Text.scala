@@ -1626,6 +1626,63 @@ object Text {
        |  CAST(fp AS DOUBLE) / CAST(NULLIF(ng, 0) AS DOUBLE) AS fpr
        |FROM c ORDER BY bin""".stripMargin)
 
+  /** Agreement between the heuristic quality filter (q39's composite
+    * score ≥ 2/3) and the learned classifier (fixed q158 model, logit >
+    * bias) per language — confusion counts plus Cohen's kappa, the
+    * chance-corrected number that says whether the learned filter knows
+    * anything beyond the heuristic's base rate. Integer counts, fixed
+    * double chain, oracle-exact.
+    */
+  private val filterAgreement = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.LogisticQuality.logits(
+          docs, "doc_id", "text",
+          graft.operators.LogisticQuality.Model(1, logitW, logitBias))
+        .join(docs.select("doc_id", "lang", "text"), Seq("doc_id"))
+      graft.operators.FilterAgreement.kappa(
+          scored,
+          qualityScore(col("text"), stopwords) >= 2.0 / 3.0,
+          col("logit") > logitBias,
+          Seq("lang"))
+        .orderBy("lang")
+    },
+    s"""WITH $logitCte,
+       |j AS (SELECT d.lang, d.text, lg.logit
+       |      FROM lg JOIN documents d ON lg.doc_id = d.doc_id),
+       |dec AS (SELECT lang,
+       |    ((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+       |             t -> t IN ('the','a','of','and','data'))) AS DOUBLE)
+       |             / len(string_split(trim(text), ' ')) > 0.0 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+       |             / len(string_split(trim(text), ' ')) BETWEEN 2.0 AND 12.0
+       |        THEN 1.0 ELSE 0.0 END)) / 3.0 >= 2.0/3.0 AS a,
+       |    logit > $logitBias AS b
+       |  FROM j),
+       |c AS (SELECT lang, COUNT(*) AS n,
+       |        SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS both_keep,
+       |        SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS only_a,
+       |        SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS only_b,
+       |        SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS neither
+       |      FROM dec GROUP BY lang),
+       |p AS (SELECT lang, n, both_keep, only_a, only_b, neither,
+       |        CAST(both_keep + neither AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |        CAST(both_keep + only_a AS DOUBLE) / CAST(n AS DOUBLE) AS pa,
+       |        CAST(both_keep + only_b AS DOUBLE) / CAST(n AS DOUBLE) AS pb
+       |      FROM c),
+       |e AS (SELECT lang, n, both_keep, only_a, only_b, neither, po,
+       |        pa * pb + (CAST(1 AS DOUBLE) - pa) * (CAST(1 AS DOUBLE) - pb)
+       |          AS pe
+       |      FROM p)
+       |SELECT lang, CAST(n AS BIGINT) AS n,
+       |  CAST(both_keep AS BIGINT) AS both_keep,
+       |  CAST(only_a AS BIGINT) AS only_a, CAST(only_b AS BIGINT) AS only_b,
+       |  CAST(neither AS BIGINT) AS neither, po, pe,
+       |  CASE WHEN CAST(1 AS DOUBLE) - pe <> 0
+       |    THEN (po - pe) / (CAST(1 AS DOUBLE) - pe) ELSE NULL END AS kappa
+       |FROM e ORDER BY lang""".stripMargin)
+
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
     * sort. Scores are bitwise reproducible (q124 pins them), so the
@@ -2814,6 +2871,7 @@ object Text {
     "q198_calibration" -> calibration,
     "q202_auc" -> aucGate,
     "q203_roc" -> rocGate,
+    "q205_filter_agreement" -> filterAgreement,
     "q199_ece" -> eceGate,
     "q200_fertility" -> fertility,
     "q160_length_batches" -> lengthBatches,
