@@ -314,6 +314,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(specs > 0 && specs == sharded, s"$specs specs, $sharded sharded")
   }
 
+  test("AUC: two-phase level aggregate, rank-prefix windows sharded only") {
+    val p = plan("q202_auc")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("SinglePartition) windowspecdefinition"), p.take(3000))
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val sharded = "windowspecdefinition\\(graft_\\w+_shard".r.findAllIn(p).size
+    assert(specs == sharded, s"$specs specs, $sharded sharded")
+  }
+
+  test("hard negatives: anchors broadcast, corpus side never exchanges pre-join") {
+    val p = plan("q204_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the only exchanges allowed are AFTER the top-k (rank window over
+    // k-per-query survivors + presentation sort) — none on the corpus scan
+    // side feeding the join
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(!p.substring(joinIdx).contains("CartesianProduct"))
+  }
+
+  test("filter agreement: one map-combining aggregate to group cardinality") {
+    val p = plan("q205_filter_agreement")
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
