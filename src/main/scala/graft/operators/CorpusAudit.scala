@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Pre-training corpus audits beyond the per-source data card
+  * ([[CorpusCard]]): what a context window throws away, whether a split
+  * is independent of the slicing dimension, and how lexically repetitive
+  * each slice is. Every report here is a map-side-combining aggregate to
+  * group cardinality with integral sums and a fixed double chain at the
+  * end — one corpus scan each, oracle-exact, partition-order-free.
+  */
+object CorpusAudit {
+
+  private def tokCount(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(TextFunctions.tokenCount(col(textCol))).cast("long")
+
+  /** Context-window truncation loss per group: training at a fixed
+    * `contextLen` silently drops every token past position L of each
+    * document, and the loss concentrates in specific sources (books lose,
+    * tweets don't) — this is the table that says WHERE. Per group:
+    * n_docs, docs_truncated, total_tokens, kept_tokens (Σ min(n, L)),
+    * lost_tokens, lost_frac.
+    */
+  def truncationAudit(docs: DataFrame, groupCols: Seq[String],
+      textCol: String, contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be > 0, got $contextLen")
+    val n = tokCount(textCol)
+    docs
+      .select(groupCols.map(col) :+ n.as("__n"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > contextLen, 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("__n")).as("total_tokens"),
+        sum(least(col("__n"), lit(contextLen.toLong))).as("kept_tokens"),
+        sum(greatest(col("__n") - contextLen, lit(0L))).as("lost_tokens"))
+      .withColumn("lost_frac",
+        col("lost_tokens").cast("double") /
+          nullif(col("total_tokens"), lit(0L)).cast("double"))
+  }
+
+  /** Pearson chi-square independence audit of a split assignment against
+    * a slicing dimension — the check that a train/holdout hash split did
+    * not accidentally correlate with source (or language, or time
+    * bucket), which would make holdout loss unrepresentative. Returns the
+    * contingency cells (split, group, observed, expected) and the
+    * statistic row is derivable by the caller; [[chiSquare]] condenses it.
+    * Zero-observed cells are materialized (they still carry expected
+    * mass) via a broadcast cross of the two margin frames — margins are
+    * category-cardinality driver-class frames, never the corpus.
+    */
+  def contingency(df: DataFrame, splitCol: String, groupCol: String): DataFrame = {
+    // ONE corpus scan: margins and the grand total re-aggregate the
+    // cells frame (category-cardinality), pinned so the three consumers
+    // don't each recompute the scan; released by the session cache sweep
+    val cells = df.groupBy(col(splitCol).as("split"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("observed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(cells)
+    val nRow = cells.agg(sum(col("observed"))).first()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val rowTot = cells.groupBy("split").agg(sum(col("observed")).as("__rn"))
+    val colTot = cells.groupBy("grp").agg(sum(col("observed")).as("__cn"))
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("split", "grp"), "left")
+      .select(col("split"), col("grp"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        (col("__rn").cast("double") * col("__cn").cast("double") /
+          lit(n.toDouble)).as("expected"))
+  }
+
+  /** One-row (n, dof, chi2) over a [[contingency]] frame. The cell terms
+    * `(O−E)²/E` are summed IN (split, grp) ORDER via the collected-array
+    * fold (cells-cardinality, same discipline as [[Calibration.ece]]), so
+    * the double total is partition-independent and oracle-replayable with
+    * an ordered list_sum.
+    */
+  def chiSquare(cont: DataFrame): DataFrame =
+    cont.agg(
+        sum(col("observed")).as("n"),
+        countDistinct(col("split")).as("__r"),
+        countDistinct(col("grp")).as("__c"),
+        sort_array(collect_list(struct(col("split"), col("grp"),
+          ((col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) /
+            col("expected")).as("term")))).as("__t"))
+      .select(col("n"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        aggregate(col("__t"), lit(0.0),
+          (acc, t) => acc + t.getField("term")).as("chi2"))
+
+  /** Lexical diversity per group: pooled type-token ratio (Σ per-doc
+    * distinct tokens / Σ tokens — exact integer sums, unlike a mean of
+    * per-doc ratios which would be a partition-ordered double fold) and
+    * the count of docs under `lowTtr` (the boilerplate/repetition band).
+    * Per-doc TTR is computed once per row; only the group keys and three
+    * longs ever shuffle.
+    */
+  def lexicalDiversity(docs: DataFrame, groupCols: Seq[String],
+      textCol: String, lowTtr: Double = 0.3): DataFrame = {
+    val toks = tokCount(textCol)
+    val types = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(array_distinct(TextFunctions.tokens(col(textCol)))))
+      .cast("long")
+    val ttr = types.cast("double") / nullif(toks, lit(0L)).cast("double")
+    docs
+      .select(groupCols.map(col) ++ Seq(toks.as("__n"), types.as("__ty"),
+        ttr.as("__ttr")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ty")).as("types"),
+        sum(col("__n")).as("tokens"),
+        sum(when(col("__ttr") < lowTtr, 1L).otherwise(0L)).as("low_ttr_docs"))
+      .withColumn("pooled_ttr",
+        col("types").cast("double") /
+          nullif(col("tokens"), lit(0L)).cast("double"))
+  }
+}

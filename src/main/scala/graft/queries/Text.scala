@@ -1683,6 +1683,89 @@ object Text {
        |    THEN (po - pe) / (CAST(1 AS DOUBLE) - pe) ELSE NULL END AS kappa
        |FROM e ORDER BY lang""".stripMargin)
 
+  /** Context-window truncation loss per source (§2.10 corpus analytics):
+    * token mass past position 256 of each document — the table that says
+    * which sources a fixed context length silently discards. Integral
+    * sums, one ratio at the end, oracle-exact.
+    */
+  private val truncationAudit = QueryDef(
+    (s, dir) =>
+      graft.operators.CorpusAudit.truncationAudit(
+          Tables.documents(s, dir), Seq("source"), "text", contextLen = 256)
+        .orderBy("source"),
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_truncated,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(LEAST(n, 256)) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(GREATEST(n - 256, 0)) AS BIGINT) AS lost_tokens,
+      |  CAST(SUM(GREATEST(n - 256, 0)) AS DOUBLE)
+      |    / CAST(NULLIF(SUM(n), 0) AS DOUBLE) AS lost_frac
+      |FROM (SELECT source, CASE WHEN trim(text) = '' THEN 0
+      |        ELSE len(string_split(trim(text), ' ')) END AS n
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin)
+
+  /** Chi-square independence of the q62 hash split against source (§2.10
+    * sampling QA): a split correlated with its slicing dimension makes
+    * holdout loss unrepresentative; this is the one-number check. Cell
+    * terms fold in (split, grp) order on both engines.
+    */
+  private val splitBalance = QueryDef(
+    (s, dir) =>
+      graft.operators.CorpusAudit.chiSquare(
+        graft.operators.CorpusAudit.contingency(
+          graft.operators.Sampling.split(
+            Tables.documents(s, dir), "doc_id", trainPct = 90),
+          "split", "source")),
+    """WITH d AS (SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+      |             THEN 'train' ELSE 'holdout' END AS split,
+      |             source AS grp
+      |           FROM documents),
+      |cells AS (SELECT split, grp, COUNT(*) AS observed FROM d GROUP BY split, grp),
+      |r AS (SELECT split, SUM(observed) AS rn FROM cells GROUP BY split),
+      |c AS (SELECT grp, SUM(observed) AS cn FROM cells GROUP BY grp),
+      |g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+      |f AS (SELECT r.split, c.grp,
+      |        COALESCE(cells.observed, 0) AS observed,
+      |        CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE)
+      |          / CAST(g.n AS DOUBLE) AS expected
+      |      FROM r CROSS JOIN c CROSS JOIN g
+      |      LEFT JOIN cells ON cells.split = r.split AND cells.grp = c.grp)
+      |SELECT CAST(SUM(observed) AS BIGINT) AS n,
+      |  CAST((COUNT(DISTINCT split) - 1) * (COUNT(DISTINCT grp) - 1)
+      |    AS BIGINT) AS dof,
+      |  list_sum(list(
+      |      (CAST(observed AS DOUBLE) - expected)
+      |        * (CAST(observed AS DOUBLE) - expected) / expected
+      |      ORDER BY split, grp)) AS chi2
+      |FROM f""".stripMargin)
+
+  /** Lexical diversity per source (§2.10 text quality): pooled type-token
+    * ratio from exact integer sums plus the count of docs in the
+    * repetitive band (per-doc TTR < 0.3) — the slice-level repetition
+    * signal next to q70's per-doc one.
+    */
+  private val lexicalDiversity = QueryDef(
+    (s, dir) =>
+      graft.operators.CorpusAudit.lexicalDiversity(
+          Tables.documents(s, dir), Seq("source"), "text")
+        .orderBy("source"),
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ty) AS BIGINT) AS types,
+      |  CAST(SUM(n) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN CAST(ty AS DOUBLE) / CAST(NULLIF(n, 0) AS DOUBLE)
+      |      < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS low_ttr_docs,
+      |  CAST(SUM(ty) AS DOUBLE) / CAST(NULLIF(SUM(n), 0) AS DOUBLE)
+      |    AS pooled_ttr
+      |FROM (SELECT source,
+      |        CASE WHEN trim(text) = '' THEN 0
+      |          ELSE len(string_split(trim(text), ' ')) END AS n,
+      |        CASE WHEN trim(text) = '' THEN 0
+      |          ELSE len(list_distinct(string_split(trim(text), ' '))) END AS ty
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
     * sort. Scores are bitwise reproducible (q124 pins them), so the
@@ -2872,6 +2955,9 @@ object Text {
     "q202_auc" -> aucGate,
     "q203_roc" -> rocGate,
     "q205_filter_agreement" -> filterAgreement,
+    "q206_truncation_audit" -> truncationAudit,
+    "q207_split_balance" -> splitBalance,
+    "q208_lexical_diversity" -> lexicalDiversity,
     "q199_ece" -> eceGate,
     "q200_fertility" -> fertility,
     "q160_length_batches" -> lengthBatches,
