@@ -219,6 +219,23 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** DEFLATE-compressed byte length of the text's UTF-8 bytes at a fixed
+    * level — the raw material of the Gopher compression-ratio quality
+    * band (graft.expressions.DeflateLength; deterministic, zero shuffle,
+    * not SQL-replayable).
+    */
+  def deflateLen(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.DeflateLength(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), level))
+
+  /** Compression ratio `deflate_len / raw_bytes` — low means repetitive
+    * boilerplate, near-1+ means high-entropy junk; NULL for empty text.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    deflateLen(text, level).cast("double") /
+      nullif(octet_length(text), lit(0)).cast("double")
+
   /** Content fingerprint: md5 of the normalized text — stable across
     * engines (used as the exact-dedup key and the oracle-comparable stand-in
     * for a rolling hash).

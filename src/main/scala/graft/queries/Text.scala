@@ -1766,6 +1766,35 @@ object Text {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Compression-ratio quality report per source (Gopher §A1.1): pooled
+    * deflate/raw byte ratio plus the repetitive (<0.3) and high-entropy
+    * (>0.8) band counts. Rows-only by design — no SQL engine exposes
+    * DEFLATE — with DeflateSpec pinning the expression against
+    * java.util.zip directly; sums are integral so the report is still
+    * partition-order-free.
+    */
+  private val compressionReport = QueryDef(
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.functions.TextFunctions.deflateLen(col("text")).as("__c"),
+          octet_length(col("text")).cast("long").as("__b"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__b")).as("raw_bytes"),
+          sum(col("__c")).as("deflate_bytes"),
+          sum(when(col("__c").cast("double") /
+            nullif(col("__b"), lit(0L)).cast("double") < 0.3, 1L)
+            .otherwise(0L)).as("repetitive_docs"),
+          sum(when(col("__c").cast("double") /
+            nullif(col("__b"), lit(0L)).cast("double") > 0.8, 1L)
+            .otherwise(0L)).as("high_entropy_docs"))
+        .withColumn("pooled_ratio",
+          col("deflate_bytes").cast("double") /
+            nullif(col("raw_bytes"), lit(0L)).cast("double"))
+        .orderBy("source"),
+    None)
+
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
     * scores, ties to the smaller doc_id — TakeOrderedAndProject, no global
     * sort. Scores are bitwise reproducible (q124 pins them), so the
@@ -2958,6 +2987,7 @@ object Text {
     "q206_truncation_audit" -> truncationAudit,
     "q207_split_balance" -> splitBalance,
     "q208_lexical_diversity" -> lexicalDiversity,
+    "q209_compression_report" -> compressionReport,
     "q199_ece" -> eceGate,
     "q200_fertility" -> fertility,
     "q160_length_batches" -> lengthBatches,
