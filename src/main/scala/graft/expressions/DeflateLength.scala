@@ -31,14 +31,9 @@ case class DeflateLength(child: Expression, level: Int)
   override def dataType: DataType = LongType
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
-  @transient private lazy val deflaters: ThreadLocal[Deflater] =
-    new ThreadLocal[Deflater] {
-      override def initialValue(): Deflater = new Deflater(level, true)
-    }
-
   def evalLen(input: UTF8String): Long = {
     val bytes = input.getBytes
-    val d = deflaters.get()
+    val d = DeflateLength.deflaterFor(level)
     d.reset()
     d.setInput(bytes)
     d.finish()
@@ -59,4 +54,20 @@ case class DeflateLength(child: Expression, level: Int)
 
   override protected def withNewChildInternal(newChild: Expression): DeflateLength =
     copy(child = newChild)
+}
+
+object DeflateLength {
+  // one Deflater per (executor thread, level) for the JVM lifetime — NOT
+  // per expression instance: codegen deserializes a fresh instance per
+  // task, and an instance-held ThreadLocal would strand one native zlib
+  // state per task until GC+Cleaner. Bounded at threads × 9 levels.
+  private val pool: ThreadLocal[java.util.HashMap[Int, Deflater]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[Int, Deflater])
+
+  private def deflaterFor(level: Int): Deflater = {
+    val m = pool.get()
+    var d = m.get(level)
+    if (d == null) { d = new Deflater(level, true); m.put(level, d) }
+    d
+  }
 }

@@ -219,6 +219,17 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** [[tokenCount]] with the empty/NULL guard every corpus aggregate
+    * needs: empty or whitespace-only text counts 0 tokens (not the
+    * split artifact's 1) and NULL text counts 0 (a missing document
+    * contributes no token mass — leaving it NULL lets least/greatest
+    * null-skipping fabricate tokens downstream). One definition so the
+    * data card and the corpus audits can never diverge on the guard.
+    */
+  def tokenCountOrZero(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0L))
+      .otherwise(tokenCount(text)).cast("long")
+
   /** DEFLATE-compressed byte length of the text's UTF-8 bytes at a fixed
     * level — the raw material of the Gopher compression-ratio quality
     * band (graft.expressions.DeflateLength; deterministic, zero shuffle,

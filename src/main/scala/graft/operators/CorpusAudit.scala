@@ -15,8 +15,7 @@ import graft.functions.TextFunctions
 object CorpusAudit {
 
   private def tokCount(textCol: String): Column =
-    when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(TextFunctions.tokenCount(col(textCol))).cast("long")
+    TextFunctions.tokenCountOrZero(col(textCol))
 
   /** Context-window truncation loss per group: training at a fixed
     * `contextLen` silently drops every token past position L of each
@@ -66,8 +65,14 @@ object CorpusAudit {
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val rowTot = cells.groupBy("split").agg(sum(col("observed")).as("__rn"))
     val colTot = cells.groupBy("grp").agg(sum(col("observed")).as("__cn"))
+    // null-SAFE rejoin: a NULL split/group value is a real category (its
+    // margin mass is in __rn/__cn); a plain equi-join would orphan its
+    // observed count while keeping its expected mass, corrupting chi2
+    val obs = cells.select(col("split").as("__s2"), col("grp").as("__g2"),
+      col("observed"))
     rowTot.crossJoin(broadcast(colTot))
-      .join(cells, Seq("split", "grp"), "left")
+      .join(obs,
+        col("split") <=> col("__s2") && col("grp") <=> col("__g2"), "left")
       .select(col("split"), col("grp"),
         coalesce(col("observed"), lit(0L)).as("observed"),
         (col("__rn").cast("double") * col("__cn").cast("double") /
@@ -104,7 +109,8 @@ object CorpusAudit {
   def lexicalDiversity(docs: DataFrame, groupCols: Seq[String],
       textCol: String, lowTtr: Double = 0.3): DataFrame = {
     val toks = tokCount(textCol)
-    val types = when(length(trim(col(textCol))) === 0, lit(0L))
+    val types = when(col(textCol).isNull ||
+        length(trim(col(textCol))) === 0, lit(0L))
       .otherwise(size(array_distinct(TextFunctions.tokens(col(textCol)))))
       .cast("long")
     val ttr = types.cast("double") / nullif(toks, lit(0L)).cast("double")

@@ -30,21 +30,30 @@ object Roc {
   /** One-row (n_pos, n_neg, auc) exact AUC of `scoreCol` against the
     * boolean `label`. `auc` is NULL when either class is empty (the
     * statistic is undefined). Higher scores must mean "more positive".
+    * NULL scores are excluded — an unscored row cannot be ranked (and
+    * Spark's NULLS-FIRST level would disagree with any oracle's
+    * NULLS-LAST ordering).
     */
   def auc(scored: DataFrame, scoreCol: String, label: Column): DataFrame = {
     val levels = scored
+      .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(label, 1L).otherwise(0L)).as("pos"))
     val ranked = Packing.withGlobalOffsets(levels, Seq("score"), "cnt")
     val p = col("__p")
     val n = col("__n")
+    val dec = DecimalType(38, 0)
     ranked.agg(
         sum(col("pos")).as("__p"),
         sum(col("cnt") - col("pos")).as("__n"),
-        // Σ pos·(2·rank_before + cnt + 1) = 2·Σ midranks over positives
-        sum((col("pos") * (lit(2L) * col("offset") + col("cnt") + lit(1L)))
-          .cast(DecimalType(38, 0))).as("__r2"))
+        // Σ pos·(2·rank_before + cnt + 1) = 2·Σ midranks over positives.
+        // EVERY factor goes through DECIMAL before multiplying — the
+        // per-level product alone can pass Long.MaxValue near 10^10 rows
+        // (offset ~ corpus size), long before the sum does
+        sum(col("pos").cast(dec) *
+          (col("offset").cast(dec) * lit(2) + col("cnt") + lit(1)))
+          .as("__r2"))
       .select(p.as("n_pos"), n.as("n_neg"),
         when(p > 0 && n > 0,
           (col("__r2") - (p.cast(DecimalType(38, 0)) *
@@ -54,9 +63,12 @@ object Roc {
   }
 
   /** ROC curve points at each reliability-bin threshold: one row per bin
-    * of a [[Calibration.reliability]] table with (bin, threshold = the
-    * bin's lower score edge, tp, fp, tpr, fpr) under the rule "predict
-    * positive when score ≥ threshold". Bins-cardinality work done as an
+    * of a [[Calibration.reliability]] table with (bin, threshold, tp, fp,
+    * tpr, fpr) under the rule "predict positive when score ≥ threshold".
+    * Bin 0's threshold is −∞, not its lower edge: reliability clamps
+    * below-range scores INTO bin 0, so its cumulative counts are "keep
+    * everything" — a finite edge there would overstate tp/fp for rows
+    * that are not actually ≥ it. Bins-cardinality work done as an
     * ordered fold over one collected array (the same partition-
     * independence discipline as [[Calibration.ece]] — no single-partition
     * window), O(bins²) slice sums on a bins-sized array.
@@ -74,7 +86,8 @@ object Roc {
         val tp = col("__p") - before(i, "positives")
         val fp = col("__n") - (before(i, "n") - before(i, "positives"))
         struct(x.getField("bin").as("bin"),
-          x.getField("bin_lo").as("threshold"),
+          when(x.getField("bin") === 0, lit(Double.NegativeInfinity))
+            .otherwise(x.getField("bin_lo")).as("threshold"),
           tp.as("tp"), fp.as("fp"),
           (tp.cast("double") / nullif(col("__p"), lit(0L)).cast("double"))
             .as("tpr"),

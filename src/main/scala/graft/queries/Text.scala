@@ -1613,7 +1613,9 @@ object Text {
        |t AS (SELECT CAST(SUM(positives) AS BIGINT) AS p,
        |        CAST(SUM(n - positives) AS BIGINT) AS ng
        |      FROM rel),
-       |c AS (SELECT bin, bin_lo AS threshold,
+       |c AS (SELECT bin,
+       |        CASE WHEN bin = 0 THEN CAST('-inf' AS DOUBLE)
+       |          ELSE bin_lo END AS threshold,
        |        t.p - COALESCE(SUM(positives) OVER (ORDER BY bin
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
        |        t.ng - COALESCE(SUM(n - positives) OVER (ORDER BY bin

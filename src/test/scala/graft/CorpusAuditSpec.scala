@@ -28,6 +28,29 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got(1).isNullAt(got(1).fieldIndex("lost_frac")))
   }
 
+  test("truncationAudit: NULL text contributes zero mass, never fabricated kept tokens") {
+    val docs = Seq(("a", Some("t1 t2 t3 t4")), ("a", None))
+      .toDF("source", "text")
+    val r = CorpusAudit.truncationAudit(docs, Seq("source"), "text", 3)
+      .collect().head
+    // the NULL doc must not add least(NULL, L) = L to kept_tokens
+    assert(r.getAs[Long]("total_tokens") === 4L)
+    assert(r.getAs[Long]("kept_tokens") === 3L)
+    assert(r.getAs[Long]("lost_tokens") === 1L)
+    assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("lost_tokens") ===
+      r.getAs[Long]("total_tokens"))
+  }
+
+  test("contingency: NULL category keeps its observed count (null-safe rejoin)") {
+    val df = Seq(("train", Some("x")), ("train", None), ("holdout", None))
+      .toDF("split", "src")
+    val cont = CorpusAudit.contingency(df, "split", "src").collect()
+    val tNull = cont.find(r => r.getString(0) == "train" && r.isNullAt(1)).get
+    assert(tNull.getAs[Long]("observed") === 1L)
+    // grand total preserved: sum of observed equals the corpus size
+    assert(cont.map(_.getAs[Long]("observed")).sum === 3L)
+  }
+
   test("contingency materializes zero-observed cells with expected mass") {
     val df = Seq(("train", "x"), ("train", "x"), ("train", "y"),
       ("holdout", "x")).toDF("split", "src")

@@ -326,11 +326,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("hard negatives: anchors broadcast, corpus side never exchanges pre-join") {
     val p = plan("q204_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    // the only exchanges allowed are AFTER the top-k (rank window over
-    // k-per-query survivors + presentation sort) — none on the corpus scan
-    // side feeding the join
-    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
-    assert(!p.substring(joinIdx).contains("CartesianProduct"))
+    // the plan tree prints top-down, so everything after the join line is
+    // a join INPUT: the anchor side's BroadcastExchange is the intended
+    // shape, but any shuffle exchange there means the corpus scan stopped
+    // feeding the join map-side — the exact regression this guards
+    val below = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!below.contains("Exchange hashpartitioning"), below.take(2000))
+    assert(!below.contains("Exchange rangepartitioning"), below.take(2000))
   }
 
   test("filter agreement: one map-combining aggregate to group cardinality") {

@@ -29,6 +29,15 @@ class RocSpec extends AnyFunSuite {
     assert(aucOf(sep.map { case (s, y) => (-s, y) }).getAs[Double]("auc") === 0.0)
   }
 
+  test("auc: NULL scores are excluded, not ranked as a level") {
+    val withNull = Seq((Some(0.1), false), (Some(0.2), true),
+      (Some(0.2), false), (Some(0.3), true), (None, true))
+      .toDF("score", "y")
+    val r = Roc.auc(withNull, "score", col("y")).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L) // the unscored positive is out
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
   test("auc: undefined (NULL) when a class is empty") {
     val r = aucOf(Seq((0.1, true), (0.2, true)))
     assert(r.isNullAt(r.fieldIndex("auc")))
@@ -44,9 +53,12 @@ class RocSpec extends AnyFunSuite {
     val rel = Calibration.reliability(scored, "logit", col("y"),
       Array(0.0, 1.0, 2.0, 3.0))
     val pts = Roc.rocPoints(rel).orderBy("bin").collect()
+    // bin 0's threshold is -inf: reliability clamps below-range scores
+    // into it, so its row means "keep everything"
     assert(pts.map(r => (r.getAs[Int]("bin"), r.getAs[Double]("threshold"),
       r.getAs[Long]("tp"), r.getAs[Long]("fp"))).toSeq ===
-      Seq((0, 0.0, 5L, 4L), (1, 1.0, 4L, 1L), (2, 2.0, 2L, 0L)))
+      Seq((0, Double.NegativeInfinity, 5L, 4L), (1, 1.0, 4L, 1L),
+        (2, 2.0, 2L, 0L)))
     assert(pts.map(_.getAs[Double]("tpr")).toSeq === Seq(1.0, 0.8, 0.4))
     assert(pts.map(_.getAs[Double]("fpr")).toSeq === Seq(1.0, 0.25, 0.0))
   }
