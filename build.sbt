@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a 209-query bench generates thousands of whole-stage-codegen classes
+  // in ONE JVM; the JDK default 240m code cache fills mid-suite, the JIT
+  // stops compiling, and every later query runs partly interpreted —
+  // measured as an unattributed 2-3x tail slowdown in round 6
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -36,7 +36,12 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset run (regex on query name) — the controlled-isolation
+    // knob for attributing suite-growth noise vs real per-query regressions
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    val results = selected.map { case (name, fn) =>
       val (a, b) = (once(name, fn), once(name, fn))
       // release per-query persisted intermediates (sketch/rank caches):
       // without this, orphaned blocks from 90+ queries accumulate in one
@@ -53,6 +58,35 @@ object Bench {
     // the harness can parse the numbers even if a logger wraps stdout
     println(json)
     val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // before overwriting, diff against the previous run's file: per-query
+    // deltas plus a machine-readable >20% regression list, so round-over-
+    // round slowdowns are attributed per query instead of eyeballed from a
+    // truncated stdout tail
+    if (java.nio.file.Files.exists(out) && only.isEmpty) {
+      val prevTxt = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      val entry = "\"(q[A-Za-z0-9_]+)\":(-?[0-9.Ee+]+)".r
+      val prev = entry.findAllMatchIn(prevTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val diffs = results.collect {
+        case (name, v) if v >= 0 && prev.get(name).exists(_ > 0) =>
+          val p = prev(name)
+          (name, p, v, (v - p) / p)
+      }
+      def f(d: Double) = f"$d%.3f"
+      val regress = diffs.filter(_._4 > 0.20).sortBy(-_._4)
+      val diffJson = "{\"regressions\":[" +
+        regress.map { case (n, p, v, d) =>
+          s"""{"query":"$n","prev":${f(p)},"now":${f(v)},"pct":${f(d * 100)}}"""
+        }.mkString(",") +
+        "],\"improvements\":[" +
+        diffs.filter(_._4 < -0.20).sortBy(_._4).map { case (n, p, v, d) =>
+          s"""{"query":"$n","prev":${f(p)},"now":${f(v)},"pct":${f(d * 100)}}"""
+        }.mkString(",") +
+        s"""],"n_compared":${diffs.size},"prev_total":${f(diffs.map(_._2).sum)},"now_total":${f(diffs.map(_._3).sum)}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out.toString.replace(".json", "_prev_diff.json")),
+        diffJson.getBytes("UTF-8"))
+    }
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     // LAST line: a short summary that always fits a bounded stdout-tail
     // capture — the full per-query line above is ~4 KB and harnesses that

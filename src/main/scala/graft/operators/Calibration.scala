@@ -53,6 +53,11 @@ object Calibration {
         when(col("bin") === i, v).otherwise(acc)
       }
     scored
+      // a NULL logit would fall through every when() into the top bin's
+      // otherwise() and be audited at the HIGHEST midpoint confidence —
+      // unscored rows are excluded instead, the same contract (and
+      // rationale) as Roc.auc's NULL-score exclusion
+      .filter(col(logitCol).isNotNull)
       .withColumn("bin", bin)
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),

@@ -83,14 +83,21 @@ object CorpusAudit {
     * `(O−E)²/E` are summed IN (split, grp) ORDER via the collected-array
     * fold (cells-cardinality, same discipline as [[Calibration.ece]]), so
     * the double total is partition-independent and oracle-replayable with
-    * an ordered list_sum.
+    * an ordered list_sum. NULL categories (which [[contingency]] supports
+    * as real cells) are handled explicitly: the fold key carries an
+    * is-null flag so NULLs sort LAST — matching DuckDB's default NULLS
+    * LAST in `list(term ORDER BY split, grp)`, where Spark's bare
+    * sort_array would put them FIRST — and dof counts a NULL category as
+    * a category (bare countDistinct would silently drop it).
     */
   def chiSquare(cont: DataFrame): DataFrame =
     cont.agg(
         sum(col("observed")).as("n"),
-        countDistinct(col("split")).as("__r"),
-        countDistinct(col("grp")).as("__c"),
-        sort_array(collect_list(struct(col("split"), col("grp"),
+        countDistinct(struct(col("split").isNull, col("split"))).as("__r"),
+        countDistinct(struct(col("grp").isNull, col("grp"))).as("__c"),
+        sort_array(collect_list(struct(
+          col("split").isNull.as("__sn"), col("split").as("split"),
+          col("grp").isNull.as("__gn"), col("grp").as("grp"),
           ((col("observed").cast("double") - col("expected")) *
             (col("observed").cast("double") - col("expected")) /
             col("expected")).as("term")))).as("__t"))

@@ -48,8 +48,13 @@ object SftMasks {
       .otherwise(0)
     val turns = events
       .withColumn("role", role)
-      .withColumn("n_tokens",
-        TextFunctions.hashAlignedTokenCount(content).cast("long"))
+      // NULL content must not leak into token accounting: un-guarded, a
+      // NULL turn gets NULL n_tokens and a NULL seg_end (a span no trainer
+      // can consume) while the window sums silently skip it — coalesce to
+      // an EMPTY span instead, the same tokenCountOrZero discipline the
+      // packing operators use
+      .withColumn("n_tokens", coalesce(
+        TextFunctions.hashAlignedTokenCount(content).cast("long"), lit(0L)))
       .withColumn("session_no", sum(cut).over(byUser).cast("long"))
     val bySess = Window.partitionBy(col(userCol), col("session_no"))
       .orderBy(col(tsCol), col(tieCol))

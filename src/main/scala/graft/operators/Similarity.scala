@@ -77,12 +77,19 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
       dupCeiling: Double): DataFrame = {
+    // NULL labels are excluded EXPLICITLY on both sides (not left to the
+    // =!= join predicate's NULL semantics): an unlabeled candidate can't
+    // be certified a negative, and an unlabeled anchor would silently
+    // yield zero rows — same make-the-drop-visible rationale as Roc.auc's
+    // NULL-score exclusion
     val q = broadcast(withNorm(
-      anchors.select(col("vec_id").as("query_id"),
-        col("label").as("q_label"), col("embedding").as("q_emb")),
+      anchors.filter(col("label").isNotNull)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("q_label"), col("embedding").as("q_emb")),
       "q_emb", "q_norm"))
     val c = withNorm(
-      corpus.select(col("vec_id"), col("label"), col("embedding")),
+      corpus.filter(col("label").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding")),
       "embedding", "c_norm")
     val scored = c
       .join(q, col("query_id") =!= col("vec_id") &&

@@ -321,7 +321,37 @@ object Storage {
       |  COUNT(DISTINCT doc_id) AS n_distinct
       |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
 
+  /** Metastore table scan as the TESTED SUBJECT (§2.1 S4, reference
+    * dbt/models/sources.yml:4-8 + bronze/bronze_claims.sql:26 — dbt's
+    * `source('raw', 'claims')` resolves to a hive_metastore table that
+    * every bronze model SELECTs from): the raw frame is registered in the
+    * session catalog with saveAsTable, and the query under test reads it
+    * back EXCLUSIVELY through spark.table() — catalog resolution to a
+    * managed table, not a path scan — then applies the reference's bronze
+    * shape (projection + literal run-metadata stamp). The oracle is the
+    * same SELECT over the parquet source, so what is verified is that
+    * catalog write → catalog resolve → scan loses and mutates nothing.
+    */
+  private val metastoreScan = QueryDef(
+    (s, dir) => {
+      val tag = Housekeeping.appTag(s)
+      val tbl = s"graft_gate_raw_supplier_$tag"
+      Housekeeping.dropStaleTables(s, "graft_gate_raw_supplier_", tag)
+      Tables.supplier(s, dir).write.mode("overwrite")
+        .format("parquet").saveAsTable(tbl)
+      s.table(tbl)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"),
+          lit("raw.supplier").as("source_ref"),
+          lit("gate_run_001").as("run_id"))
+        .orderBy("s_suppkey")
+    },
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+      |  'raw.supplier' AS source_ref, 'gate_run_001' AS run_id
+      |FROM supplier ORDER BY s_suppkey""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q210_metastore_scan" -> metastoreScan,
     "q58_orc_roundtrip" -> orcRoundtrip,
     "q157_multi_uri" -> multiUriSource,
     "q154_compaction" -> compaction,

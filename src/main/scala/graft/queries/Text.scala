@@ -1218,21 +1218,94 @@ object Text {
       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair
       |ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin)
 
-  /** Full BPE lifecycle (Bpe.trainOn + encode): learn 100 merges on the
-    * corpus' word table, encode every document map-only. Rows-only gate —
-    * golden merges, round-trip reassembly, monotone compression, and
-    * determinism are asserted in BpeSpec.
+  /** BPE ENCODE under the exact hash: apply a FIXED literal merge table
+    * (driver state, exactly how a production tokenizer ships — the merges
+    * file is an artifact, not re-learned at encode time) to every
+    * document via the zero-shuffle BpeEncode kernel. The oracle embeds
+    * the same merges as a VALUES literal and replays the kernel's actual
+    * algorithm — repeatedly take the lowest-rank pair present, merge its
+    * occurrences left-to-right non-overlapping (run-parity logic for
+    * a==b pairs) — as a recursive CTE over the DISTINCT words (vocabulary-
+    * bounded, not corpus-bounded), then joins subword counts back to
+    * positions. Merge LEARNING stays driver state pinned by BpeSpec's
+    * golden merges and gated statistically by q140's pair-count oracle.
     */
-  private val bpeEncode = QueryDef(
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = graft.operators.Bpe.trainOn(docs, "text", numMerges = 100)
-      graft.operators.Bpe.encode(docs, "doc_id", "text", model)
-        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
-          col("subwords")(0).as("first_subword"))
-        .orderBy("doc_id")
-    },
-    None)
+  private val bpeEncode: QueryDef = {
+    // chained (th→the), self-pair (ee, oo, ll, ss), and multi-char-input
+    // (te+r, in+g) merges so every kernel branch is under the hash
+    val fixedMerges = Seq(
+      "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n",
+      "e" -> "r", "o" -> "n", "r" -> "e", "e" -> "e", "o" -> "o",
+      "s" -> "t", "a" -> "t", "e" -> "n", "o" -> "r", "te" -> "r",
+      "a" -> "l", "d" -> "e", "in" -> "g", "l" -> "l", "s" -> "s")
+    def esc(x: String) = x.replace("'", "''")
+    val vals = fixedMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '${esc(a)}', '${esc(b)}')" }
+      .mkString(", ")
+    QueryDef(
+      (s, dir) =>
+        graft.operators.Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
+            graft.operators.Bpe.Model(fixedMerges))
+          .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+            col("subwords")(0).as("first_subword"),
+            element_at(col("subwords"), -1).as("last_subword"))
+          .orderBy("doc_id"),
+      s"""WITH RECURSIVE
+         |ml AS (SELECT list(struct_pack(r := r, a := a, b := b) ORDER BY r) AS ms
+         |       FROM (VALUES $vals) AS m(r, a, b)),
+         |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         |tok AS (SELECT doc_id, u.pos AS pos, u.word AS word
+         |        FROM (SELECT doc_id, unnest([struct_pack(pos := i, word := t[i])
+         |                                     for i in range(1, len(t) + 1)]) u
+         |              FROM toks)),
+         |w AS (SELECT DISTINCT word FROM tok),
+         |enc AS (
+         |  SELECT word, [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms,
+         |         false AS done
+         |  FROM w
+         |  UNION ALL
+         |  SELECT word,
+         |    CASE WHEN br IS NULL THEN syms
+         |         WHEN ba <> bb THEN flatten([
+         |           CASE WHEN syms[i] = ba AND syms[i + 1] = bb THEN [ba || bb]
+         |                WHEN i > 1 AND syms[i - 1] = ba AND syms[i] = bb THEN []
+         |                ELSE [syms[i]] END
+         |           for i in range(1, len(syms) + 1)])
+         |         ELSE flatten([
+         |           CASE WHEN list_contains(keep, i) THEN [ba || bb]
+         |                WHEN list_contains(keep, i - 1) THEN []
+         |                ELSE [syms[i]] END
+         |           for i in range(1, len(syms) + 1)])
+         |    END AS syms,
+         |    br IS NULL AS done
+         |  FROM (
+         |    SELECT word, syms, br, ba, bb,
+         |      [i for i in range(1, len(syms))
+         |         IF syms[i] = ba AND syms[i + 1] = bb
+         |            AND (i - (coalesce(list_max([j for j in starts IF j < i]), 0) + 1)) % 2 = 0] AS keep
+         |    FROM (
+         |      SELECT word, syms, br,
+         |        CASE WHEN br IS NULL THEN NULL ELSE ms[br + 1].a END AS ba,
+         |        CASE WHEN br IS NULL THEN NULL ELSE ms[br + 1].b END AS bb,
+         |        CASE WHEN br IS NULL THEN NULL
+         |             ELSE [j for j in range(1, len(syms) + 1) IF syms[j] <> ms[br + 1].a] END AS starts
+         |      FROM (
+         |        SELECT word, syms,
+         |          list_min([mm.r for mm in ms
+         |            IF len([i for i in range(1, len(syms))
+         |                    IF syms[i] = mm.a AND syms[i + 1] = mm.b]) > 0]) AS br
+         |        FROM enc, ml
+         |        WHERE NOT done) s1, ml) s2) s3
+         |),
+         |fin AS (SELECT word, syms FROM enc WHERE done),
+         |ew AS (SELECT t.doc_id, t.pos, f.syms, len(f.syms) AS nsub
+         |       FROM tok t JOIN fin f USING (word))
+         |SELECT doc_id,
+         |  CAST(SUM(nsub) AS INT) AS n_subwords,
+         |  (list(syms ORDER BY pos)[1])[1] AS first_subword,
+         |  (list(syms ORDER BY pos DESC)[1])[-1] AS last_subword
+         |FROM ew GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
 
   /** Composed pipeline v4 — the round's new operators chained end-to-end
     * under ONE oracle: Aho–Corasick blocklist decontamination (drop any

@@ -49,6 +49,19 @@ class CalibrationSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ece") === expected)
   }
 
+  test("NULL logits are excluded, never binned at top-bin confidence") {
+    // un-guarded, a NULL falls through every when() into the final
+    // otherwise() and lands in the TOP bin — the audit would count an
+    // unscored row at the highest midpoint confidence
+    val withNulls = scored.union(
+      Seq((Option.empty[Double], true), (Option.empty[Double], false))
+        .toDF("logit", "y"))
+    val rel2 = Calibration.reliability(withNulls, "logit", col("y"), edges)
+      .orderBy("bin").collect()
+    assert(rel2.map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+      r.getAs[Long]("positives"))).toSeq === Seq((0, 2L, 0L), (1, 3L, 2L)))
+  }
+
   test("rejects non-increasing edges") {
     intercept[IllegalArgumentException] {
       Calibration.reliability(scored, "logit", col("y"), Array(0.0, 0.0))

@@ -85,6 +85,22 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") === 2.0)
   }
 
+  test("chiSquare: a NULL category is a real category — in dof and the fold") {
+    // 2x2 where one group value is NULL: dof must be (2-1)*(2-1)=1 (a bare
+    // countDistinct would drop the NULL column), and the NULL cell's term
+    // participates in the ordered fold (NULLs keyed LAST, matching the
+    // documented DuckDB ORDER BY replay)
+    val df = (Seq.fill(3)(("t", Some("x"))) ++ Seq.fill(1)(("t", None)) ++
+      Seq.fill(1)(("h", Some("x"))) ++ Seq.fill(3)(("h", None)))
+      .toDF("split", "src")
+    val r = CorpusAudit.chiSquare(
+      CorpusAudit.contingency(df, "split", "src")).collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("dof") === 1L)
+    // same margins as the non-NULL skewed 2x2 above → same statistic
+    assert(r.getAs[Double]("chi2") === 2.0)
+  }
+
   test("lexicalDiversity: pooled TTR and the low-TTR band") {
     val docs = Seq(
       ("a", "x x x x x x x x x y"), // ttr 0.2 → low

@@ -232,6 +232,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q162_ndcg_eval").contains("BroadcastHashJoin"))
   }
 
+  test("nDCG eval reads PERSISTED KNN frames — the searches run once") {
+    // the broadcast-wrapped eval joins must consume InMemoryTableScans,
+    // not re-evaluate the projection + brute-force subtrees inside each
+    // broadcast exchange (the round-6 26x blow-up vs the q139 twin)
+    val p = plan("q162_ndcg_eval")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("CDC chunking joins hash-wise on the doc key, never nested-loop") {
     val p = plan("q167_cdc_chunks")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))

@@ -58,6 +58,24 @@ class SftMasksSpec extends AnyFunSuite {
     assert(got((2L, 1L, 1L)).getAs[Long]("loss_tokens") === 0L)
   }
 
+  test("NULL content yields an EMPTY span, never a NULL seg_end") {
+    // a NULL turn must stay consumable: zero tokens, zero-width segment,
+    // neighbors' offsets unaffected (the window sums would skip the NULL
+    // while seg_end inherited it — an inconsistent span)
+    val g = SftMasks.lossMaskSpans(
+      Seq((9L, ts(0), 1L, "user", "hi there"),
+        (9L, ts(1), 2L, "assistant", null),
+        (9L, ts(2), 3L, "assistant", "ok"))
+        .toDF("user_id", "ts", "event_id", "role", "content"),
+      "user_id", "ts", "event_id", col("role"), col("content"),
+      gapMs = 10 * 60 * 1000L)
+      .orderBy("turn_idx").collect()
+    assert(g.map(r => (r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"))).toSeq
+      === Seq((2L, 0L, 2L), (0L, 2L, 2L), (1L, 2L, 3L)))
+    assert(g.forall(_.getAs[Long]("example_tokens") == 3L))
+  }
+
   test("leading-whitespace content counts hash-aligned tokens") {
     val g = SftMasks.lossMaskSpans(
       Seq((9L, ts(0), 1L, "user", "\thi there")) // tokens() would count 3

@@ -143,6 +143,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Seq((3L, 1), (4L, 2)))
   }
 
+  test("hardNegatives: NULL-label rows are excluded on both sides by design") {
+    // an unlabeled candidate can't be certified a negative and an
+    // unlabeled anchor would silently return zero rows through the =!=
+    // join's NULL semantics — the exclusion is explicit, not incidental
+    val rows = Seq(
+      (0L, Some("A"), Array(1f, 0f)),
+      (1L, Option.empty[String], Array(0.99f, 0.1f)), // unlabeled candidate
+      (2L, Some("B"), Array(1f, 1f)),
+      (3L, Option.empty[String], Array(1f, 0.1f))     // unlabeled anchor
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(
+        rows, rows.filter(col("vec_id") === 0 || col("vec_id") === 3),
+        k = 5, dupCeiling = 0.999)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L))) // anchor 3 dropped; candidate 1 dropped
+  }
+
   test("hardNegatives agree with an exhaustive driver-side computation") {
     val all = emb.select("vec_id", "label", "embedding")
       .as[(Long, Int, Array[Float])].collect()
