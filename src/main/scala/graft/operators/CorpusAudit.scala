@@ -134,4 +134,42 @@ object CorpusAudit {
         col("types").cast("double") /
           nullif(col("tokens"), lit(0L)).cast("double"))
   }
+
+  /** Per-group distinct-n diversity (Li et al., NAACL'16 "A Diversity-
+    * Promoting Objective"): for n = 1..maxN, the fraction of n-gram
+    * OCCURRENCES that are distinct — the standard audit for synthetic /
+    * model-generated corpora, where mode collapse shows up as a
+    * distinct-2/3 crater long before exact dedup fires (every generation
+    * is unique; its phrases are not). Long-format output so a recipe gate
+    * thresholds any n.
+    *
+    * One corpus scan: every n builds its shingles inside one projection
+    * (array of (n, gram) structs, concatenated, ONE explode), then a
+    * map-side-combined count + exact distinct per (group, n). The
+    * n-gram space, not the corpus, is what shuffles — the same shape as
+    * the collocation and shingle operators.
+    */
+  def ngramDiversity(docs: DataFrame, groupCols: Seq[String],
+      textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val t = col("__t")
+    val gramStructType = "array<struct<n:int,gram:string>>"
+    val perN = (1 to maxN).map { n =>
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(t, i, lit(n))).as("gram"))))
+        .otherwise(array().cast(gramStructType))
+    }
+    docs
+      .select(groupCols.map(col) :+
+        TextFunctions.hashAlignedTokens(col(textCol)).as("__t"): _*)
+      .select(groupCols.map(col) :+
+        explode(concat(perN: _*)).as("__g"): _*)
+      .groupBy(groupCols.map(col) :+ col("__g.n").as("n"): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("__g.gram")).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+  }
 }

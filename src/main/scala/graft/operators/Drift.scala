@@ -62,4 +62,65 @@ object Drift {
       .orderBy(col("drift").desc, col("term").asc)
       .limit(topK)
   }
+
+  /** One-row Hellinger distance between the two corpora's unigram
+    * distributions — the single-number companion to [[termDrift]]'s
+    * ranked report: H(P,Q) = sqrt(Σ (√p_i − √q_i)² / 2) ∈ [0, 1], the
+    * standard bounded distribution distance for "how different is this
+    * dump" monitoring. Chosen over KL/JS divergence DELIBERATELY: sqrt
+    * is IEEE-correctly-rounded (bitwise identical in any engine) where
+    * ln is not (Spark's distributed `log` is StrictMath, DuckDB's is
+    * libm), so Hellinger is oracle-exact while an in-engine KL would
+    * drift in the last ulp — the same transcendental-free discipline as
+    * [[termDrift]]'s ratio metric. Missing terms take probability 0
+    * (√0 = 0); no smoothing is needed.
+    *
+    * `ordered = true` folds the term sum in term order via one collected
+    * vocabulary-sized array (the gate/audit path, partition-independent
+    * bit for bit); the default production path is a plain map-side-
+    * combined sum — O(1) memory per group at 100M-term vocabularies,
+    * reproducible to float-sum arrival order. NULL when either corpus is
+    * empty (the distance is undefined against no distribution).
+    */
+  def hellinger(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+      ordered: Boolean = false): DataFrame = {
+    val co = UnigramLm.termCounts(oldDocs, textCol)
+      .withColumnRenamed("cnt", "cnt_old")
+    val cn = UnigramLm.termCounts(newDocs, textCol)
+      .withColumnRenamed("cnt", "cnt_new")
+    val joined = co.join(cn, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+    def term(o: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+      val sp = sqrt(o.cast("double") / col("t_old").cast("double"))
+      val sq = sqrt(n.cast("double") / col("t_new").cast("double"))
+      (sp - sq) * (sp - sq)
+    }
+    val agg =
+      if (ordered)
+        joined.agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("cnt_old")).as("t_old"), sum(col("cnt_new")).as("t_new"),
+          sort_array(collect_list(struct(col("term"), col("cnt_old"),
+            col("cnt_new")))).as("__t"))
+          .withColumn("__s", aggregate(col("__t"), lit(0.0), (acc, x) =>
+            acc + term(x.getField("cnt_old"), x.getField("cnt_new"))))
+      else
+        // production path: the Bhattacharyya identity Σ(√p−√q)² =
+        // 2 − 2·Σ√(c_o·c_n)/√(T_o·T_n) needs only THREE map-side-combined
+        // sums in one pass (no second scan for totals, no collected array)
+        joined.agg(
+            count(lit(1)).as("n_terms"),
+            sum(col("cnt_old")).as("t_old"), sum(col("cnt_new")).as("t_new"),
+            sum(sqrt(col("cnt_old").cast("double") *
+              col("cnt_new").cast("double"))).as("__bc"))
+          .withColumn("__s", greatest(lit(0.0),
+            lit(2.0) - lit(2.0) * col("__bc") /
+              sqrt(col("t_old").cast("double") * col("t_new").cast("double"))))
+    agg.select(col("n_terms"), col("t_old"), col("t_new"),
+      when(col("t_old") > 0 && col("t_new") > 0,
+        sqrt(col("__s") / lit(2.0)))
+        .otherwise(lit(null).cast("double")).as("hellinger"))
+  }
 }

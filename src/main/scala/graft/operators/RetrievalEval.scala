@@ -91,6 +91,58 @@ object RetrievalEval {
         (coalesce(col("dcg"), lit(0.0)) / lit(idcgConst(k))).as("ndcg"))
   }
 
+  /** Per-query truncated rank-biased overlap (Webber, Moffat & Zobel,
+    * TOIS'10) between the truth and approx top-k rankings — the
+    * top-weighted agreement metric for comparing two RANKED lists as
+    * lists (recall ignores order; nDCG needs a relevance side; RBO
+    * compares the rankings symmetrically, weighting shallow depths most).
+    * RBO@k = Σ_{d=1..k} p^(d-1)(1-p) · X_d / d with X_d = |prefix_d(A) ∩
+    * prefix_d(B)|. Each common item at ranks (r_t, r_a) contributes to
+    * every depth d ≥ max(r_t, r_a), so the sum REARRANGES to one weight
+    * lookup per common item: w(m) = Σ_{d=m..k} p^(d-1)(1-p)/d — k DRIVER
+    * doubles folded into the plan as literals (same discipline as
+    * [[ndcg]]'s discounts; [[rboWeights]] is public so an oracle embeds
+    * the identical values). Cost: ONE (queries × k) self-join + an
+    * ordered fold — nothing corpus-scaled; inputs persist at the gate.
+    */
+  def rbo(truth: DataFrame, approx: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val w = rboWeights(k, p)
+    val wCol = w.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (v, i)) => when(col("m") === (i + 1), lit(v)).otherwise(acc)
+    }
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_t"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+    val common = t.join(broadcast(a), Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        greatest(col("rank_t"), col("rank_a")).as("m"))
+      .select(col("query_id"), col("m"), wCol.as("w"))
+      .groupBy("query_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("m"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("rbo"))
+    t.select("query_id").distinct()
+      .join(broadcast(common), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
+  /** Per-item RBO weights w(m) = Σ_{d=m..k} p^(d-1)(1-p)/d for m = 1..k,
+    * folded high-depth-first so each prefix sum is a fixed double — public
+    * so oracle SQL embeds the identical values. */
+  def rboWeights(k: Int, p: Double): IndexedSeq[Double] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1.0) * (1.0 - p) / d)
+    // suffix sums, accumulated from depth k down so w(m) is deterministic
+    val w = new Array[Double](k + 1)
+    var d = k
+    while (d >= 1) { w(d - 1) = w(d) + terms(d - 1); d -= 1 }
+    w.take(k).toIndexedSeq
+  }
+
   /** Position discounts 1/log2(i+1) for i = 1..k — public so oracle SQL can
     * embed the identical doubles. */
   def discounts(k: Int): IndexedSeq[Double] =

@@ -96,4 +96,42 @@ object Roc {
       })).as("__e"))
       .select(col("__e.*"))
   }
+
+  /** Precision/recall/F1 at each reliability-bin threshold — the
+    * threshold-PICKING companion to [[rocPoints]]: a corpus filter is
+    * deployed at one operating point, and this is the table read to
+    * choose it (precision = kept-quality, recall = quality-coverage,
+    * F1 their harmonic mean). Same "predict positive when score ≥
+    * threshold" rule, same bins-sized ordered fold, and every cell is
+    * integer counts with ONE double division at the end, so the table is
+    * bit-exact on any partitioning and oracle-replayable. F1 uses the
+    * division-free identity `2·tp / (tp + fp + P)` (denominator =
+    * predicted-positives + actual-positives), so zero-precision/zero-
+    * recall rows stay well-defined wherever tp+fp+P > 0.
+    */
+  def prPoints(rel: DataFrame): DataFrame = {
+    def before(i: Column, field: String): Column =
+      aggregate(slice(col("__a"), lit(1), i), lit(0L),
+        (acc, y) => acc + y.getField(field))
+    rel.agg(
+        sort_array(collect_list(struct(col("bin"), col("bin_lo"),
+          col("n"), col("positives")))).as("__a"),
+        sum(col("positives")).as("__p"))
+      .select(explode(transform(col("__a"), (x, i) => {
+        val tp = col("__p") - before(i, "positives")
+        val predPos = aggregate(col("__a"), lit(0L),
+          (acc, y) => acc + y.getField("n")) - before(i, "n")
+        struct(x.getField("bin").as("bin"),
+          when(x.getField("bin") === 0, lit(Double.NegativeInfinity))
+            .otherwise(x.getField("bin_lo")).as("threshold"),
+          tp.as("tp"), predPos.as("pred_pos"),
+          (tp.cast("double") / nullif(predPos, lit(0L)).cast("double"))
+            .as("precision"),
+          (tp.cast("double") / nullif(col("__p"), lit(0L)).cast("double"))
+            .as("recall"),
+          (lit(2.0) * tp.cast("double") /
+            nullif(predPos + col("__p"), lit(0L)).cast("double")).as("f1"))
+      })).as("__e"))
+      .select(col("__e.*"))
+  }
 }

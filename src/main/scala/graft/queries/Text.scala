@@ -1708,6 +1708,42 @@ object Text {
     * anything beyond the heuristic's base rate. Integer counts, fixed
     * double chain, oracle-exact.
     */
+  /** Precision/recall/F1 at the q198 reliability-bin thresholds — the
+    * operating-point table a filter rollout actually reads (q203's ROC
+    * ranks the classifier; this one says what precision the corpus keeps
+    * and what recall it pays at each candidate threshold). Same rule
+    * ("keep when logit ≥ bin lower edge", bin 0 = −∞), same bins-sized
+    * ordered fold, integer counts with one double division per ratio —
+    * oracle-exact. F1 uses the division-free `2·tp / (pred_pos + P)`
+    * identity on both engines.
+    */
+  private val prCurveGate = QueryDef(
+    (s, dir) =>
+      graft.operators.Roc.prPoints(
+          graft.operators.Calibration.reliability(
+            calScored(s, dir), "logit", col("lang") === "en", calEdges))
+        .orderBy("bin"),
+    s"""WITH $calRelCte,
+       |t AS (SELECT CAST(SUM(positives) AS BIGINT) AS p FROM rel),
+       |c AS (SELECT bin,
+       |        CASE WHEN bin = 0 THEN CAST('-inf' AS DOUBLE)
+       |          ELSE bin_lo END AS threshold,
+       |        t.p - COALESCE(SUM(positives) OVER (ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
+       |        SUM(n) OVER () - COALESCE(SUM(n) OVER (ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS pred_pos,
+       |        t.p AS p
+       |      FROM rel, t)
+       |SELECT bin, threshold, CAST(tp AS BIGINT) AS tp,
+       |  CAST(pred_pos AS BIGINT) AS pred_pos,
+       |  CAST(tp AS DOUBLE) / CAST(NULLIF(pred_pos, 0) AS DOUBLE)
+       |    AS "precision",
+       |  CAST(tp AS DOUBLE) / CAST(NULLIF(p, 0) AS DOUBLE) AS recall,
+       |  2.0 * CAST(tp AS DOUBLE) / CAST(NULLIF(pred_pos + p, 0) AS DOUBLE)
+       |    AS f1
+       |FROM c ORDER BY bin""".stripMargin)
+
   private val filterAgreement = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1967,6 +2003,66 @@ object Text {
       |    greatest(ratio, 1.0 / ratio) AS drift
       |  FROM r ORDER BY drift DESC, term LIMIT 100)
       |ORDER BY term""".stripMargin)
+
+  /** One-row Hellinger distance between the unigram distributions of the
+    * q128 snapshot halves (docs 0-249 vs 250+) — the single bounded
+    * "how different is this dump" number next to termDrift's ranked
+    * table. Transcendental-free BY CONSTRUCTION: sqrt is IEEE-correctly-
+    * rounded (bitwise equal across engines) where a KL's ln is not, so
+    * the audit fold (term-ordered Σ(√p−√q)², one final sqrt) replays
+    * digit for digit.
+    */
+  private val hellingerDrift = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Drift.hellinger(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "text", ordered = true)
+    },
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |             FROM documents WHERE trim(text) != ''),
+      |co AS (SELECT term, COUNT(*) AS c FROM tok WHERE doc_id < 250 GROUP BY term),
+      |cn AS (SELECT term, COUNT(*) AS c FROM tok WHERE doc_id >= 250 GROUP BY term),
+      |j AS (SELECT COALESCE(co.term, cn.term) AS term,
+      |        COALESCE(co.c, 0) AS cnt_old, COALESCE(cn.c, 0) AS cnt_new
+      |      FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+      |s AS (SELECT COUNT(*) AS v, SUM(cnt_old) AS t_old, SUM(cnt_new) AS t_new FROM j),
+      |d AS (SELECT term,
+      |        sqrt(CAST(cnt_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+      |          - sqrt(CAST(cnt_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS dd
+      |      FROM j, s)
+      |SELECT CAST(s.v AS BIGINT) AS n_terms,
+      |  CAST(s.t_old AS BIGINT) AS t_old, CAST(s.t_new AS BIGINT) AS t_new,
+      |  CASE WHEN s.t_old > 0 AND s.t_new > 0 THEN
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      (SELECT list(dd * dd ORDER BY term) FROM d)), (x, y) -> x + y)
+      |      / 2.0)
+      |  ELSE NULL END AS hellinger
+      |FROM s""".stripMargin)
+
+  /** Per-source distinct-n diversity for n = 1..3 (Li et al., NAACL'16)
+    * — the synthetic-data mode-collapse audit: generations can be
+    * pairwise-unique while their phrases repeat, which craters
+    * distinct-2/3 long before any dedup fires. One corpus scan builds
+    * all three shingle sets inside a single projection (one explode);
+    * counts are exact integers, the ratio one double division.
+    */
+  private val ngramDiversity = QueryDef(
+    (s, dir) =>
+      graft.operators.CorpusAudit.ngramDiversity(
+          Tables.documents(s, dir), Seq("source"), "text", maxN = 3)
+        .orderBy("source", "n"),
+    """WITH toks AS (SELECT source, string_split(trim(text), ' ') AS t
+      |              FROM documents WHERE trim(text) != ''),
+      |g AS (SELECT source, n,
+      |        unnest([array_to_string(t[i:i + n - 1], ' ')
+      |                for i in range(1, len(t) - n + 2)]) AS gram
+      |      FROM (SELECT source, t, unnest([1, 2, 3]) AS n FROM toks))
+      |SELECT source, CAST(n AS INT) AS n, COUNT(*) AS n_grams,
+      |  COUNT(DISTINCT gram) AS n_distinct,
+      |  CAST(COUNT(DISTINCT gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS diversity
+      |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin)
 
   /** Deterministic epoch upsampling (Sampling.upsampleEpochs): materialize
     * a repeat recipe — 2.5 epochs of src0, 0.3 of src1, 1 of everything
@@ -3059,6 +3155,9 @@ object Text {
     "q202_auc" -> aucGate,
     "q203_roc" -> rocGate,
     "q205_filter_agreement" -> filterAgreement,
+    "q211_pr_curve" -> prCurveGate,
+    "q213_hellinger_drift" -> hellingerDrift,
+    "q214_ngram_diversity" -> ngramDiversity,
     "q206_truncation_audit" -> truncationAudit,
     "q207_split_balance" -> splitBalance,
     "q208_lexical_diversity" -> lexicalDiversity,

@@ -289,20 +289,14 @@ object Vector {
     * Spark's array<float> storage, cosines fold positionally), so the
     * whole comparison is hash-exact.
     */
-  private val annRecall = QueryDef(
-    (s, dir) => {
-      val corpus = Tables.embeddings(s, dir)
-      val truth = Similarity.knnBruteForce(
-        corpus, corpus.filter(col("vec_id") < 10), k = 5)
-      val proj = graft.operators.Projections.randomProjection(
-        corpus, "embedding", d = 64, k = 16, seed = 0)
-        .withColumn("embedding", col("embedding").cast("array<float>"))
-      val approx = Similarity.knnBruteForce(
-        proj, proj.filter(col("vec_id") < 10), k = 5)
-      graft.operators.RetrievalEval.compare(truth, approx, k = 5)
-        .orderBy("query_id")
-    },
-    s"""WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+  /** Shared oracle CTE block for the retrieval-eval gates (q139/q162/
+    * q211): the 64-dim corpus long-form, the seeded Rademacher projection
+    * to 16 dims, and the two brute-force top-5 rankings — `exact` over
+    * raw embeddings, `appr` over the projected ones. Every downstream
+    * eval metric joins these two (queries × k) frames.
+    */
+  private lazy val rpKnnCtes: String =
+    s"""ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
        |       FROM (SELECT vec_id, unnest([struct_pack(i := i - 1, x := embedding[i])
        |                                    for i in range(1, len(embedding) + 1)]) u
        |             FROM embeddings)),
@@ -327,7 +321,36 @@ object Vector {
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${sqlCosine("q.p", "c.p")} DESC, c.vec_id ASC) AS rank
        |  FROM pl q JOIN pl c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-       |  WHERE rank <= 5),
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** The two persisted brute-force KNN frames every retrieval-eval gate
+    * compares: exact top-5 over the raw 64-dim corpus vs top-5 over the
+    * seeded 16-dim random projection. Persisted because the eval joins
+    * are broadcast — unpersisted inputs would re-run the searches inside
+    * each broadcast exchange (the round-6 q162 blow-up).
+    */
+  private def evalRankings(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val corpus = Tables.embeddings(s, dir)
+    val truth = Similarity.knnBruteForce(
+      corpus, corpus.filter(col("vec_id") < 10), k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val proj = graft.operators.Projections.randomProjection(
+      corpus, "embedding", d = 64, k = 16, seed = 0)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val approx = Similarity.knnBruteForce(
+      proj, proj.filter(col("vec_id") < 10), k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (truth, approx)
+  }
+
+  private val annRecall = QueryDef(
+    (s, dir) => {
+      val (truth, approx) = evalRankings(s, dir)
+      graft.operators.RetrievalEval.compare(truth, approx, k = 5)
+        .orderBy("query_id")
+    },
+    s"""WITH $rpKnnCtes,
        |hits AS (SELECT e.query_id, COUNT(*) AS n_hits
        |         FROM exact e JOIN appr a
        |           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -360,50 +383,11 @@ object Vector {
     val idcg = graft.operators.RetrievalEval.idcgConst(5)
     QueryDef(
       (s, dir) => {
-        val corpus = Tables.embeddings(s, dir)
-        // persist both KNN frames before eval: ndcg's tiny (queries × k)
-        // joins are broadcast, and an unpersisted input would re-evaluate
-        // the full projection + brute-force subtree inside EACH broadcast
-        // exchange (measured 26× the q139 twin in round 6) — the eval must
-        // cost (queries × k) joins, not repeated corpus searches
-        val truth = Similarity.knnBruteForce(
-          corpus, corpus.filter(col("vec_id") < 10), k = 5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val proj = graft.operators.Projections.randomProjection(
-          corpus, "embedding", d = 64, k = 16, seed = 0)
-          .withColumn("embedding", col("embedding").cast("array<float>"))
-        val approx = Similarity.knnBruteForce(
-          proj, proj.filter(col("vec_id") < 10), k = 5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (truth, approx) = evalRankings(s, dir)
         graft.operators.RetrievalEval.ndcg(truth, approx, k = 5)
           .orderBy("query_id")
       },
-      s"""WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
-         |       FROM (SELECT vec_id, unnest([struct_pack(i := i - 1, x := embedding[i])
-         |                                    for i in range(1, len(embedding) + 1)]) u
-         |             FROM embeddings)),
-         |js AS (SELECT unnest(range(16)) AS j),
-         |tm AS (SELECT vec_id, j, i,
-         |         x * (CASE WHEN (strpos('0123456789abcdef',
-         |                substr(md5('rp:0:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
-         |              THEN 1.0 ELSE -1.0 END) AS t
-         |       FROM ex CROSS JOIN js),
-         |pv AS (SELECT vec_id, j, list_sum(list(t ORDER BY i)) / sqrt(16.0) AS value
-         |       FROM tm GROUP BY vec_id, j),
-         |pl AS (SELECT vec_id, list(CAST(CAST(value AS REAL) AS DOUBLE) ORDER BY j) AS p
-         |       FROM pv GROUP BY vec_id),
-         |exact AS (SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-         |  WHERE rank <= 5),
-         |appr AS (SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCosine("q.p", "c.p")} DESC, c.vec_id ASC) AS rank
-         |  FROM pl q JOIN pl c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-         |  WHERE rank <= 5),
+      s"""WITH $rpKnnCtes,
          |dj AS (SELECT e.query_id, a.rank AS rank, $discCase AS disc
          |       FROM exact e JOIN appr a
          |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
@@ -505,7 +489,42 @@ object Vector {
        |  FROM fused)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
+  /** Truncated rank-biased overlap @5 (Webber, Moffat & Zobel, TOIS'10;
+    * p = 0.9) of the same exact-vs-projected comparison as q139/q162 —
+    * the order-sensitive SYMMETRIC agreement number (recall ignores
+    * order; nDCG needs a relevance side; RBO compares the two rankings
+    * as rankings, weighting shallow depths most). The per-item weights
+    * w(m) = Σ_{d=m..5} p^(d-1)(1-p)/d are driver doubles replayed
+    * digit-for-digit via Double.toString; per-query sums fold in
+    * worst-rank order on both engines.
+    */
+  private val rboEval: QueryDef = {
+    val w = graft.operators.RetrievalEval.rboWeights(5, 0.9)
+    val wCase = w.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN CAST('$v' AS DOUBLE)" }
+      .mkString("CASE m ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    QueryDef(
+      (s, dir) => {
+        val (truth, approx) = evalRankings(s, dir)
+        graft.operators.RetrievalEval.rbo(truth, approx, k = 5, p = 0.9)
+          .orderBy("query_id")
+      },
+      s"""WITH $rpKnnCtes,
+         |cm AS (SELECT e.query_id, greatest(e.rank, a.rank) AS m
+         |       FROM exact e JOIN appr a
+         |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+         |pq AS (SELECT query_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list($wCase ORDER BY m)), (x, y) -> x + y) AS rbo
+         |       FROM cm GROUP BY query_id)
+         |SELECT q.query_id, COALESCE(r.rbo, CAST(0.0 AS DOUBLE)) AS rbo
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN pq r USING (query_id)
+         |ORDER BY q.query_id""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q212_rbo_eval" -> rboEval,
     "q191_hybrid_rrf" -> hybridRrf,
     "q162_ndcg_eval" -> ndcgEval,
     "q139_ann_recall" -> annRecall,

@@ -101,6 +101,25 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") === 2.0)
   }
 
+  test("ngramDiversity: hand-counted distinct-n; short docs emit no rows") {
+    val docs = Seq(
+      ("a", "x y x y"),   // 1g: 4/2 distinct; 2g: "x y","y x","x y" → 3/2; 3g: 2/2
+      ("a", "x y"),       // adds 1g: 2 (dup), 2g: "x y" (dup), no 3g
+      ("b", "z")          // 1 unigram only — no 2g/3g rows for b
+    ).toDF("source", "text")
+    val got = CorpusAudit.ngramDiversity(docs, Seq("source"), "text", maxN = 3)
+      .orderBy("source", "n").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))))
+      .toMap
+    assert(got(("a", 1)) === ((6L, 2L)))
+    assert(got(("a", 2)) === ((4L, 2L)))
+    assert(got(("a", 3)) === ((2L, 2L)))
+    assert(got(("b", 1)) === ((1L, 1L)))
+    assert(!got.contains(("b", 2)) && !got.contains(("b", 3)))
+    assert(got.size === 4)
+  }
+
   test("lexicalDiversity: pooled TTR and the low-TTR band") {
     val docs = Seq(
       ("a", "x x x x x x x x x y"), // ttr 0.2 → low

@@ -62,4 +62,32 @@ class DriftSpec extends AnyFunSuite {
     assert(top.values.forall(r => r > 0.0 && !r.isInfinite && !r.isNaN))
     assert(top("fresh") > 1.0 && top("start") < 1.0)
   }
+
+  test("hellinger: 0 on identical distributions, 1 on disjoint vocabularies") {
+    val a = corpus((1L, "x x y"), (2L, "z"))
+    def h(o: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame,
+        ordered: Boolean) =
+      Drift.hellinger(o, n, "text", ordered).collect().head
+    for (ord <- Seq(true, false)) {
+      assert(math.abs(h(a, a, ord).getAs[Double]("hellinger")) < 1e-12)
+      val disjoint = h(a, corpus((1L, "p q r")), ord)
+      assert(math.abs(disjoint.getAs[Double]("hellinger") - 1.0) < 1e-12)
+      assert(disjoint.getAs[Long]("n_terms") === 6L)
+    }
+  }
+
+  test("hellinger: hand-computed on a skewed pair; paths agree; empty is NULL") {
+    // P = (3/4, 1/4), Q = (1/4, 3/4) over {x, y}
+    val o = corpus((1L, "x x x y"))
+    val n = corpus((1L, "x y y y"))
+    val expected = math.sqrt(
+      (math.pow(math.sqrt(0.75) - math.sqrt(0.25), 2) * 2) / 2.0)
+    for (ord <- Seq(true, false)) {
+      val got = Drift.hellinger(o, n, "text", ordered = ord)
+        .collect().head.getAs[Double]("hellinger")
+      assert(math.abs(got - expected) < 1e-12, s"ordered=$ord got $got")
+    }
+    val empty = Drift.hellinger(o, corpus(), "text").collect().head
+    assert(empty.isNullAt(empty.fieldIndex("hellinger")))
+  }
 }

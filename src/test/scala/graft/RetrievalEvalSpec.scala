@@ -98,4 +98,38 @@ class RetrievalEvalSpec extends AnyFunSuite {
     val rBuried = RetrievalEval.compare(truth, buried, k = 4).collect().head.getDouble(2)
     assert(rTop == rBuried)
   }
+
+  test("rbo weights: suffix sums of p^(d-1)(1-p)/d, identical lists score Σw") {
+    val w = RetrievalEval.rboWeights(3, 0.5)
+    // terms: d=1: 0.5, d=2: 0.25/2=0.125, d=3: 0.125/3
+    assert(math.abs(w(2) - 0.125 / 3.0) < 1e-15)
+    assert(math.abs(w(1) - (0.125 + 0.125 / 3.0)) < 1e-15)
+    assert(math.abs(w(0) - (0.5 + 0.125 + 0.125 / 3.0)) < 1e-15)
+    // identical rankings: every item contributes w(its own rank) →
+    // Σ_m w(m) = Σ_d p^(d-1)(1-p) (each depth's X_d = d cancels /d)
+    val t = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val got = RetrievalEval.rbo(t, t, k = 3, p = 0.5)
+      .collect().head.getDouble(1)
+    assert(math.abs(got - (0.5 + 0.25 + 0.125)) < 1e-12)
+  }
+
+  test("rbo: hand-checked partial overlap, zero-overlap query gets 0 row") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+    // q1: item 10 at (1,2) → w(2); item 11 missed. q2: no overlap.
+    val approx = ranked((1L, 99L, 1), (1L, 10L, 2), (2L, 98L, 1), (2L, 97L, 2))
+    val w = RetrievalEval.rboWeights(2, 0.9)
+    val got = RetrievalEval.rbo(truth, approx, k = 2, p = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - w(1)) < 1e-15)
+    assert(got(2L) === 0.0)
+  }
+
+  test("rbo is top-weighted: agreement at rank 1 beats agreement at rank k") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val topAgree = ranked((1L, 10L, 1), (1L, 98L, 2), (1L, 99L, 3))
+    val tailAgree = ranked((1L, 98L, 1), (1L, 99L, 2), (1L, 12L, 3))
+    def score(a: org.apache.spark.sql.DataFrame) =
+      RetrievalEval.rbo(truth, a, k = 3, p = 0.9).collect().head.getDouble(1)
+    assert(score(topAgree) > score(tailAgree))
+  }
 }

@@ -63,6 +63,28 @@ class RocSpec extends AnyFunSuite {
     assert(pts.map(_.getAs[Double]("fpr")).toSeq === Seq(1.0, 0.25, 0.0))
   }
 
+  test("prPoints: precision/recall/F1 at the same descending thresholds") {
+    val scored = Seq(
+      // bin 0 [0,1): n=4 pos=1; bin 1 [1,2): n=3 pos=2; bin 2 [2,3): n=2 pos=2
+      (0.1, true), (0.2, false), (0.3, false), (0.4, false),
+      (1.1, true), (1.2, true), (1.3, false),
+      (2.1, true), (2.2, true)
+    ).toDF("logit", "y")
+    val rel = Calibration.reliability(scored, "logit", col("y"),
+      Array(0.0, 1.0, 2.0, 3.0))
+    val pts = Roc.prPoints(rel).orderBy("bin").collect()
+    // P=5; keep-all: tp=5/pred=9; ≥1: tp=4/pred=5; ≥2: tp=2/pred=2
+    assert(pts.map(r => (r.getAs[Int]("bin"), r.getAs[Long]("tp"),
+      r.getAs[Long]("pred_pos"))).toSeq ===
+      Seq((0, 5L, 9L), (1, 4L, 5L), (2, 2L, 2L)))
+    assert(pts.map(_.getAs[Double]("precision")).toSeq
+      === Seq(5.0 / 9.0, 0.8, 1.0))
+    assert(pts.map(_.getAs[Double]("recall")).toSeq === Seq(1.0, 0.8, 0.4))
+    assert(pts.map(_.getAs[Double]("f1")).toSeq
+      === Seq(10.0 / 14.0, 8.0 / 10.0, 4.0 / 7.0))
+    assert(pts.head.getAs[Double]("threshold") === Double.NegativeInfinity)
+  }
+
   test("rocPoints: empty reliability table yields zero rows") {
     val rel = Calibration.reliability(
       Seq.empty[(Double, Boolean)].toDF("logit", "y"), "logit", col("y"),
