@@ -215,6 +215,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(fused == Seq(1L, 2L))
   }
 
+  test("round-7 additions on empty inputs") {
+    val emptyRanked =
+      Seq.empty[(Long, Long, Int)].toDF("query_id", "neighbor_id", "rank")
+    assert(graft.operators.RetrievalEval.rbo(
+      emptyRanked, emptyRanked, k = 5).count() == 0)
+    // empty corpora: hellinger is NULL (undefined against no distribution)
+    val h = graft.operators.Drift.hellinger(emptyDocs, emptyDocs, "text")
+      .collect().head
+    assert(h.getAs[Long]("n_terms") == 0L)
+    assert(h.isNullAt(h.fieldIndex("hellinger")))
+    assert(graft.operators.CorpusAudit.ngramDiversity(
+      emptyDocs, Seq("source"), "text").count() == 0)
+    // an empty reliability table yields an empty PR table, not a crash
+    val emptyRel = graft.operators.Calibration.reliability(
+      Seq.empty[(Double, Boolean)].toDF("logit", "y"), "logit", $"y",
+      Array(0.0, 1.0))
+    assert(graft.operators.Roc.prPoints(emptyRel).count() == 0)
+  }
+
   test("BM25 against an empty corpus fails loudly, not silently") {
     intercept[IllegalArgumentException] {
       graft.operators.Bm25.scoreTopK(emptyDocs, "doc_id", "text",
