@@ -81,6 +81,68 @@ object MultimodalOps {
         when(scaleNeeded, floor(col("height") * scale).cast("int")).otherwise(col("height")))
   }
 
+  /** Fixed-duration audio chunk layout for audio-kind records — the
+    * batching step before transcription/feature extraction (a 3-hour
+    * recording becomes N windows a worker can decode independently).
+    * Metadata-level and integer-exact: the stub treats `byte_len` as the
+    * sample count (8-bit mono); chunk i covers samples
+    * [i·spc, min((i+1)·spc, n)) where spc = windowMs·rate/1000, with a
+    * final partial window flagged rather than dropped (transcription
+    * must cover the tail). One generator over the scan — no join, no
+    * shuffle; chunk bytes would ride a later per-partition decode exactly
+    * like [[decodeAll]].
+    */
+  def audioChunks(decoded: DataFrame, windowMs: Int,
+      sampleRateHz: Int): DataFrame = {
+    require(windowMs > 0, s"windowMs must be > 0, got $windowMs")
+    require(sampleRateHz > 0, s"sampleRateHz must be > 0, got $sampleRateHz")
+    require(windowMs.toLong * sampleRateHz % 1000L == 0,
+      s"window must hold a whole number of samples: $windowMs ms at $sampleRateHz Hz")
+    val spc = windowMs.toLong * sampleRateHz / 1000L
+    decoded
+      .filter(col("kind") === "audio" && col("byte_len") > 0)
+      .select(col("media_id"), col("byte_len").cast("long").as("n_samples"))
+      .select(col("media_id"), col("n_samples"),
+        explode(sequence(lit(0L),
+          floor((col("n_samples") - 1) / spc).cast("long"))).as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        (col("chunk_idx") * spc).as("start_sample"),
+        least(col("chunk_idx") * spc + spc, col("n_samples")).as("end_sample"))
+      .withColumn("duration_ms",
+        (col("end_sample") - col("start_sample")) * lit(1000.0) /
+          lit(sampleRateHz))
+      .withColumn("is_partial",
+        col("end_sample") - col("start_sample") < spc)
+  }
+
+  /** Tile-grid layout for image-kind records — the patching step a
+    * vision encoder or a tiled high-resolution pipeline runs before
+    * embedding (each tile becomes one unit of decode + inference work).
+    * Edge tiles CLIP to the image instead of padding or dropping: the
+    * grid must cover every pixel exactly once, and the consumer decides
+    * its own padding policy. Integer arithmetic only; two generators
+    * over the scan (Spark 4 forbids nested generators in one projection),
+    * zero shuffles.
+    */
+  def tileGrid(decoded: DataFrame, tile: Int): DataFrame = {
+    require(tile > 0, s"tile must be > 0, got $tile")
+    decoded
+      .filter(col("kind") === "image" &&
+        col("width") > 0 && col("height") > 0)
+      .select(col("media_id"), col("width"), col("height"))
+      .select(col("media_id"), col("width"), col("height"),
+        explode(sequence(lit(0),
+          floor((col("height") - 1) / tile).cast("int"))).as("tile_y"))
+      .select(col("media_id"), col("width"), col("height"), col("tile_y"),
+        explode(sequence(lit(0),
+          floor((col("width") - 1) / tile).cast("int"))).as("tile_x"))
+      .select(col("media_id"), col("tile_x"), col("tile_y"),
+        (col("tile_x") * tile).as("x0"),
+        (col("tile_y") * tile).as("y0"),
+        least(lit(tile), col("width") - col("tile_x") * tile).as("w"),
+        least(lit(tile), col("height") - col("tile_y") * tile).as("h"))
+  }
+
   /** Wrap a text table as binary media records — the test/demo corpus for
     * the plumbing (documents bytes stand in for media bytes).
     */

@@ -194,6 +194,69 @@ object Stream {
        |  FROM d WHERE kind = 'video')
        |ORDER BY media_id, frame_idx""".stripMargin)
 
+  /** q215: fixed-duration audio chunk layout (MultimodalOps.audioChunks)
+    * over the stub-decoded media — 10 ms windows at 16 kHz (160 samples
+    * per chunk), partial tail flagged. Sample counts come from byte_len,
+    * so the whole layout is integer arithmetic the oracle replays off the
+    * shared stub-decode CTE; duration_ms is the one double, computed with
+    * the identical op chain on both engines.
+    */
+  private val audioChunks = QueryDef(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = MultimodalOps.textAsMedia(Tables.documents(s, dir), "doc_id", "text")
+        .as[graft.multimodal.MediaRecord]
+      MultimodalOps.audioChunks(
+        MultimodalOps.decodeAll(media, StubDecoder).toDF(),
+        windowMs = 10, sampleRateHz = 16000)
+        .orderBy("media_id", "chunk_idx")
+    },
+    s"""WITH d AS ($stubDecodeSql)
+       |SELECT media_id, chunk_idx,
+       |  chunk_idx * 160 AS start_sample,
+       |  least(chunk_idx * 160 + 160, n_samples) AS end_sample,
+       |  (least(chunk_idx * 160 + 160, n_samples) - chunk_idx * 160)
+       |    * 1000.0 / 16000 AS duration_ms,
+       |  least(chunk_idx * 160 + 160, n_samples) - chunk_idx * 160 < 160
+       |    AS is_partial
+       |FROM (
+       |  SELECT media_id, CAST(byte_len AS BIGINT) AS n_samples,
+       |    unnest(range(0, (byte_len - 1) // 160 + 1)) AS chunk_idx
+       |  FROM d WHERE kind = 'audio' AND byte_len > 0)
+       |ORDER BY media_id, chunk_idx""".stripMargin)
+
+  /** q216: tile-grid layout (MultimodalOps.tileGrid) over the stub-decoded
+    * media — 224-pixel tiles with edge tiles clipped to the image, the
+    * patching pass a vision encoder runs before embedding. Width/height
+    * replay from the shared stub-decode CTE; everything else is integer
+    * division and min.
+    */
+  private val tileGridGate = QueryDef(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val media = MultimodalOps.textAsMedia(Tables.documents(s, dir), "doc_id", "text")
+        .as[graft.multimodal.MediaRecord]
+      MultimodalOps.tileGrid(
+        MultimodalOps.decodeAll(media, StubDecoder).toDF(), tile = 224)
+        .orderBy("media_id", "tile_y", "tile_x")
+    },
+    s"""WITH d AS ($stubDecodeSql)
+       |SELECT media_id, CAST(tile_x AS INTEGER) AS tile_x,
+       |  CAST(tile_y AS INTEGER) AS tile_y,
+       |  CAST(tile_x * 224 AS INTEGER) AS x0,
+       |  CAST(tile_y * 224 AS INTEGER) AS y0,
+       |  CAST(least(224, width - tile_x * 224) AS INTEGER) AS w,
+       |  CAST(least(224, height - tile_y * 224) AS INTEGER) AS h
+       |FROM (
+       |  SELECT media_id, width, height, ty.tile_y, tx.tile_x
+       |  FROM d,
+       |    LATERAL (SELECT unnest(range(0, (height - 1) // 224 + 1)) AS tile_y) ty,
+       |    LATERAL (SELECT unnest(range(0, (width - 1) // 224 + 1)) AS tile_x) tx
+       |  WHERE kind = 'image' AND width > 0 AND height > 0)
+       |ORDER BY media_id, tile_y, tile_x""".stripMargin)
+
   /** q188: watermark-lateness audit (EventStreams.latenessAudit) — the
     * recorded events arrive perfectly ordered, so the gate perturbs event
     * time deterministically (each event's time pulled back by
@@ -390,5 +453,7 @@ object Stream {
     "q57_purchase_view_join" -> purchaseViewJoin,
     "q60_binary_meta" -> binaryMeta,
     "q61_decoded_media" -> decodedMedia,
-    "q186_frame_sampling" -> frameSampling)
+    "q186_frame_sampling" -> frameSampling,
+    "q215_audio_chunks" -> audioChunks,
+    "q216_tile_grid" -> tileGridGate)
 }

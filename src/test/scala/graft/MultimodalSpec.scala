@@ -55,4 +55,48 @@ class MultimodalSpec extends AnyFunSuite {
       && (col("out_width") =!= col("width") || col("out_height") =!= col("height")))
       .count() == 0)
   }
+
+  test("audio chunks tile the sample stream exactly, partial tail flagged") {
+    val chunks = MultimodalOps.audioChunks(decoded.toDF(),
+      windowMs = 10, sampleRateHz = 16000) // 160 samples per chunk
+    // chunks are consecutive, gapless, and their union is [0, n_samples)
+    val bad = chunks
+      .join(decoded.toDF().select(col("media_id"),
+        col("byte_len").cast("long").as("n")), "media_id")
+      .filter(col("start_sample") =!= col("chunk_idx") * 160 ||
+        col("end_sample") <= col("start_sample") ||
+        col("end_sample") > col("n") ||
+        (col("is_partial") && col("end_sample") =!= col("n")) ||
+        (!col("is_partial") && col("end_sample") - col("start_sample") =!= 160))
+    assert(bad.count() == 0)
+    // per-media totals: Σ chunk lengths = n_samples; exactly one last chunk
+    val tot = chunks.groupBy("media_id")
+      .agg(sum(col("end_sample") - col("start_sample")).as("covered"),
+        max(col("end_sample")).as("last"))
+      .join(decoded.toDF().filter(col("kind") === "audio")
+        .select(col("media_id"), col("byte_len").cast("long").as("n")), "media_id")
+    assert(tot.filter(col("covered") =!= col("n") || col("last") =!= col("n"))
+      .count() == 0)
+    // rejects windows that don't hold a whole number of samples
+    intercept[IllegalArgumentException] {
+      MultimodalOps.audioChunks(decoded.toDF(), windowMs = 1, sampleRateHz = 44100)
+    }
+  }
+
+  test("tile grid covers every pixel once, edge tiles clipped") {
+    val tiles = MultimodalOps.tileGrid(decoded.toDF(), tile = 224)
+    val withDims = tiles.join(
+      decoded.toDF().select(col("media_id"), col("width"), col("height")),
+      "media_id")
+    // every tile inside the image, none empty, edge tiles exactly reach it
+    assert(withDims.filter(col("x0") + col("w") > col("width") ||
+      col("y0") + col("h") > col("height") ||
+      col("w") <= 0 || col("h") <= 0).count() == 0)
+    // Σ tile areas = width × height per image (exact cover, no overlap by
+    // construction of the disjoint grid offsets)
+    val area = withDims.groupBy("media_id", "width", "height")
+      .agg(sum(col("w").cast("long") * col("h")).as("covered"))
+      .filter(col("covered") =!= col("width").cast("long") * col("height"))
+    assert(area.count() == 0)
+  }
 }
