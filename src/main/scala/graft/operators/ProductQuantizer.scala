@@ -54,9 +54,14 @@ object ProductQuantizer {
   /** Train m subspace codebooks of (at most) `kCodes` centroids each with
     * `iters` Lloyd iterations. `dim` must divide evenly by m. Seeding is
     * deterministic (vec_id mod kCodes, as [[Similarity.kmeansCentroids]]),
-    * so two runs over the same corpus produce identical codebooks. The
-    * corpus is persisted for the duration — each subspace's loop scans it
-    * once per iteration, map-only.
+    * so two runs over the same corpus produce identical codebooks.
+    *
+    * ALL m subspaces train together: the corpus explodes once into
+    * (vec_id, s, subvector) rows, assignment is one per-s CASE over the
+    * NearestCellL2 kernels, and every iteration is ONE map-side-combined
+    * aggregate over the composite (s, cell) key — iters+1 jobs total,
+    * where a per-subspace loop would schedule m·(iters+1) (the scheduling
+    * overhead, not the math, dominated the old 8×4-job gate).
     */
   def train(corpus: DataFrame, m: Int, kCodes: Int, iters: Int = 3): Codebooks = {
     val dim = corpus.select(size(col("embedding"))).take(1) match {
@@ -66,36 +71,46 @@ object ProductQuantizer {
     require(dim > 0, "cannot train PQ codebooks on an empty corpus")
     require(dim % m == 0, s"embedding dim $dim must divide by m=$m")
     val subDim = dim / m
-    val cached = corpus.select(col("vec_id"), col("embedding"))
+    val subs = corpus.select(col("vec_id"), posexplode(
+        array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*)))
+      .toDF("vec_id", "s", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = (0 until m).toArray.map { s =>
-      val sub = cached.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      var assigned = sub.withColumn("cell", pmod(col("vec_id"), lit(kCodes)))
-      var cents = collectDense(Similarity.ivfCentroids(assigned, "cell", subDim))
-      var i = 0
-      while (i < iters) {
-        assigned = sub.withColumn("cell",
-          nearestCellL2(col("embedding"), cents.indices.toArray, cents))
-        cents = collectDense(Similarity.ivfCentroids(assigned, "cell", subDim))
-        i += 1
+    def step(cellOfRow: Column): Array[Array[Array[Float]]] =
+      collectBooks(Similarity.ivfCentroids(
+        subs.withColumn("ckey", col("s") * kCodes + cellOfRow), "ckey", subDim),
+        m, kCodes)
+    var books = step(pmod(col("vec_id"), lit(kCodes)))
+    var i = 0
+    while (i < iters) {
+      // dense per-subspace cell ids (< kCodes), branched on s — one
+      // codegen CASE chain, zero shuffles before the mean aggregate
+      val cellCase = (0 until m).foldLeft(lit(-1): Column) { (acc, s) =>
+        when(col("s") === s,
+          nearestCellL2(col("embedding"), books(s).indices.toArray, books(s)))
+          .otherwise(acc)
       }
-      cents
+      books = step(cellCase)
+      i += 1
     }
-    cached.unpersist()
+    subs.unpersist()
     Codebooks(dim, subDim, books)
   }
 
-  /** Centroids sorted by cell id, re-indexed densely 0..n-1: Lloyd cell ids
-    * are arbitrary labels between iterations, and dense ids let the ADC
-    * tables be positionally indexed arrays.
+  /** Composite-key centroids split back per subspace, sorted by cell id and
+    * re-indexed densely 0..n-1: Lloyd cell ids are arbitrary labels between
+    * iterations, and dense ids let the ADC tables be positionally indexed
+    * arrays (empty cells compact away per subspace, as before).
     */
-  private def collectDense(cents: DataFrame): Array[Array[Float]] =
-    cents.select(col("cell").cast("int"), col("centroid"))
+  private def collectBooks(cents: DataFrame, m: Int,
+      kCodes: Int): Array[Array[Array[Float]]] = {
+    val rows = cents.select(col("cell").cast("int"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-      .map(_._2)
+    (0 until m).toArray.map { s =>
+      rows.filter(_._1 / kCodes == s).sortBy(_._1 % kCodes).map(_._2)
+    }
+  }
 
   /** Corpus with `pq_code` (array<int>, length m) and `recon_norm` (the
     * exact L2 norm of the reconstructed vector) — one zero-shuffle codegen
