@@ -141,7 +141,51 @@ object Quality {
       |    COUNT(DISTINCT c_acctbal) >= 5 AS l_diverse
       |  FROM customer GROUP BY c_nationkey, c_mktsegment)""".stripMargin)
 
+  /** q217: sequential cleaning-recipe attrition (FilterCascade.attrition)
+    * over documents — nonempty → length band → has an English stopword →
+    * lang = 'en', each stage seeing only the previous stage's survivors.
+    * One aggregate pass (prefix-conjunction CASE sums), order-sensitive by
+    * construction; the oracle replays the same prefix conjunctions.
+    */
+  private val filterAttrition = QueryDef(
+    (s, dir) =>
+      FilterCascade.attrition(Tables.documents(s, dir), Seq(
+        "nonempty" -> (length(trim(col("text"))) > 0),
+        "length_band" -> col("n_chars").between(100, 450),
+        "has_stopword" -> array_contains(
+          graft.functions.TextFunctions.hashAlignedTokens(col("text")), "the"),
+        "lang_en" -> (col("lang") === "en")))
+        .orderBy("stage"),
+    """WITH a AS (SELECT COUNT(*) AS n0,
+      |  SUM(CASE WHEN COALESCE(length(trim(text)) > 0, false)
+      |      THEN 1 ELSE 0 END) AS k0,
+      |  SUM(CASE WHEN COALESCE(length(trim(text)) > 0, false)
+      |       AND COALESCE(n_chars BETWEEN 100 AND 450, false)
+      |      THEN 1 ELSE 0 END) AS k1,
+      |  SUM(CASE WHEN COALESCE(length(trim(text)) > 0, false)
+      |       AND COALESCE(n_chars BETWEEN 100 AND 450, false)
+      |       AND COALESCE(list_contains(string_split(trim(text), ' '), 'the'), false)
+      |      THEN 1 ELSE 0 END) AS k2,
+      |  SUM(CASE WHEN COALESCE(length(trim(text)) > 0, false)
+      |       AND COALESCE(n_chars BETWEEN 100 AND 450, false)
+      |       AND COALESCE(list_contains(string_split(trim(text), ' '), 'the'), false)
+      |       AND COALESCE(lang = 'en', false)
+      |      THEN 1 ELSE 0 END) AS k3
+      |  FROM documents),
+      |st AS (
+      |  SELECT 0 AS stage, 'nonempty' AS stage_name, n0 AS entering, k0 AS kept, n0 FROM a
+      |  UNION ALL SELECT 1, 'length_band', k0, k1, n0 FROM a
+      |  UNION ALL SELECT 2, 'has_stopword', k1, k2, n0 FROM a
+      |  UNION ALL SELECT 3, 'lang_en', k2, k3, n0 FROM a)
+      |SELECT CAST(stage AS INT) AS stage, stage_name,
+      |  CAST(entering AS BIGINT) AS entering, CAST(kept AS BIGINT) AS kept,
+      |  CAST(entering - kept AS BIGINT) AS dropped,
+      |  CAST(kept AS DOUBLE) / CAST(NULLIF(entering, 0) AS DOUBLE) AS keep_rate,
+      |  CAST(kept AS DOUBLE) / CAST(NULLIF(n0, 0) AS DOUBLE) AS cum_keep_rate
+      |FROM st ORDER BY stage""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q217_filter_attrition" -> filterAttrition,
     "q20_rule_failures" -> ruleFailures,
     "q21_unique_violations" -> uniqueViolations,
     "q22_quality_profile" -> qualityProfile,
