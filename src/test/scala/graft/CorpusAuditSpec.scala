@@ -120,6 +120,15 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("ngramDiversity plan: one scan, no product joins, bounded shuffles") {
+    val df = CorpusAudit.ngramDiversity(
+      Seq(("a", "x y z")).toDF("source", "text"), Seq("source"), "text")
+    graft.core.PlanAudit.requireNoProductJoins(df)
+    // count + exact countDistinct per group = the two-phase distinct agg;
+    // anything beyond its two exchanges means the single-scan shape broke
+    graft.core.PlanAudit.requireMaxShuffles(df, 2)
+  }
+
   test("lexicalDiversity: pooled TTR and the low-TTR band") {
     val docs = Seq(
       ("a", "x x x x x x x x x y"), // ttr 0.2 → low

@@ -58,6 +58,14 @@ class FilterCascadeSpec extends AnyFunSuite {
     assert(got.forall(_.isNullAt(got.head.fieldIndex("keep_rate"))))
   }
 
+  test("the funnel is ONE aggregate pass: a single shuffle, no joins") {
+    val attr = FilterCascade.attrition(df, Seq(
+      "len_band" -> col("len").between(100, 500),
+      "lang_en" -> (col("lang") === "en")))
+    graft.core.PlanAudit.requireMaxShuffles(attr, 1)
+    graft.core.PlanAudit.requireNoProductJoins(attr)
+  }
+
   test("duplicate stage names are rejected loudly") {
     intercept[IllegalArgumentException] {
       FilterCascade.attrition(df, Seq(
