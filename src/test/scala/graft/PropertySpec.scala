@@ -347,4 +347,57 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RBO laws on generated rankings: bounds, identity, weight shape") {
+    val w10 = graft.operators.RetrievalEval.rboWeights(10, 0.9)
+    // weights strictly decrease with worst-rank depth and stay positive
+    assert(w10.sliding(2).forall(p => p(0) > p(1)) && w10.last > 0.0)
+    val genPerm: Gen[Seq[Long]] =
+      Gen.chooseNum(1, 6).flatMap(k =>
+        Gen.pick(k, 10L to 30L).map(_.toSeq))
+    forAll(Gen.zip(genPerm, genPerm), n = 8) { case (ta, ab) =>
+      val t = ta.zipWithIndex.map { case (id, i) => (1L, id, i + 1) }
+        .toDF("query_id", "neighbor_id", "rank")
+      val a = ab.zipWithIndex.map { case (id, i) => (1L, id, i + 1) }
+        .toDF("query_id", "neighbor_id", "rank")
+      val r = graft.operators.RetrievalEval.rbo(t, a, k = 6)
+        .collect().head.getDouble(1)
+      assert(r >= 0.0 && r <= 1.0 + 1e-12, s"rbo $r out of bounds")
+      val self = graft.operators.RetrievalEval.rbo(t, t, k = 6)
+        .collect().head.getDouble(1)
+      // self-agreement dominates agreement with anything else
+      assert(self >= r - 1e-12, s"self $self < cross $r")
+    }
+  }
+
+  test("tile grid covers generated image dims exactly (area law)") {
+    forAll(Gen.zip(Gen.chooseNum(1, 700), Gen.chooseNum(1, 700),
+      Gen.chooseNum(1, 300)), n = 12) { case (w, h, tile) =>
+      val one = Seq((1L, "image", 0, w, h, 1, Array.empty[Float]))
+        .toDF("media_id", "kind", "byte_len", "width", "height",
+          "n_frames", "features")
+      val tiles = graft.multimodal.MultimodalOps.tileGrid(one, tile)
+        .collect()
+      assert(tiles.map(r => r.getAs[Int]("w").toLong * r.getAs[Int]("h")).sum
+        === w.toLong * h, s"w=$w h=$h tile=$tile")
+      assert(tiles.forall(r => r.getAs[Int]("w") <= tile &&
+        r.getAs[Int]("h") <= tile))
+    }
+  }
+
+  test("attrition law on generated frames: monotone kept chain, exact totals") {
+    val genVals: Gen[List[(Option[Int], Boolean)]] =
+      Gen.listOfN(40, Gen.zip(Gen.option(Gen.chooseNum(0, 100)), Gen.oneOf(true, false)))
+    forAll(genVals, n = 8) { rows =>
+      val df = rows.toDF("v", "flag")
+      val got = FilterCascade.attrition(df, Seq(
+        "v_mid" -> (col("v") >= 25 && col("v") <= 75),
+        "flagged" -> col("flag")))
+        .orderBy("stage").collect()
+      val k0 = rows.count(r => r._1.exists(v => v >= 25 && v <= 75))
+      val k1 = rows.count(r => r._1.exists(v => v >= 25 && v <= 75) && r._2)
+      assert(got.map(r => (r.getAs[Long]("entering"), r.getAs[Long]("kept")))
+        .toSeq === Seq((rows.size.toLong, k0.toLong), (k0.toLong, k1.toLong)))
+    }
+  }
 }
