@@ -131,7 +131,7 @@ final class ModelGraph(models: Seq[Model], format: TableFormat,
           case Some(c) if format.exists(spark, m.targetTable) =>
             val hwm = spark.table(m.targetTable)
               .agg(org.apache.spark.sql.functions.max(
-                org.apache.spark.sql.functions.col(c))).head.get(0)
+                org.apache.spark.sql.functions.col(c))).head().get(0)
             val fresh =
               if (hwm == null) df
               else df.filter(org.apache.spark.sql.functions.col(c) >

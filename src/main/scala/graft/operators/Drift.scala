@@ -47,7 +47,7 @@ object Drift {
     val stats = joined
       .agg(sum(col("cnt_old")).as("t_old"), sum(col("cnt_new")).as("t_new"),
         count(lit(1)).as("v"))
-      .head
+      .head()
     // empty-side totals are legal (first snapshot); smoothing keeps every
     // rate positive as long as the union vocabulary is non-empty
     val (tOld, tNew, v) =

@@ -109,7 +109,7 @@ object DupGroups {
     // clean-corpus case (no near-duplicate pairs at all) converges instead
     // of NPE-ing on compareTo
     def labelSum(labels: DataFrame): java.math.BigDecimal =
-      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
 
     var cur = sym.groupBy(col("u").as("vertex"))

@@ -37,7 +37,7 @@ object HeavyHitters {
     val sketch = hashes.agg(ColumnBridge.column(
       CountMinAgg(ColumnBridge.expression(col("__hs")), width, depth)
         .toAggregateExpression()).as("sk"))
-      .head.getSeq[Long](0).toArray
+      .head().getSeq[Long](0).toArray
     // pass 2: per-occurrence terms, sketch prefilter (no false negatives),
     // exact count of the surviving candidates only. The split MUST mirror
     // the sketch pass's tokenizer (TextHashing: runs of non-[space/tab/

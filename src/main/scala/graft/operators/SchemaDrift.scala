@@ -40,7 +40,7 @@ object SchemaDrift {
         else None
       }
     }
-    (added ++ removed ++ changed).sortBy(d => (d.column, d.change))
+    (added ++ removed ++ changed).toIndexedSeq.sortBy(d => (d.column, d.change))
   }
 
   /** The same report as a DataFrame (column, change, expected, observed). */

@@ -416,11 +416,11 @@ object TextDedup {
     // coalesce: SUM over an empty blocklist is NULL — an empty blocklist is
     // legal (first release of an eval suite) and must flag nothing
     val approxItems = blArrs
-      .agg(coalesce(sum(size(col("__shs"))), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(size(col("__shs"))), lit(0L))).head().getLong(0)
     val numBits = graft.expressions.BloomUtil.bitsFor(approxItems, bitsPerItem)
     val bitsRow = blArrs.agg(ColumnBridge.column(
       graft.expressions.BloomAgg(ColumnBridge.expression(col("__shs")),
-        numBits, numHashFns).toAggregateExpression()).as("bits")).head
+        numBits, numHashFns).toAggregateExpression()).as("bits")).head()
     val bits = bitsRow.getSeq[Long](0).toArray
     // zero-shuffle prefilter: corpus scan + compiled probe, pushdown-friendly
     val candidates = corpus.filter(ColumnBridge.column(

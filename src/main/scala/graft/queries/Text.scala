@@ -504,7 +504,7 @@ object Text {
       val docs = Tables.documents(s, dir)
       val minFreq = docs
         .agg(((sum(tokenCount(col("text"))) + 99L) / 100L).cast("long"))
-        .head.getLong(0)
+        .head().getLong(0)
       graft.operators.HeavyHitters.heavyTokens(docs, "text", minFreq)
         .orderBy("term")
     },
