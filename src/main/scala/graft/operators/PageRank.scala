@@ -35,9 +35,12 @@ object PageRank {
     * surviving edge carries weight 1/outdeg(src)).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      damping: Double = 0.85, ordered: Boolean = false): DataFrame = {
+      damping: Double = 0.85, ordered: Boolean = false,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     // the raw edge list feeds THREE consumers before the loop (the degree
     // aggregate, the degree join, and the dangling-node stats) — persist
     // it, or an expensive upstream edge derivation (join + distinct +
@@ -69,8 +72,21 @@ object PageRank {
       require(dangling == 0,
         s"$dangling dangling node(s) (no out-edges): symmetrize or prune first")
       val teleport = (1.0 - damping) / n
+      // rank recurrences have LINEAR lineage (each iteration references the
+      // previous exactly once), so a materialization barrier per iteration
+      // is pure scheduling overhead at low iteration counts — barriers are
+      // spaced `checkpointEvery` apart (bounding plan depth for long runs,
+      // the DupGroupsSpec failure mode), and the FINAL frame is always
+      // materialized so the result survives the cache teardown below
       var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var lastMat: Option[DataFrame] = None
+      def materialize(df: DataFrame): DataFrame = {
+        val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        lastMat.foreach(_.unpersist())
+        lastMat = Some(m)
+        m
+      }
       var it = 0
       while (it < iters) {
         val contrib = withDeg.join(pr, withDeg("__s") === pr("node"))
@@ -87,12 +103,11 @@ object PageRank {
           .select(col("node"),
             (lit(teleport) + lit(damping) * coalesce(col("__m"), lit(0.0)))
               .as("rank"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        pr.unpersist()
-        pr = next
         it += 1
+        pr = if (it == iters || it % checkpointEvery == 0) materialize(next)
+             else next
       }
+      if (iters == 0) pr = materialize(pr)
       pr
     } finally { withDeg.unpersist(); e.unpersist(); nodesCache.foreach(_.unpersist()) }
   }
