@@ -186,6 +186,38 @@ object Extra {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** q219: the NATIVE as-of join (AsOfJoinNode → AsOfJoinStrategy →
+    * AsOfJoinPlan's per-side shuffle + in-partition sort + streaming
+    * merge) under the SAME DuckDB ASOF JOIN oracle as q26 — the whole
+    * custom SparkPlan, not just the composed window formulation, is
+    * hash-verified end to end. Right side pre-aggregated to one row per
+    * (key, ts) so tie order cannot leak nondeterminism (the operator's
+    * documented contract).
+    */
+  private val asofNative = QueryDef(
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("v_value"))
+      AsOfJoin.joinAsOfNative(purchases, views, key = "user_id",
+        leftTs = "ts", rightKey = "v_user", rightTs = "v_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v_ts").as("view_ts"), col("v_value").as("view_value"))
+        .orderBy("event_id")
+    },
+    """WITH views AS (SELECT user_id, ts, max(value) AS v_value FROM events
+      |               WHERE event_type = 'view' GROUP BY 1, 2),
+      |purchases AS (SELECT event_id, user_id, ts FROM events
+      |              WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.v_value AS view_value
+      |FROM purchases p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   /** CUBE aggregation (SURVEY §2.4 A9's second half): all grouping-set
     * combinations of status × priority. SQL path for the same
     * ambiguity-check reason as q11_rollup.
@@ -1026,6 +1058,7 @@ object Extra {
     "q45_corpus_pipeline" -> corpusPipeline,
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
+    "q219_asof_native" -> asofNative,
     "q27_cube" -> cubeAgg,
     "q28_percentiles" -> percentiles,
     "q44_lang_id" -> langId)

@@ -232,6 +232,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q162_ndcg_eval").contains("BroadcastHashJoin"))
   }
 
+  test("q219 actually runs the NATIVE as-of exec, not a window fallback") {
+    val p = plan("q219_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("nDCG eval reads PERSISTED KNN frames — the searches run once") {
     // the broadcast-wrapped eval joins must consume InMemoryTableScans,
     // not re-evaluate the projection + brute-force subtrees inside each
