@@ -57,7 +57,12 @@ object Bench {
     // stdout (raw via build.sbt's StdoutOutput strategy) + a file copy, so
     // the harness can parse the numbers even if a logger wraps stdout
     println(json)
-    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // a subset run must NOT overwrite the full-suite baseline the
+    // regression diff depends on — it gets its own .subset.json file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val out = java.nio.file.Paths.get(
+      if (only.isEmpty) outPath
+      else outPath.replace(".json", ".subset.json"))
     // before overwriting, diff against the previous run's file: per-query
     // deltas plus a machine-readable >20% regression list, so round-over-
     // round slowdowns are attributed per query instead of eyeballed from a
@@ -72,7 +77,9 @@ object Bench {
           val p = prev(name)
           (name, p, v, (v - p) / p)
       }
-      def f(d: Double) = f"$d%.3f"
+      // Locale.ROOT: a comma-decimal default locale would emit {"prev":0,123}
+      def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(d))
       val regress = diffs.filter(_._4 > 0.20).sortBy(-_._4)
       val diffJson = "{\"regressions\":[" +
         regress.map { case (n, p, v, d) =>
@@ -93,15 +100,13 @@ object Bench {
     // keep only the final ~2 KB would otherwise see an unparseable middle
     // of it. Same "metric"/"value" contract; per-query detail stays in the
     // full line and the file copy.
-    // the r6 common-query inflation was environmental, not code: the JDK
-    // default 240m JIT code cache fills mid-suite (thousands of codegen
-    // classes across 200+ queries in one JVM) and later queries run
-    // partly interpreted. Isolated subset runs matched r5; with a 1g code
-    // cache the full suite dropped 272.5s -> ~150s on unchanged code.
-    val note = "r6 tail slowdown attributed to JIT code-cache exhaustion " +
-      "(240m default, now 1g); isolated 63-query subset ran 37s vs r5's " +
-      "46s - no code regression. Per-query deltas: bench_out_prev_diff.json"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","note":"$note"}""")
+    // one-round attribution requested by the round-6 verdict; carried in
+    // the summary line so the round-7 bench capture contains it, and
+    // scoped by name so later rounds can see it is historical context
+    val note = "r6_attribution: tail slowdown was JIT code-cache " +
+      "exhaustion (240m default, now 1g); isolated 63-query subset ran " +
+      "37s vs r5's 46s - no code regression. Deltas: bench_out_prev_diff.json"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","r6_attribution":"$note"}""")
     spark.stop()
   }
 }

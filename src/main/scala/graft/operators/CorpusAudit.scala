@@ -150,11 +150,14 @@ object CorpusAudit {
     * the collocation and shingle operators.
     */
   def ngramDiversity(docs: DataFrame, groupCols: Seq[String],
-      textCol: String, maxN: Int = 3): DataFrame = {
-    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+      textCol: String, maxN: Int = 3, minN: Int = 1): DataFrame = {
+    require(minN >= 1 && maxN >= minN,
+      s"need 1 <= minN <= maxN, got minN=$minN maxN=$maxN")
     val t = col("__t")
     val gramStructType = "array<struct<n:int,gram:string>>"
-    val perN = (1 to maxN).map { n =>
+    // only the REQUESTED sizes are shingled: a caller wanting bigrams
+    // alone must not pay for building and exploding every unigram struct
+    val perN = (minN to maxN).map { n =>
       when(size(t) >= n,
         transform(sequence(lit(1), size(t) - (n - 1)),
           i => struct(lit(n).as("n"),

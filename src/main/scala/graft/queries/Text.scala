@@ -1316,78 +1316,6 @@ object Text {
     * flags) is hash-exact against the full composition. The kept frame is
     * persisted once (three consumers: LM train, scoring, source join).
     */
-  /** Composed pipeline v5 — this round's operators chained end-to-end
-    * under ONE oracle: the q217 attrition predicate chain decides the
-    * kept set (NULL-safe, same coalesce-to-false rule), the survivors get
-    * a per-source distinct-2 diversity table, and the kept-vs-dropped
-    * Hellinger distance (ordered audit fold, sqrt-only arithmetic) rides
-    * every row as the recipe's one-number "what did the filter remove"
-    * signal. kept is persisted once (diversity + the Hellinger old side).
-    */
-  private val corpusPipeline5 = QueryDef(
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val keep = coalesce(
-        length(trim(col("text"))) > 0 &&
-          col("n_chars").between(100, 450) &&
-          array_contains(
-            graft.functions.TextFunctions.hashAlignedTokens(col("text")),
-            "the"),
-        lit(false))
-      val kept = docs.filter(keep)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dropped = docs.filter(!keep)
-      val div = graft.operators.CorpusAudit
-        .ngramDiversity(kept, Seq("source"), "text", maxN = 2)
-        .filter(col("n") === 2)
-        .select(col("source"), col("n_grams"), col("n_distinct"),
-          col("diversity"))
-      val hel = graft.operators.Drift
-        .hellinger(kept, dropped, "text", ordered = true)
-        .select(col("hellinger").as("cut_hellinger"))
-      div.crossJoin(broadcast(hel)).orderBy("source")
-    },
-    """WITH flagged AS (
-      |  SELECT *, COALESCE(length(trim(text)) > 0
-      |    AND n_chars BETWEEN 100 AND 450
-      |    AND list_contains(string_split(trim(text), ' '), 'the'), false)
-      |    AS keep
-      |  FROM documents),
-      |kept AS (SELECT * FROM flagged WHERE keep),
-      |dropped AS (SELECT * FROM flagged WHERE NOT keep),
-      |toks AS (SELECT source, string_split(trim(text), ' ') AS t
-      |         FROM kept WHERE trim(text) != ''),
-      |g AS (SELECT source,
-      |        unnest([array_to_string(t[i:i + 1], ' ')
-      |                for i in range(1, len(t))]) AS gram
-      |      FROM toks),
-      |div AS (SELECT source, COUNT(*) AS n_grams,
-      |          COUNT(DISTINCT gram) AS n_distinct,
-      |          CAST(COUNT(DISTINCT gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-      |            AS diversity
-      |        FROM g GROUP BY source),
-      |ktok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
-      |         FROM kept WHERE trim(text) != ''),
-      |dtok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
-      |         FROM dropped WHERE trim(text) != ''),
-      |co AS (SELECT term, COUNT(*) AS c FROM ktok GROUP BY term),
-      |cn AS (SELECT term, COUNT(*) AS c FROM dtok GROUP BY term),
-      |j AS (SELECT COALESCE(co.term, cn.term) AS term,
-      |        COALESCE(co.c, 0) AS cnt_old, COALESCE(cn.c, 0) AS cnt_new
-      |      FROM co FULL OUTER JOIN cn ON co.term = cn.term),
-      |tt AS (SELECT SUM(cnt_old) AS t_old, SUM(cnt_new) AS t_new FROM j),
-      |dd AS (SELECT term,
-      |         sqrt(CAST(cnt_old AS DOUBLE) / CAST(t_old AS DOUBLE))
-      |           - sqrt(CAST(cnt_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS dv
-      |       FROM j, tt),
-      |hel AS (SELECT CASE WHEN tt.t_old > 0 AND tt.t_new > 0 THEN
-      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |            (SELECT list(dv * dv ORDER BY term) FROM dd)),
-      |            (x, y) -> x + y) / 2.0)
-      |        ELSE NULL END AS cut_hellinger FROM tt)
-      |SELECT source, n_grams, n_distinct, diversity, cut_hellinger
-      |FROM div, hel ORDER BY source""".stripMargin)
-
   private val corpusPipeline4 = QueryDef(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1456,6 +1384,78 @@ object Text {
       |    greatest(cum_before // 256, (cum_before + n_tokens - 1) // 256)
       |    AS spans_boundary
       |FROM o ORDER BY doc_id""".stripMargin)
+
+  /** Composed pipeline v5 — this round's operators chained end-to-end
+    * under ONE oracle: the q217 attrition predicate chain decides the
+    * kept set (NULL-safe, same coalesce-to-false rule), the survivors get
+    * a per-source distinct-2 diversity table, and the kept-vs-dropped
+    * Hellinger distance (ordered audit fold, sqrt-only arithmetic) rides
+    * every row as the recipe's one-number "what did the filter remove"
+    * signal. kept is persisted once (diversity + the Hellinger old side).
+    */
+  private val corpusPipeline5 = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keep = coalesce(
+        length(trim(col("text"))) > 0 &&
+          col("n_chars").between(100, 450) &&
+          array_contains(
+            graft.functions.TextFunctions.hashAlignedTokens(col("text")),
+            "the"),
+        lit(false))
+      val kept = docs.filter(keep)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = docs.filter(!keep)
+      val div = graft.operators.CorpusAudit
+        .ngramDiversity(kept, Seq("source"), "text", maxN = 2, minN = 2)
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          col("diversity"))
+      val hel = graft.operators.Drift
+        .hellinger(kept, dropped, "text", ordered = true)
+        .select(col("hellinger").as("cut_hellinger"))
+      div.crossJoin(broadcast(hel)).orderBy("source")
+    },
+    """WITH flagged AS (
+      |  SELECT *, COALESCE(length(trim(text)) > 0
+      |    AND n_chars BETWEEN 100 AND 450
+      |    AND list_contains(string_split(trim(text), ' '), 'the'), false)
+      |    AS keep
+      |  FROM documents),
+      |kept AS (SELECT * FROM flagged WHERE keep),
+      |dropped AS (SELECT * FROM flagged WHERE NOT keep),
+      |toks AS (SELECT source, string_split(trim(text), ' ') AS t
+      |         FROM kept WHERE trim(text) != ''),
+      |g AS (SELECT source,
+      |        unnest([array_to_string(t[i:i + 1], ' ')
+      |                for i in range(1, len(t))]) AS gram
+      |      FROM toks),
+      |div AS (SELECT source, COUNT(*) AS n_grams,
+      |          COUNT(DISTINCT gram) AS n_distinct,
+      |          CAST(COUNT(DISTINCT gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |            AS diversity
+      |        FROM g GROUP BY source),
+      |ktok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+      |         FROM kept WHERE trim(text) != ''),
+      |dtok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+      |         FROM dropped WHERE trim(text) != ''),
+      |co AS (SELECT term, COUNT(*) AS c FROM ktok GROUP BY term),
+      |cn AS (SELECT term, COUNT(*) AS c FROM dtok GROUP BY term),
+      |j AS (SELECT COALESCE(co.term, cn.term) AS term,
+      |        COALESCE(co.c, 0) AS cnt_old, COALESCE(cn.c, 0) AS cnt_new
+      |      FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+      |tt AS (SELECT SUM(cnt_old) AS t_old, SUM(cnt_new) AS t_new FROM j),
+      |dd AS (SELECT term,
+      |         sqrt(CAST(cnt_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+      |           - sqrt(CAST(cnt_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS dv
+      |       FROM j, tt),
+      |hel AS (SELECT CASE WHEN tt.t_old > 0 AND tt.t_new > 0 THEN
+      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            (SELECT list(dv * dv ORDER BY term) FROM dd)),
+      |            (x, y) -> x + y) / 2.0)
+      |        ELSE NULL END AS cut_hellinger FROM tt)
+      |SELECT source, n_grams, n_distinct, diversity, cut_hellinger
+      |FROM div, hel ORDER BY source""".stripMargin)
+
 
   /** Incremental cross-snapshot dedup (TextDedup.dedupIncrement): docs
     * 0-299 are the already-ingested corpus; the incoming batch is every
