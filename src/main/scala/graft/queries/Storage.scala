@@ -350,7 +350,56 @@ object Storage {
       |  'raw.supplier' AS source_ref, 'gate_run_001' AS run_id
       |FROM supplier ORDER BY s_suppkey""".stripMargin)
 
+  /** Schema-drift report with an INDEPENDENT metadata replay: a drifted
+    * supplier batch (key widened int→bigint, s_acctbal dropped, s_region
+    * added) is written to parquet, the operator classifies it against the
+    * declared contract, and the oracle re-derives the same report from
+    * DuckDB's own read of the parquet FOOTER (parquet_schema) — the two
+    * engines independently parse the file metadata, so what is verified
+    * is the drift classification itself, not a copied expectation. Fixed
+    * path (no session tag): the oracle SQL is static, and concurrent
+    * writers produce an identical schema, which is all the gate reads.
+    */
+  private val schemaDriftGate = QueryDef(
+    (s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_gate_schema_drift.parquet"
+      Tables.supplier(s, dir)
+        .withColumn("s_nationkey", col("s_nationkey").cast("bigint"))
+        .withColumn("s_region", concat(lit("R"), col("s_nationkey")))
+        .drop("s_acctbal")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      val contract = org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      graft.operators.SchemaDrift.report(s, contract, s.read.parquet(path).schema)
+        .orderBy("column", "change")
+    },
+    s"""WITH contract(col, typ) AS (VALUES
+       |  ('s_suppkey', 'bigint'), ('s_name', 'string'),
+       |  ('s_nationkey', 'int'), ('s_acctbal', 'double')),
+       |obs AS (SELECT DISTINCT name AS col,
+       |    CASE WHEN type = 'INT64' THEN 'bigint'
+       |         WHEN type = 'INT32' THEN 'int'
+       |         WHEN type = 'DOUBLE' THEN 'double'
+       |         WHEN type = 'BYTE_ARRAY' AND converted_type = 'UTF8' THEN 'string'
+       |    END AS typ
+       |  FROM parquet_schema('${System.getProperty("java.io.tmpdir")}/graft_gate_schema_drift.parquet/*.parquet')
+       |  WHERE num_children IS NULL),
+       |drift AS (
+       |  SELECT o.col AS "column", 'added' AS change, '' AS expected,
+       |    o.typ AS observed
+       |  FROM obs o LEFT JOIN contract c ON o.col = c.col WHERE c.col IS NULL
+       |  UNION ALL
+       |  SELECT c.col, 'removed', c.typ, ''
+       |  FROM contract c LEFT JOIN obs o ON o.col = c.col WHERE o.col IS NULL
+       |  UNION ALL
+       |  SELECT c.col, 'type_changed', c.typ, o.typ
+       |  FROM contract c JOIN obs o ON o.col = c.col WHERE c.typ <> o.typ)
+       |SELECT * FROM drift ORDER BY "column", change""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q220_schema_drift" -> schemaDriftGate,
     "q210_metastore_scan" -> metastoreScan,
     "q58_orc_roundtrip" -> orcRoundtrip,
     "q157_multi_uri" -> multiUriSource,
