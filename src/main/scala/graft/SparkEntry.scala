@@ -47,7 +47,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (sketches,
     * approximate algorithms) → driver records a weaker rows-only check.
+    * Static per-query SQL is unioned with [[graft.core.DynamicOracle]]
+    * registrations (gates whose replay embeds literals computed during the
+    * run — trained models, session-tagged paths); queries run before the
+    * dump, so dynamic entries are present exactly when their gate ran.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
+    all.collect { case (name, QueryDef(_, Some(sql))) => name -> sql } ++
+      graft.core.DynamicOracle.all.filter { case (name, _) => all.contains(name) }
 }

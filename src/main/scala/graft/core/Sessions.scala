@@ -33,6 +33,7 @@ object Sessions {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Housekeeping.installExitSweep(spark)
     spark
   }
 
@@ -47,6 +48,9 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.GraftExtensions.register(spark)
+    // gate hermeticity: this JVM removes its own on-disk gate artifacts at
+    // exit, crashed runs included (idempotent; see Housekeeping)
+    Housekeeping.installExitSweep(spark)
     spark
   }
 }

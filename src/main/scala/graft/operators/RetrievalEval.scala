@@ -125,7 +125,10 @@ object RetrievalEval {
       .agg(aggregate(
         sort_array(collect_list(struct(col("m"), col("w")))),
         lit(0.0), (acc, x) => acc + x.getField("w")).as("rbo"))
-    t.select("query_id").distinct()
+    // keyed on the UNION of both sides' query sets — RBO is symmetric, so a
+    // query present only in `approx` must surface (scored 0.0: zero prefix
+    // overlap with an absent truth ranking), not silently drop
+    t.select("query_id").union(a.select("query_id")).distinct()
       .join(broadcast(common), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("rbo"), lit(0.0)).as("rbo"))

@@ -518,7 +518,7 @@ object Vector {
          |           list($wCase ORDER BY m)), (x, y) -> x + y) AS rbo
          |       FROM cm GROUP BY query_id)
          |SELECT q.query_id, COALESCE(r.rbo, CAST(0.0 AS DOUBLE)) AS rbo
-         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |FROM (SELECT query_id FROM exact UNION SELECT query_id FROM appr) q
          |LEFT JOIN pq r USING (query_id)
          |ORDER BY q.query_id""".stripMargin)
   }

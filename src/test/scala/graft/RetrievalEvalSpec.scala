@@ -124,6 +124,17 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(got(2L) === 0.0)
   }
 
+  test("rbo output keys on the UNION of query sets — approx-only queries score 0.0") {
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2))
+    // query 7 exists only in the approx ranking: symmetric RBO must surface
+    // it (zero overlap with the absent truth list), not silently drop it
+    val approx = ranked((1L, 10L, 1), (1L, 11L, 2), (7L, 50L, 1), (7L, 51L, 2))
+    val got = RetrievalEval.rbo(truth, approx, k = 2, p = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 7L))
+    assert(got(7L) === 0.0)
+  }
+
   test("rbo is top-weighted: agreement at rank 1 beats agreement at rank k") {
     val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
     val topAgree = ranked((1L, 10L, 1), (1L, 98L, 2), (1L, 99L, 3))

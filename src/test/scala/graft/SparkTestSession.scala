@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val wh = Files.createTempDirectory("graft_wh").toString
+    // the per-run warehouse is disposable by construction — remove it with
+    // the JVM so test runs don't accumulate table data in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh))
+    }, "graft-test-wh-sweep"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
