@@ -29,7 +29,18 @@ object AsOfJoin {
     * (key, ts) for fully deterministic output, as q26_asof_join does.
     */
   def joinAsOfNative(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+      leftTs: String, rightKey: String, rightTs: String): DataFrame =
+    joinAsOfNative(left, right, Seq(key), leftTs, Seq(rightKey), rightTs,
+      graft.plans.AsOfBackward)
+
+  /** Full-surface native form: multi-column keys and either direction
+    * ([[graft.plans.AsOfBackward]] = greatest rightTs <= leftTs, DuckDB
+    * `ASOF ... ON r.ts <= l.ts`; [[graft.plans.AsOfForward]] = smallest
+    * rightTs >= leftTs, DuckDB `ASOF ... ON r.ts >= l.ts`).
+    */
+  def joinAsOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightKeys: Seq[String], rightTs: String,
+      direction: graft.plans.AsOfDirection): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
@@ -41,7 +52,8 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(lp, rp,
-      attr(lp, key), attr(lp, leftTs), attr(rp, rightKey), attr(rp, rightTs)))
+      keys.map(attr(lp, _)), attr(lp, leftTs),
+      rightKeys.map(attr(rp, _)), attr(rp, rightTs), direction))
   }
 
   def joinAsOf(

@@ -91,18 +91,29 @@ object Pca {
       eps: Double = 1e-9): DataFrame =
     transform(df, embCol, model, k, whiten = true, eps)
 
-  private def transform(df: DataFrame, embCol: String, model: Model, k: Int,
-      whiten: Boolean, eps: Double = 0.0): DataFrame = {
+  /** The exact (rows, divisors, offsets) triple the projection kernel runs
+    * with — public so an oracle can replay out[j] = Σxᵢwⱼᵢ / divⱼ − offⱼ
+    * digit-for-digit from the same driver doubles (see q137's dynamic
+    * oracle). The affine offset = (V·μ)/div folds mean-centering into the
+    * kernel (V·(x−μ) = V·x − V·μ).
+    */
+  def affineParams(model: Model, k: Int, whiten: Boolean,
+      eps: Double = 1e-9): (Seq[Seq[Double]], Seq[Double], Seq[Double]) = {
     require(k >= 1 && k <= model.basis.length,
       s"k must be in [1, ${model.basis.length}], got $k")
     val rows = model.basis.take(k)
     val divisors =
       if (whiten) model.eigenvalues.take(k).map(l => math.sqrt(math.max(l, 0) + eps))
       else Seq.fill(k)(1.0)
-    // affine offset = (V·μ)/div, so the kernel emits V·(x−μ)/div directly
     val offsets = rows.zip(divisors).map { case (r, dv) =>
       r.zip(model.mean).map { case (a, b) => a * b }.sum / dv
     }
+    (rows, divisors, offsets)
+  }
+
+  private def transform(df: DataFrame, embCol: String, model: Model, k: Int,
+      whiten: Boolean, eps: Double = 0.0): DataFrame = {
+    val (rows, divisors, offsets) = affineParams(model, k, whiten, eps)
     df.withColumn(embCol,
       ColumnBridge.column(graft.expressions.ArrayMatMul(
         ColumnBridge.expression(col(embCol)), rows, divisors, offsets)))

@@ -248,10 +248,23 @@ object Similarity {
   def prototypicality(corpus: DataFrame, kCells: Int, iters: Int = 3): DataFrame = {
     val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansLocal(cached, kCells, iters)
+    prototypicalityLocal(cached, cents)
+  }
+
+  /** [[prototypicality]] against ALREADY-TRAINED centroids (a
+    * [[kmeansCentroids]] frame) — the production split where the model is a
+    * persisted artifact scored against many corpora, and the seam that lets
+    * a gate register the trained centroid literals with its oracle.
+    */
+  def prototypicalityWith(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    prototypicalityLocal(corpus, collectCentroids(centroids))
+
+  private def prototypicalityLocal(corpus: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
     // LEFT join: a row whose assignment is null (null/malformed embedding)
     // must surface as unscorable (null cell + proto_sim), not vanish — the
     // pruning policy downstream decides what to do with it
-    assignCellsLocal(cached, cents)
+    assignCellsLocal(corpus, cents)
       .join(broadcast(toCentroidDF(corpus.sparkSession, cents)), Seq("cell"), "left")
       .withColumn("proto_sim", cosine(col("embedding"), col("centroid")))
       .drop("centroid")

@@ -9,6 +9,15 @@ import org.apache.spark.sql.catalyst.expressions.SortOrder
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
+/** Match direction for the as-of join, mirroring the two useful halves of
+  * DuckDB's `ASOF JOIN` inequality surface: [[AsOfBackward]] = greatest
+  * `rightTs <= leftTs` (DuckDB `ON r.ts <= l.ts`), [[AsOfForward]] =
+  * smallest `rightTs >= leftTs` (DuckDB `ON r.ts >= l.ts`).
+  */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 /** Whole-operator custom plan for the as-of join — the (c) tier of the
   * custom-operator ladder (LogicalPlan + Strategy + SparkPlan), used where
   * composing built-ins costs an extra pass: the union+window formulation in
@@ -17,21 +26,28 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * sorts within partitions, and streams a single merge pass.
   *
   * Semantics: for every left row, attach the right row with the greatest
-  * `rightTs <= leftTs` within the same key (null-extended when none).
-  * Both inputs are hash-clustered on the key and sorted by (key, ts) —
+  * `rightTs <= leftTs` (backward) or smallest `rightTs >= leftTs` (forward)
+  * within the same multi-column key (null-extended when none; a NULL in any
+  * key column or timestamp matches nothing, equi-join style).
+  * Both inputs are hash-clustered on the keys and sorted by (keys…, ts) —
   * declared via requiredChildDistribution/Ordering so EnsureRequirements
   * plans the exchanges, exactly like SortMergeJoin does. The merge itself is
-  * O(left + right) per partition with one buffered right row.
+  * O(left + right) per partition with at most one buffered right row.
   */
 final case class AsOfJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute)
+    leftKeys: Seq[Attribute], leftTs: Attribute,
+    rightKeys: Seq[Attribute], rightTs: Attribute,
+    direction: AsOfDirection = AsOfBackward)
     extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"as-of join needs matching key lists, got ${leftKeys.length} vs ${rightKeys.length}")
   // the exec reads both sides through the LEFT side's physical types
-  require(leftKey.dataType == rightKey.dataType,
-    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: ${lk.dataType} vs ${rk.dataType}")
+  }
   require(leftTs.dataType == rightTs.dataType,
     s"as-of join ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] =
@@ -43,84 +59,141 @@ final case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lts, rk, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case AsOfJoinNode(l, r, lks, lts, rks, rts, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, lts, rks, rts, dir) :: Nil
     case _ => Nil
   }
 }
 
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute)
+    leftKeys: Seq[Attribute], leftTs: Attribute,
+    rightKeys: Seq[Attribute], rightTs: Attribute,
+    direction: AsOfDirection)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def asc(a: Attribute) =
+    SortOrder(a, org.apache.spark.sql.catalyst.expressions.Ascending)
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    leftKeys.map(asc) :+ asc(leftTs),
+    rightKeys.map(asc) :+ asc(rightTs))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyOrd = left.output.indexOf(leftKey)
+    val lKeyOrds = leftKeys.map(left.output.indexOf).toArray
     val lTsOrd = left.output.indexOf(leftTs)
-    val rKeyOrd = right.output.indexOf(rightKey)
+    val rKeyOrds = rightKeys.map(right.output.indexOf).toArray
     val rTsOrd = right.output.indexOf(rightTs)
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType).toArray
     val tsType = leftTs.dataType
     val rightArity = right.output.length
+    val forward = direction == AsOfForward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyOrdering = PhysicalDataType.ordering(keyType)
-        .asInstanceOf[Ordering[Any]]
+      val keyOrderings: Array[Ordering[Any]] = keyTypes.map(t =>
+        PhysicalDataType.ordering(t).asInstanceOf[Ordering[Any]])
       val tsOrdering = PhysicalDataType.ordering(tsType)
         .asInstanceOf[Ordering[Any]]
+      val nKeys = keyTypes.length
       val nullRight = new GenericInternalRow(rightArity)
       val rBuf = rIter.buffered
-      // last right row (copied) whose (key, ts) is <= the current left row
-      var candidate: InternalRow = null
-      var candidateKey: Any = null
       val joined = new JoinedRow
 
-      lIter.map { lRow =>
-        val lKey = lRow.get(lKeyOrd, keyType)
-        val lTs = lRow.get(lTsOrd, tsType)
-        if (lKey == null || lTs == null) {
-          // SQL equi-join semantics (and the composed window form, which
-          // filters right-side rows by rightTs <= leftTs — never true for
-          // null): a null key or timestamp matches nothing → null-extend
-          joined(lRow, nullRight)
-        } else {
-          // advance right while it is behind or equal to (lKey, lTs)
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val rKey = rBuf.head.get(rKeyOrd, keyType)
-            val rTs = rBuf.head.get(rTsOrd, tsType)
-            if (rKey == null || rTs == null) {
-              rBuf.next() // can never match any left row — discard
-            } else {
-              val cmpKey = keyOrdering.compare(rKey, lKey)
-              if (cmpKey < 0) {
-                rBuf.next() // right rows for earlier keys can never match again
-              } else if (cmpKey == 0 && tsOrdering.compare(rTs, lTs) <= 0) {
-                candidate = rBuf.next().copy()
-                candidateKey = rKey
+      // key tuple helpers over a scratch array (no per-row allocation)
+      def readKeys(row: InternalRow, ords: Array[Int], out: Array[Any]): Boolean = {
+        var i = 0
+        var allSet = true
+        while (i < nKeys) {
+          val v = row.get(ords(i), keyTypes(i))
+          if (v == null) allSet = false
+          out(i) = v
+          i += 1
+        }
+        allSet // false = some key col NULL → matches nothing
+      }
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = keyOrderings(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      val lKey = new Array[Any](nKeys)
+      val rKey = new Array[Any](nKeys)
+
+      if (!forward) {
+        // BACKWARD: consume right rows up to (lKey, lTs]; the last one
+        // consumed for the current key is the match. Copied because the
+        // underlying unsafe row buffer is reused by the sorter's iterator.
+        var candidate: InternalRow = null
+        val candKey = new Array[Any](nKeys)
+        lIter.map { lRow =>
+          val lTs = lRow.get(lTsOrd, tsType)
+          if (!readKeys(lRow, lKeyOrds, lKey) || lTs == null) {
+            joined(lRow, nullRight)
+          } else {
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rTs = rBuf.head.get(rTsOrd, tsType)
+              if (!readKeys(rBuf.head, rKeyOrds, rKey) || rTs == null) {
+                rBuf.next() // can never match any left row — discard
               } else {
-                advancing = false
+                val cmpKey = cmpKeys(rKey, lKey)
+                if (cmpKey < 0) {
+                  rBuf.next() // right rows for earlier keys can never match again
+                } else if (cmpKey == 0 && tsOrdering.compare(rTs, lTs) <= 0) {
+                  candidate = rBuf.next().copy()
+                  readKeys(candidate, rKeyOrds, candKey)
+                } else {
+                  advancing = false
+                }
               }
             }
+            val matches = candidate != null && cmpKeys(candKey, lKey) == 0
+            joined(lRow, if (matches) candidate else nullRight)
           }
-          val matches = candidate != null &&
-            keyOrdering.compare(candidateKey, lKey) == 0
-          joined(lRow, if (matches) candidate else nullRight)
+        }
+      } else {
+        // FORWARD: discard right rows strictly behind (lKey, lTs); the
+        // first remaining row with the same key is the match. It is NOT
+        // consumed — the next left row (same key, later ts) may need it.
+        // Safe to discard: left ts only grows within a key, so a right row
+        // with rTs < lTs can never satisfy rTs >= ts' for any later ts'.
+        lIter.map { lRow =>
+          val lTs = lRow.get(lTsOrd, tsType)
+          if (!readKeys(lRow, lKeyOrds, lKey) || lTs == null) {
+            joined(lRow, nullRight)
+          } else {
+            var advancing = true
+            var headOk = false
+            while (advancing && rBuf.hasNext) {
+              val rTs = rBuf.head.get(rTsOrd, tsType)
+              if (!readKeys(rBuf.head, rKeyOrds, rKey) || rTs == null) {
+                rBuf.next()
+              } else {
+                val cmpKey = cmpKeys(rKey, lKey)
+                if (cmpKey < 0 ||
+                    (cmpKey == 0 && tsOrdering.compare(rTs, lTs) < 0)) {
+                  rBuf.next()
+                } else {
+                  advancing = false
+                  headOk = cmpKey == 0 // same key and rTs >= lTs
+                }
+              }
+            }
+            joined(lRow, if (headOk) rBuf.head else nullRight)
+          }
         }
       }
     }

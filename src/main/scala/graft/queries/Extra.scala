@@ -218,6 +218,44 @@ object Extra {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** q221: the native as-of join's FULL surface — multi-column keys
+    * (user_id, calendar day) and the FORWARD direction: each purchase
+    * matched to the user's EARLIEST error at-or-after it within the same
+    * day (the "did this purchase precede a failure" shape). Oracle is
+    * DuckDB's own multi-key forward `ASOF LEFT JOIN ... e.ts >= p.ts`, so
+    * the whole forward merge path (peek-don't-consume head, same-day key
+    * fencing) is hash-verified end to end. Right side pre-aggregated per
+    * (user, ts) as in q219 so tie order cannot leak nondeterminism.
+    */
+  private val asofForward = QueryDef(
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"), col("ts"))
+      val errors = events.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("e_value"))
+        .select(col("user_id").as("e_user"),
+          date_trunc("day", col("ts")).as("e_day"),
+          col("ts").as("e_ts"), col("e_value"))
+      AsOfJoin.joinAsOfNative(purchases, errors,
+          keys = Seq("user_id", "day"), leftTs = "ts",
+          rightKeys = Seq("e_user", "e_day"), rightTs = "e_ts",
+          direction = graft.plans.AsOfForward)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("e_ts").as("error_ts"), col("e_value").as("error_value"))
+        .orderBy("event_id")
+    },
+    """WITH errors AS (SELECT user_id, date_trunc('day', ts) AS day, ts,
+      |                  max(value) AS e_value
+      |                FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3),
+      |purchases AS (SELECT event_id, user_id, date_trunc('day', ts) AS day, ts
+      |              FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, e.ts AS error_ts, e.e_value AS error_value
+      |FROM purchases p ASOF LEFT JOIN errors e
+      |  ON p.user_id = e.user_id AND p.day = e.day AND e.ts >= p.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   /** CUBE aggregation (SURVEY §2.4 A9's second half): all grouping-set
     * combinations of status × priority. SQL path for the same
     * ambiguity-check reason as q11_rollup.
@@ -1059,6 +1097,7 @@ object Extra {
     "q25_rolling_trend" -> rollingTrend,
     "q26_asof_join" -> asofJoin,
     "q219_asof_native" -> asofNative,
+    "q221_asof_forward" -> asofForward,
     "q27_cube" -> cubeAgg,
     "q28_percentiles" -> percentiles,
     "q44_lang_id" -> langId)

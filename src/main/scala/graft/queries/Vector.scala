@@ -198,14 +198,54 @@ object Vector {
     None)
 
   /** Prototypicality pruning signal: cosine to own k-means centroid.
-    * Rows-only gate (Lloyd training isn't SQL-expressible); the
-    * own-centroid-is-nearest invariant is asserted in SimilaritySpec.
+    * Oracle-green via [[graft.core.DynamicOracle]]: the Lloyd ITERATIONS
+    * aren't SQL-expressible, but the trained centroids are a k×dim driver
+    * literal — the oracle embeds them (with each centroid's precomputed
+    * 1/|c|, exactly the constant NearestCell multiplies by) and DuckDB
+    * independently replays the assignment argmax (score DESC, cell ASC =
+    * the kernel's strict-> first-wins tie-break) and the cosine fold. The
+    * training itself stays pinned by SimilaritySpec's own-centroid-nearest
+    * invariant.
     */
   private val prototypicality = QueryDef(
-    (s, dir) =>
-      Similarity.prototypicality(Tables.embeddings(s, dir), kCells = 8)
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centsDf = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
+      val cents = centsDf.select(col("cell").cast("int"), col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      import graft.core.DynamicOracle.dbl
+      val centVals = cents.map { case (c, arr) =>
+        // same ascending fold + 1/sqrt as NearestCell.invNorms — the literal
+        // must be the exact double the kernel multiplies by
+        var ss = 0.0
+        var i = 0
+        while (i < arr.length) { ss += arr(i).toDouble * arr(i).toDouble; i += 1 }
+        val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+        val lst = arr.map(x => dbl(x.toDouble)).mkString("[", ", ", "]")
+        s"($c, $lst, ${dbl(inv)})"
+      }.mkString(",\n  ")
+      graft.core.DynamicOracle.put("q116_prototypicality",
+        s"""WITH cents(cell, centroid, inv) AS (VALUES
+           |  $centVals),
+           |scored AS (SELECT e.vec_id, c.cell,
+           |    ${sqlDot("e.embedding", "c.centroid")} * c.inv AS score
+           |  FROM embeddings e CROSS JOIN cents c),
+           |best AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY score DESC, cell ASC) AS rn FROM scored)
+           |  WHERE rn = 1)
+           |SELECT e.vec_id, b.cell,
+           |  ${sqlCosine("e.embedding", "c.centroid")} AS proto_sim
+           |FROM embeddings e JOIN best b USING (vec_id)
+           |JOIN cents c ON b.cell = c.cell
+           |ORDER BY e.vec_id""".stripMargin)
+      Similarity.prototypicalityWith(corpus, centsDf)
         .select(col("vec_id"), col("cell"), col("proto_sim"))
-        .orderBy("vec_id"),
+        .orderBy("vec_id")
+    },
     None)
 
   /** Product-quantized ANN, production query shape: train m=8 × 64-code
@@ -265,14 +305,44 @@ object Vector {
 
   /** PCA whitening (Pca.fit + whiten): one-pass distributed moments, driver
     * Jacobi eigensolve, then a single affine kernel projection to the top 8
-    * unit-variance components. Rows-only gate (the eigensolve isn't
-    * SQL-expressible); orthonormality, variance capture, and the map-only
-    * apply plan are asserted in PcaSpec.
+    * unit-variance components. Oracle-green via
+    * [[graft.core.DynamicOracle]]: the EIGENSOLVE isn't SQL-expressible,
+    * but the fitted (basis, divisors, offsets) triple is 8×64+16 driver
+    * doubles — the oracle embeds them and DuckDB replays the kernel's
+    * out[j] = Σxᵢwⱼᵢ/divⱼ − offⱼ with the identical ascending-i fold
+    * (the q136 random-projection pattern, weights from the fit instead of
+    * md5 parity). Orthonormality, variance capture, and the map-only apply
+    * plan stay asserted in PcaSpec.
     */
   private val pcaWhiten = QueryDef(
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
       val model = graft.operators.Pca.fit(corpus, "embedding", d = 64)
+      val (rows, divs, offs) =
+        graft.operators.Pca.affineParams(model, k = 8, whiten = true)
+      import graft.core.DynamicOracle.dbl
+      val wValues = rows.zipWithIndex.flatMap { case (r, j) =>
+        r.zipWithIndex.map { case (wt, i) => s"($j, $i, ${dbl(wt)})" }
+      }.mkString(",\n  ")
+      val dvValues = divs.zip(offs).zipWithIndex
+        .map { case ((d0, o0), j) => s"($j, ${dbl(d0)}, ${dbl(o0)})" }
+        .mkString(", ")
+      graft.core.DynamicOracle.put("q137_pca_whiten",
+        s"""WITH ex AS (SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+           |  FROM (SELECT vec_id,
+           |          unnest([struct_pack(i := i - 1, x := embedding[i])
+           |                  for i in range(1, len(embedding) + 1)]) u
+           |        FROM embeddings)),
+           |w(j, i, wt) AS (VALUES
+           |  $wValues),
+           |dv(j, d, o) AS (VALUES $dvValues),
+           |terms AS (SELECT vec_id, w.j, ex.i, ex.x * w.wt AS tm
+           |          FROM ex JOIN w ON ex.i = w.i)
+           |SELECT t.vec_id, CAST(t.j AS BIGINT) AS dim,
+           |  list_sum(list(t.tm ORDER BY t.i)) / dv.d - dv.o AS value
+           |FROM terms t JOIN dv ON t.j = dv.j
+           |GROUP BY t.vec_id, t.j, dv.d, dv.o
+           |ORDER BY vec_id, dim""".stripMargin)
       graft.operators.Pca.whiten(corpus, "embedding", model, k = 8)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("long").as("dim"),

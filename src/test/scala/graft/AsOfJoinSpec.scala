@@ -62,6 +62,65 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(firstPurchase.isNullAt(1) && firstPurchase.isNullAt(2))
   }
 
+  test("forward direction picks the EARLIEST at-or-after row, per key") {
+    import spark.implicits._
+    def tsf(c: String) = org.apache.spark.sql.functions.timestamp_micros(col(c))
+    val l = Seq((1L, 10L, 2000000L), (2L, 10L, 5000000L), (3L, 20L, 1000000L))
+      .toDF("id", "k", "us").select(col("id"), col("k"), tsf("us").as("ts"))
+    val r = Seq(
+      (10L, 1000000L, 1.0), // behind id=1 → never a forward match
+      (10L, 2000000L, 2.0), // exactly at id=1's ts → its match (at-or-after)
+      (10L, 7000000L, 7.0), // id=2's match (earliest >= 5s)
+      (20L, 9000000L, 9.0)) // id=3's match, other key
+      .toDF("k", "us", "v")
+      .select(col("k").as("rk"), tsf("us").as("rts"), col("v"))
+    val out = AsOfJoin.joinAsOfNative(l, r, keys = Seq("k"), leftTs = "ts",
+      rightKeys = Seq("rk"), rightTs = "rts", direction = graft.plans.AsOfForward)
+      .select("id", "v").collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(out == Map(1L -> 2.0, 2L -> 7.0, 3L -> 9.0))
+  }
+
+  test("multi-column keys fence matches: all key columns must agree") {
+    import spark.implicits._
+    def tsf(c: String) = org.apache.spark.sql.functions.timestamp_micros(col(c))
+    val l = Seq((1L, 10L, "a", 5000000L), (2L, 10L, "b", 5000000L))
+      .toDF("id", "k1", "k2", "us")
+      .select(col("id"), col("k1"), col("k2"), tsf("us").as("ts"))
+    val r = Seq((10L, "a", 1000000L, 1.0), (10L, "zz", 2000000L, 99.0))
+      .toDF("k1", "k2", "us", "v")
+      .select(col("k1").as("r1"), col("k2").as("r2"), tsf("us").as("rts"), col("v"))
+    val out = AsOfJoin.joinAsOfNative(l, r, keys = Seq("k1", "k2"),
+      leftTs = "ts", rightKeys = Seq("r1", "r2"), rightTs = "rts",
+      direction = graft.plans.AsOfBackward)
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    // id=1 matches (10,"a"); id=2 has key (10,"b") — the (10,"zz") row with a
+    // matching first column must NOT leak through
+    assert(out == Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("forward native agrees with a brute-force join on real events") {
+    val errors = events.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .agg(max("value").as("e_value"))
+    val fwd = AsOfJoin.joinAsOfNative(purchases, errors,
+      keys = Seq("user_id"), leftTs = "ts",
+      rightKeys = Seq("e_user"), rightTs = "e_ts",
+      direction = graft.plans.AsOfForward)
+      .select(col("event_id"), col("e_ts"), col("e_value"))
+    // brute force: min e_ts >= ts per purchase, then fetch that row's value
+    val minTs = purchases.as("p").join(errors.as("e"),
+        col("p.user_id") === col("e.e_user") && col("e.e_ts") >= col("p.ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"))
+      .agg(min(col("e.e_ts")).as("e_ts"))
+    val brute = minTs.as("m").join(errors.as("e2"),
+        col("m.user_id") === col("e2.e_user") && col("m.e_ts") === col("e2.e_ts"), "left")
+      .select(col("m.event_id"), col("m.e_ts"), col("e2.e_value"))
+    assert(fwd.count() == purchases.count())
+    assert(fwd.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(fwd).count() == 0)
+  }
+
   test("native merge handles null keys and timestamps (no NPE, SQL semantics)") {
     import spark.implicits._
     val l = Seq(

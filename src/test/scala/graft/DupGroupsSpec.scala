@@ -92,6 +92,25 @@ class DupGroupsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L) && got.size == 40)
   }
 
+  test("distributed path at GATE scale: >1M generated edges cross the default ceiling") {
+    // The size-adaptive switch must actually hand off past maxDriverEdges —
+    // this runs the distributed min-label loop on a real >1M-edge graph with
+    // the DEFAULT ceiling (no forcing), proving the fallback works where it
+    // would engage in production, not just on toy forced graphs.
+    // Graph: chains of 8 consecutive vertices (0-7, 8-15, …) over 1.3M
+    // vertices → 1,137,499 edges, component label = v - v % 8, diameter 7
+    // (well under maxIter).
+    val nV = 1300000L
+    val edges = spark.range(nV - 1).filter(col("id") % 8 =!= 7)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    assert(edges.count() > 1000000L, "graph must exceed the driver ceiling")
+    val labels = DupGroups.connectedComponents(edges, "a", "b")
+    assert(labels.count() == nV)
+    val wrong = labels
+      .filter(col("label") =!= col("vertex") - (col("vertex") % 8)).count()
+    assert(wrong == 0L, s"$wrong vertices mislabeled by the distributed path")
+  }
+
   test("embeddingDupGroups clusters by cosine within blocks") {
     // block 1: 1≈2 (identical direction), 3 orthogonal; block 2: 4≈5
     val vecs = Seq(

@@ -238,6 +238,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("q221 forward/multi-key as-of: native exec, ONE hash exchange per side") {
+    val p = plan("q221_asof_forward")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // exactly three hash exchanges: one per join side on the multi-column
+    // key, plus the right side's upstream (user, ts) dedup aggregation —
+    // which keys on a different tuple and so cannot reuse the join's
+    // partitioning. The join itself contributes ONE exchange per side; the
+    // only other exchange in the plan is the presentation orderBy's range
+    // partition.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx:\n${p.take(3000)}")
+  }
+
   test("nDCG eval reads PERSISTED KNN frames — the searches run once") {
     // the broadcast-wrapped eval joins must consume InMemoryTableScans,
     // not re-evaluate the projection + brute-force subtrees inside each
