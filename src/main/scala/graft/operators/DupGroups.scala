@@ -222,6 +222,22 @@ object DupGroups {
     corpus.join(broadcast(losers), Seq("vec_id"), "left_anti")
   }
 
+  /** [[semanticDedup]] against ALREADY-TRAINED cell centroids (a
+    * [[Similarity.kmeansCentroids]] frame) — the production split where the
+    * blocking quantizer is a persisted model, and the seam that lets a gate
+    * register the trained centroid literals with its oracle (assignment,
+    * intra-cell pairs, closure, and the keep-set anti-join all replay in
+    * SQL from those literals).
+    */
+  def semanticDedupWith(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = Similarity.assignCells(corpus, centroids)
+    val losers = embeddingDupGroups(assigned, "cell", threshold)
+      .filter(col("vec_id") =!= col("group_id"))
+      .select("vec_id")
+    corpus.join(broadcast(losers), Seq("vec_id"), "left_anti")
+  }
+
   /** MinHash near-duplicate clusters — the full sketch-path composition
     * (signatures → LSH bands → estimated-Jaccard verify → closure) in one
     * call: the scale form of [[nearDupGroups]], which needs the exact

@@ -142,23 +142,32 @@ object Sampling {
     * Determinism note: `keyCol` must be UNIQUE (it is the document key —
     * duplicate keys draw the same u and tie exactly, leaving the physical
     * winner at the cut partition-order dependent). Ties on the double key
-    * are broken by the key column, and the race key itself is not
-    * emitted — `ln` is the one op here that engines round differently in
-    * the last ulp, so the key is kept internal and the SELECTION (which a
-    * last-ulp flip cannot realistically change: it needs two of n draws
-    * within one ulp exactly at the cut) is the contract. Gate-checked
-    * rows-only; SamplingSpec pins determinism, exact size, and
-    * weight-proportional inclusion.
+    * are broken by the key column. The ln is [[graft.expressions.JavaLn]]
+    * (Math.log — bitwise-equal to DuckDB's platform ln), NOT the built-in
+    * log() (StrictMath, which can differ in the final ulp): with it the
+    * race key is bit-identical across engines, so the SELECTION itself is
+    * oracle-replayable, not just statistically right. SamplingSpec pins
+    * determinism, exact size, and weight-proportional inclusion.
     */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       n: Int): DataFrame = {
-    // u in (0, 1]: 32 md5 bits + 1 over 2^32 — never 0, so ln(u) is finite
-    val u = (md5Bits32(col(keyCol)).cast("double") + 1.0) / 4294967296.0
     df.filter(weight > 0)
-      .withColumn("__race", -log(u) / weight.cast("double"))
+      .withColumn("__race", raceKey(col(keyCol), weight))
       .orderBy(col("__race"), col(keyCol))
       .limit(n)
       .drop("__race")
+  }
+
+  /** The Efraimidis-Spirakis exponential race key `-ln(u)/w` with u drawn
+    * from the key's md5 — in (0, 1]: 32 md5 bits + 1 over 2^32, never 0,
+    * so ln(u) is finite. Oracle twin: see q148's SQL (same md5 window,
+    * same +1/2^32, DuckDB ln == Math.log bit-for-bit).
+    */
+  private def raceKey(key: Column, weight: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val u = (md5Bits32(key).cast("double") + 1.0) / 4294967296.0
+    -ColumnBridge.column(graft.expressions.JavaLn(
+      ColumnBridge.expression(u))) / weight.cast("double")
   }
 
   /** Per-group [[weightedSample]]: `nPerGroup` winners of the same
@@ -174,9 +183,8 @@ object Sampling {
     */
   def weightedSamplePerGroup(df: DataFrame, keyCol: String, groupCol: String,
       weight: Column, nPerGroup: Int): DataFrame = {
-    val u = (md5Bits32(col(keyCol)).cast("double") + 1.0) / 4294967296.0
     TopK.perGroupNative(
-      df.filter(weight > 0).withColumn("__race", -log(u) / weight.cast("double")),
+      df.filter(weight > 0).withColumn("__race", raceKey(col(keyCol), weight)),
       groupCol, "__race", keyCol, nPerGroup, descending = false)
       .drop("__race")
   }

@@ -281,6 +281,38 @@ object Similarity {
     knnIvf(assigned, queries, "cell", k, nprobe)
   }
 
+  /** IVF against ALREADY-TRAINED centroids (a [[kmeansCentroids]] frame):
+    * assignment AND probe ranking both use the provided quantizer
+    * centroids — the production split where the coarse quantizer is a
+    * persisted model scored against many query batches, and the seam that
+    * lets a gate register the trained centroid literals with its oracle
+    * ([[knnIvfTrained]] instead re-derives per-cell MEANS for the probe,
+    * whose distributed float sums are not bit-replayable).
+    */
+  def knnIvfWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val assigned = assignCellsLocal(corpus, cents)
+    val centsDf = broadcast(toCentroidDF(corpus.sparkSession, cents))
+    val q = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_norm")
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("cent_sim"), asc("cell"))
+    val probed = broadcast(
+      q.crossJoin(centsDf)
+        .withColumn("cent_sim", cosine(col("q_emb"), col("centroid")))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= nprobe)
+        .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell")))
+    val c = withNorm(assigned, "embedding", "c_norm")
+    rankTopK(
+      c.join(probed, c("cell") === probed("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos_sim",
+          dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm"))),
+      k)
+  }
+
   /** Exact top-k ranking restricted to explicit (query, cell) probe pairs —
     * the scan stage of a persisted IVF index ([[IvfIndex.query]]), where the
     * probe ranking already happened on the driver and `corpus` arrives

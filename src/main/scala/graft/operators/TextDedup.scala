@@ -121,9 +121,17 @@ object TextDedup {
         explode(ColumnBridge.column(graft.expressions.ShingleHashes(
           ColumnBridge.expression(col(textCol)), n))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SHUFFLE_HASH hints on every expansion-derived join side: Catalyst's
+    // size estimate for the post-explode frame inherits the (tiny,
+    // compressed) pre-explode scan stats, so it would BROADCAST the
+    // corpus-sized expansion — measured 19-50x superlinear at a 10x scale
+    // probe (SCALING.md r8) from rebuilding an ever-growing driver hash
+    // relation, and a guaranteed driver OOM at real scale. Hinted, the
+    // expansion exchanges ONCE on the 8-byte shingle hash and the df-filter
+    // semi join plus the pair self-join all consume that same partitioning.
     val filtered = docShingles.join(
       docShingles.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("sh"),
+        .filter(col("df") <= maxDocFreq).select("sh").hint("shuffle_hash"),
       Seq("sh"), "left_semi")
     // sizes over the SAME filtered shingle space as the intersection —
     // unfiltered denominators would deflate the similarity for docs
@@ -131,7 +139,7 @@ object TextDedup {
     val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("sz"))
     val a = filtered.withColumnRenamed("doc", "doc_a")
     val b = filtered.withColumnRenamed("doc", "doc_b")
-    val inter = a.join(b, Seq("sh"))
+    val inter = a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))

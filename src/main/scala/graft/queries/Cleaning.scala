@@ -18,6 +18,13 @@ import graft.operators.{Outliers, ParagraphDedup, Quantiles, Sampling}
   */
 object Cleaning {
 
+  /** DuckDB twin of Sampling.md5Bits32(doc_id): first 32 md5 bits of the
+    * key's decimal string as a BIGINT — the same fragment the q62/q73
+    * bucket oracles replay.
+    */
+  private val sqlMd5Bits32 =
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
   /** Pages: one row per (source, bucket of 25 consecutive doc_ids) — body
     * paragraphs are the member docs in doc_id order, wrapped in a
     * per-source header and a corpus-wide footer, newline-separated.
@@ -115,13 +122,26 @@ object Cleaning {
     * SamplingSpec pins size, determinism and weight-proportional
     * inclusion instead.
     */
+  /** q148: Efraimidis-Spirakis weighted sampling without replacement —
+    * oracle-green: u comes from the key's md5 and the race key's ln is
+    * graft.expressions.JavaLn (Math.log, bitwise-equal to DuckDB's platform
+    * ln — built-in log() is StrictMath and can flip the final ulp), so the
+    * SELECTION replays exactly: same md5 window, same +1/2^32 uniform,
+    * same -ln(u)/w race, same (race, key) tie order.
+    */
   private val weightedSample = QueryDef(
     (s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         col("n_chars"), 100)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id"),
-    None)
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    -ln((CAST($sqlMd5Bits32 AS DOUBLE) + 1.0) / 4294967296.0)
+       |      / CAST(n_chars AS DOUBLE) AS race
+       |  FROM documents WHERE n_chars > 0
+       |  ORDER BY race, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin)
 
   /** q149: markup stripping — docs wrapped in deterministic HTML chrome
     * (tags, entities, a link) then cleaned back to prose. The oracle
@@ -274,13 +294,23 @@ object Cleaning {
     * weighted) through the native heap exec. Rows-only like q148 — same
     * `ln` race key — with the per-group contract spec-pinned.
     */
+  /** q153: q148's race run per source through the native heap exec — same
+    * bit-exact JavaLn race key, so the per-group winners replay as a
+    * ROW_NUMBER over (race, key) within each source.
+    */
   private val weightedBySource = QueryDef(
     (s, dir) =>
       Sampling.weightedSamplePerGroup(Tables.documents(s, dir), "doc_id",
         "source", col("n_chars"), 5)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id"),
-    None)
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       |      -ln((CAST($sqlMd5Bits32 AS DOUBLE) + 1.0) / 4294967296.0)
+       |        / CAST(n_chars AS DOUBLE) ASC, doc_id ASC) AS rn
+       |  FROM documents WHERE n_chars > 0)
+       |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)
 
   /** q155: Unicode NFC canonicalization — docs suffixed with DECOMPOSED
     * accents (e + combining acute) must normalize byte-identical to their

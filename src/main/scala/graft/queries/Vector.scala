@@ -13,6 +13,28 @@ import graft.operators.Similarity
   */
 object Vector {
 
+  /** `(cell, [centroid doubles], inv)` VALUES rows for a DynamicOracle —
+    * the centroid literals a k-means-trained gate registers so DuckDB can
+    * replay assignment/probe arithmetic. `inv` is 1/|c| from the SAME
+    * ascending fold + 1/sqrt as NearestCell.invNorms: the literal must be
+    * the exact double the kernel multiplies by.
+    */
+  private def centroidRowsSql(centroids: org.apache.spark.sql.DataFrame): String = {
+    import graft.core.DynamicOracle.dbl
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    cents.map { case (c, arr) =>
+      var ss = 0.0
+      var i = 0
+      while (i < arr.length) { ss += arr(i).toDouble * arr(i).toDouble; i += 1 }
+      val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+      val lst = arr.map(x => dbl(x.toDouble)).mkString("[", ", ", "]")
+      s"($c, $lst, ${dbl(inv)})"
+    }.mkString(",\n  ")
+  }
+
   /** Per-vector L2 norm. */
   private val vectorNorms = QueryDef(
     (s, dir) =>
@@ -81,8 +103,16 @@ object Vector {
        |    ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)
 
-  /** Hyperplane-LSH approximate top-5 — rows-only check (bucket hashes are
-    * engine-specific); recall vs q51 asserted in ScalaTest.
+  /** Hyperplane-LSH approximate top-5 — oracle-green: the "random"
+    * hyperplanes are PSEUDO-random (±1 signs from `xxhash64(bit, dim) & 1`,
+    * VectorFunctions.hyperplaneBucket), so the whole operator is
+    * deterministic and SQL-expressible once the sign matrix is a literal.
+    * The oracle evaluates the SAME Catalyst XxHash64 expression on the
+    * driver to materialize the 4×64 sign matrix, then DuckDB independently
+    * replays bucketing (signed ascending-i dot folds — multiplying by ±1.0
+    * is the exact sign flip the kernel's conditional negate performs),
+    * the bucket equi-join, and the cosine top-5. Recall vs q51 stays
+    * asserted in ScalaTest.
     */
   private val knnLsh = QueryDef(
     (s, dir) => {
@@ -90,16 +120,84 @@ object Vector {
       Similarity.knnLsh(corpus, corpus.filter(col("vec_id") < 10), k = 5, bits = 4)
         .orderBy("query_id", "rank")
     },
-    None)
+    {
+      // the exact hash the kernel's executors compute: XxHash64 over two
+      // INT literals (bit index, dim index), default seed — evaluated here
+      // on the driver via the same expression class
+      def sign(j: Int, d: Int): String = {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+        // seed 42L = the SQL function's default (functions.xxhash64)
+        val h = XxHash64(Seq(Literal(j), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+        if ((h & 1L) == 1L) "1.0" else "-1.0"
+      }
+      val dim = 64
+      val signRows = (0 until 4).map(j =>
+        s"($j, CAST([${(0 until dim).map(sign(j, _)).mkString(", ")}] AS DOUBLE[]))")
+        .mkString(",\n  ")
+      val sdot =
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * s.sv[i] " +
+          "for i in range(1, len(e.embedding)+1)])"
+      Some(s"""WITH s(j, sv) AS (VALUES
+         |  $signRows),
+         |b AS (SELECT e.vec_id, e.embedding,
+         |    CAST(SUM(CASE WHEN $sdot > 0 THEN (1 << s.j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN s GROUP BY e.vec_id, e.embedding)
+         |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    ${sqlCosine("q.embedding", "c.embedding")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    })
 
   /** IVF approximate top-5 with k-means-trained cells (8 cells, 3 Lloyd
-    * iterations, nprobe=3) — rows-only; recall floor asserted in ScalaTest.
+    * iterations, nprobe=3), quantizer-centroid probe (knnIvfWith).
+    * Oracle-green via [[graft.core.DynamicOracle]], the q116 pattern: Lloyd
+    * training stays driver state, but the trained centroids are a k×dim
+    * literal — DuckDB independently replays the NearestCell assignment
+    * argmax (dot × 1/|c|, score DESC / cell ASC first-wins), the per-query
+    * top-nprobe probe ranking (full cosine, the `cosine` kernel's
+    * dot/(√qq·√cc) shape), the probed-cell candidate join, and the cosine
+    * top-5. Recall floor vs q51 stays asserted in ScalaTest.
     */
   private val knnIvf = QueryDef(
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      Similarity.knnIvfTrained(corpus, corpus.filter(col("vec_id") < 10),
-        k = 5, nprobe = 3, kCells = 8, iters = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centsDf = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
+      val centVals = centroidRowsSql(centsDf)
+      graft.core.DynamicOracle.put("q54_knn_ivf",
+        s"""WITH cents(cell, centroid, inv) AS (VALUES
+           |  $centVals),
+           |assigned AS (SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlDot("e.embedding", "c.centroid")} * c.inv DESC,
+           |          c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           |      FROM embeddings WHERE vec_id < 10),
+           |probed AS (SELECT query_id, cell FROM (
+           |    SELECT q.query_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${sqlCosine("q.q_emb", "c.centroid")} DESC,
+           |          c.cell ASC) AS rn
+           |    FROM q CROSS JOIN cents c)
+           |  WHERE rn <= 3)
+           |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+           |  SELECT q.query_id, a.vec_id,
+           |    ${sqlCosine("q.q_emb", "a.embedding")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("q.q_emb", "a.embedding")} DESC,
+           |        a.vec_id ASC) AS rank
+           |  FROM q JOIN probed p ON q.query_id = p.query_id
+           |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> q.query_id)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      Similarity.knnIvfWith(corpus, corpus.filter(col("vec_id") < 10),
+        centsDf, k = 5, nprobe = 3)
         .orderBy("query_id", "rank")
     },
     None)
@@ -107,8 +205,14 @@ object Vector {
   /** Persisted IVF index lifecycle (build → save → load → query): the
     * production shape of q54 — train once, write centroids + cell-partitioned
     * corpus, and answer from the on-disk index with a partition-pruned probe
-    * scan. Rows-only (k-means isn't SQL-expressible); save/load identity,
-    * pruning, and recall are asserted in IvfIndexSpec.
+    * scan. Oracle-green via [[graft.core.DynamicOracle]]: the centroids
+    * collected from the LOADED index (parquet float round-trip is bit-exact)
+    * are the oracle's literals, and DuckDB replays the save-time NearestCell
+    * assignment, the DRIVER-side probe ranking — IvfIndex.query's cos() fuses
+    * the denominator as dot/√(qq·cc), one rounding fewer than the
+    * distributed kernel's √qq·√cc, so the oracle mirrors THAT formula — and
+    * the within-cell cosine top-5. Save/load identity, pruning, and recall
+    * stay asserted in IvfIndexSpec.
     */
   private val ivfIndexQuery = QueryDef(
     (s, dir) => {
@@ -121,8 +225,40 @@ object Vector {
       // the on-disk index is self-contained after save: release the training
       // cache so it doesn't stay pinned for the rest of the session
       corpus.unpersist()
-      graft.operators.IvfIndex.query(
-        graft.operators.IvfIndex.load(s, path),
+      val idx = graft.operators.IvfIndex.load(s, path)
+      val centVals = centroidRowsSql(idx.centroids)
+      // the driver probe's fused cosine: dot / sqrt(qq * cc)
+      def fcos(a: String, b: String) =
+        s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
+      graft.core.DynamicOracle.put("q80_ivf_index",
+        s"""WITH cents(cell, centroid, inv) AS (VALUES
+           |  $centVals),
+           |assigned AS (SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlDot("e.embedding", "c.centroid")} * c.inv DESC,
+           |          c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           |      FROM embeddings WHERE vec_id < 10),
+           |probed AS (SELECT query_id, cell FROM (
+           |    SELECT q.query_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${fcos("q.q_emb", "c.centroid")} DESC,
+           |          c.cell ASC) AS rn
+           |    FROM q CROSS JOIN cents c)
+           |  WHERE rn <= 3)
+           |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+           |  SELECT q.query_id, a.vec_id,
+           |    ${sqlCosine("q.q_emb", "a.embedding")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${sqlCosine("q.q_emb", "a.embedding")} DESC,
+           |        a.vec_id ASC) AS rank
+           |  FROM q JOIN probed p ON q.query_id = p.query_id
+           |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> q.query_id)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      graft.operators.IvfIndex.query(idx,
         corpus.filter(col("vec_id") < 10), k = 5, nprobe = 3)
         .orderBy("query_id", "rank")
     },
@@ -186,15 +322,51 @@ object Vector {
        |ORDER BY vec_id""".stripMargin)
 
   /** SemDeDup: k-means-blocked semantic dup clusters, keep-one applied.
-    * Rows-only gate (Lloyd iterations aren't SQL-expressible); recall vs
-    * the exact all-pairs closure is asserted in SemDedupSpec.
+    * Oracle-green via [[graft.core.DynamicOracle]] (the q116 pattern):
+    * trained cell centroids become literals; DuckDB replays the NearestCell
+    * assignment argmax, the intra-cell cosine pair generation, the
+    * transitive closure (recursive reachability CTE, q69's pattern), and
+    * the keep-one anti-join. Recall vs the exact all-pairs closure stays
+    * asserted in SemDedupSpec.
     */
   private val semdedup = QueryDef(
-    (s, dir) =>
-      graft.operators.DupGroups.semanticDedup(
-        Tables.embeddings(s, dir), kCells = 4, threshold = 0.3)
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centsDf = Similarity.kmeansCentroids(corpus, k = 4, iters = 3)
+      val centVals = centroidRowsSql(centsDf)
+      graft.core.DynamicOracle.put("q112_semdedup",
+        s"""WITH RECURSIVE cents(cell, centroid, inv) AS (VALUES
+           |  $centVals),
+           |assigned AS (SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlDot("e.embedding", "c.centroid")} * c.inv DESC,
+           |          c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |pairs AS (SELECT vec_a, vec_b FROM (
+           |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |      ${sqlCosine("a.embedding", "b.embedding")} AS cos_sim
+           |    FROM assigned a JOIN assigned b
+           |      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |  WHERE cos_sim >= 0.3),
+           |edges AS (SELECT vec_a u, vec_b v FROM pairs
+           |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT u, u FROM edges
+           |  UNION
+           |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+           |losers AS (SELECT src AS vec_id FROM reach
+           |           GROUP BY src HAVING MIN(dst) <> src)
+           |SELECT e.vec_id, e.label FROM embeddings e
+           |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+           |ORDER BY e.vec_id""".stripMargin)
+      graft.operators.DupGroups.semanticDedupWith(corpus, centsDf,
+          threshold = 0.3)
         .select(col("vec_id"), col("label"))
-        .orderBy("vec_id"),
+        .orderBy("vec_id")
+    },
     None)
 
   /** Prototypicality pruning signal: cosine to own k-means centroid.
@@ -212,21 +384,7 @@ object Vector {
       val corpus = Tables.embeddings(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centsDf = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
-      val cents = centsDf.select(col("cell").cast("int"), col("centroid"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      import graft.core.DynamicOracle.dbl
-      val centVals = cents.map { case (c, arr) =>
-        // same ascending fold + 1/sqrt as NearestCell.invNorms — the literal
-        // must be the exact double the kernel multiplies by
-        var ss = 0.0
-        var i = 0
-        while (i < arr.length) { ss += arr(i).toDouble * arr(i).toDouble; i += 1 }
-        val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
-        val lst = arr.map(x => dbl(x.toDouble)).mkString("[", ", ", "]")
-        s"($c, $lst, ${dbl(inv)})"
-      }.mkString(",\n  ")
+      val centVals = centroidRowsSql(centsDf)
       graft.core.DynamicOracle.put("q116_prototypicality",
         s"""WITH cents(cell, centroid, inv) AS (VALUES
            |  $centVals),
@@ -265,6 +423,69 @@ object Vector {
       val sample = corpus.filter(
         graft.operators.Sampling.hashBucket(col("vec_id"), 2) === 0)
       val cb = graft.operators.ProductQuantizer.train(sample, m = 8, kCodes = 64, iters = 3)
+      // Oracle-green via DynamicOracle: the trained codebooks are
+      // m × ≤kCodes × subDim driver doubles — embedded as literals, DuckDB
+      // replays the ENTIRE compressed-search pipeline: the per-subspace
+      // encode argmin (NearestCellL2's dot − |c|²/2 form — bias folds as
+      // -0.5·nsq, exact since 0.5 is a power of two and nsq is the kernel's
+      // own ascending ssq fold), the reconstructed norm √Σₛnsq (ordered
+      // fold), the per-query ADC tables (same ascending dot folds the
+      // driver computes), the top-`shortlist` ADC ranking, and the exact
+      // cosine re-rank. Recall/distortion stay asserted in
+      // ProductQuantizerSpec.
+      locally {
+        import graft.core.DynamicOracle.dbl
+        val sd = cb.subDim
+        val rows = (0 until cb.m).flatMap { sub =>
+          cb.codebooks(sub).zipWithIndex.map { case (c, code) =>
+            var ssq = 0.0
+            var i = 0
+            while (i < c.length) { ssq += c(i).toDouble * c(i).toDouble; i += 1 }
+            val lst = c.map(x => dbl(x.toDouble)).mkString("[", ", ", "]")
+            s"($sub, $code, $lst, ${dbl(ssq)})"
+          }
+        }.mkString(",\n  ")
+        def sub(v: String) = s"($v[(cb.s * $sd + 1):(cb.s * $sd + $sd)])"
+        graft.core.DynamicOracle.put("q130_pq_adc",
+          s"""WITH cb(s, code, centroid, nsq) AS (VALUES
+             |  $rows),
+             |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+             |        sqrt(${sqlDot("embedding", "embedding")}) AS q_norm
+             |      FROM embeddings WHERE vec_id < 10),
+             |codes AS (SELECT vec_id, s, code FROM (
+             |    SELECT e.vec_id, cb.s, cb.code,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.s
+             |        ORDER BY ${sqlDot(sub("e.embedding"), "cb.centroid")}
+             |          - 0.5 * cb.nsq DESC, cb.code ASC) AS rn
+             |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+             |recon AS (SELECT c.vec_id,
+             |    sqrt(list_sum(list(cb.nsq ORDER BY c.s))) AS recon_norm
+             |  FROM codes c JOIN cb ON cb.s = c.s AND cb.code = c.code
+             |  GROUP BY c.vec_id),
+             |adc AS (SELECT q.query_id, c.vec_id,
+             |    list_sum(list(${sqlDot(sub("q.q_emb"), "cb.centroid")}
+             |      ORDER BY c.s)) AS adc_dot
+             |  FROM q CROSS JOIN codes c
+             |  JOIN cb ON cb.s = c.s AND cb.code = c.code
+             |  WHERE q.query_id <> c.vec_id
+             |  GROUP BY q.query_id, c.vec_id),
+             |shortlist AS (SELECT query_id, vec_id FROM (
+             |    SELECT a.query_id, a.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+             |        ORDER BY a.adc_dot / (q.q_norm * r.recon_norm) DESC,
+             |          a.vec_id ASC) AS rn
+             |    FROM adc a JOIN q ON a.query_id = q.query_id
+             |    JOIN recon r ON a.vec_id = r.vec_id) WHERE rn <= 50)
+             |SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+             |  SELECT sl.query_id, e.vec_id,
+             |    ${sqlCosine("q.q_emb", "e.embedding")} AS cos_sim,
+             |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+             |      ORDER BY ${sqlCosine("q.q_emb", "e.embedding")} DESC,
+             |        e.vec_id ASC) AS rank
+             |  FROM shortlist sl JOIN embeddings e ON sl.vec_id = e.vec_id
+             |  JOIN q ON sl.query_id = q.query_id)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      }
       // encoded feeds two plan branches (ADC shortlist + re-rank join)
       val encoded = graft.operators.ProductQuantizer.encode(corpus, cb)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -217,6 +217,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p.take(3000))
   }
 
+  test("candidate-pair machinery never broadcasts the shingle expansion") {
+    // Catalyst underestimates post-explode frames (Generate inherits the
+    // compressed scan's stats) and would broadcast the corpus-sized
+    // expansion — the 10x scaling probe measured 19-50x superlinear cost
+    // from that (SCALING.md r8), and at real scale it is a driver OOM.
+    // The SHUFFLE_HASH hints must hold: expansion-derived joins shuffle on
+    // the 8-byte shingle hash; only doc-count-sized frames may broadcast.
+    for (q <- Seq("q41_ngram_jaccard", "q175_containment_pairs")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("URL canonicalization is one scan-side kernel into a two-phase agg, no join") {
     val p = plan("q163_url_canonical")
     assert(p.contains("partial_count"), p.take(2000))
