@@ -87,7 +87,9 @@ object ParagraphDedup {
       .agg(countDistinct(col(idCol)).as("__df"),
         min(struct(col(idCol).as("__d"), col("pos").as("__p"))).as("__first"))
       .filter(col("__df") >= minDocFreq)
-    val dropped = paras.join(canon, Seq("h"))
+    // canon grows with the corpus (duplicated-paragraph-sized): shuffle,
+    // never broadcast (the post-explode underestimate trap, SCALING.md r8)
+    val dropped = paras.join(canon.hint("shuffle_hash"), Seq("h"))
       .filter(if (dropAll) lit(true)
         else col(idCol) =!= col("__first.__d") || col("pos") =!= col("__first.__p"))
       .select(col(idCol), col("pos"))
@@ -106,7 +108,7 @@ object ParagraphDedup {
     val dropArrs = dropped.groupBy(idCol)
       .agg(collect_list(col("pos")).as("__drop"))
     val drops = coalesce(col("__drop"), array().cast("array<int>"))
-    df.join(dropArrs, Seq(idCol), "left")
+    df.join(dropArrs.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("__kept",
         filter(splitParas(col(textCol), sep), (p: Column, i: Column) =>
           p =!= "" && !array_contains(drops, i)))

@@ -65,7 +65,11 @@ object SpanDedup {
       .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("min_doc"))
       .filter(col("df") >= minDocFreq)
       .select("h", "min_doc")
-    val hits = wins.join(dup, Seq("h"))
+    // corpus-growing sides must SHUFFLE (the post-explode underestimate
+    // would broadcast them — the SCALING.md r8 trap); AQE can upgrade a
+    // shuffle join to broadcast from runtime stats, but can never demote a
+    // statically-planned broadcast, so the static plan must be the shuffle
+    val hits = wins.join(dup.hint("shuffle_hash"), Seq("h"))
     val kept = if (keepFirstDoc) hits.filter(col(idCol) =!= col("min_doc")) else hits
     kept.select(col(idCol), col("pos"))
   }
@@ -112,7 +116,7 @@ object SpanDedup {
         // artifact on leading-\t/\n docs → dup_frac > 1 possible)
         graft.functions.TextFunctions.hashAlignedTokenCount(col(textCol))
           .cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol))
+      .join(perDoc.hint("shuffle_hash"), Seq(idCol))
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
         (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
   }
@@ -127,8 +131,8 @@ object SpanDedup {
     * The rebuild is one left join of the corpus against its per-document
     * span arrays (collect_list over merged intervals — few per doc) and a
     * codegen higher-order filter over the token array. The span-array side
-    * is affected-document-sized: broadcast when duplication is sparse, a
-    * single doc_id-keyed shuffle join when it isn't — AQE picks at runtime.
+    * is affected-document-sized — corpus-growing, so the static plan is
+    * the doc_id-keyed shuffle join (see rebuildWithoutSpans).
     */
   def stripSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
       minDocFreq: Int = 2): DataFrame =
@@ -187,7 +191,7 @@ object SpanDedup {
       .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"))
       .filter(col("n") >= minCount)
       .select(col(idCol), col("h"), col("first_pos"))
-    val hits = wins.join(rep, Seq(idCol, "h"))
+    val hits = wins.join(rep.hint("shuffle_hash"), Seq(idCol, "h"))
       .filter(col("pos") > col("first_pos"))
       .select(col(idCol), col("pos"))
     val keep = rep.select(col(idCol), col("first_pos").as("pos"))
@@ -199,9 +203,11 @@ object SpanDedup {
     * ((idCol, span_start, span_end) intervals): one left join of the corpus
     * against its per-document span arrays (collect_list over merged
     * intervals — few per doc) and a codegen higher-order filter over the
-    * token array. The span-array side is affected-document-sized:
-    * broadcast when spans are sparse, a single id-keyed shuffle join when
-    * they aren't — AQE picks at runtime. Every input row survives
+    * token array. The span-array side is affected-document-sized — it
+    * grows with the corpus, so the static plan is the id-keyed shuffle
+    * join (a statically-planned broadcast could never be demoted by AQE
+    * when the estimate is wrong; the reverse upgrade is runtime-safe).
+    * Every input row survives
     * (possibly emptied), with a `kept_tokens` count. Tokens inside a
     * `keepFrame` interval are retained even when a strip span covers them
     * (the first-occurrence protection of [[stripSelfRepeats]]).
@@ -225,15 +231,15 @@ object SpanDedup {
         i >= sp.getField("span_start") && i < sp.getField("span_end"))
     val joined = keepFrame match {
       case None =>
-        df.join(spanArrs, Seq(idCol), "left")
+        df.join(spanArrs.hint("shuffle_hash"), Seq(idCol), "left")
           .withColumn("__kept_toks",
             filter(toks, (_: Column, i: Column) => !covered(spans, i)))
       case Some(kf) =>
         val keepArrs = kf.groupBy(idCol).agg(
           collect_list(struct(col("span_start"), col("span_end"))).as("__keep"))
         val keeps = coalesce(col("__keep"), emptySpans)
-        df.join(spanArrs, Seq(idCol), "left")
-          .join(keepArrs, Seq(idCol), "left")
+        df.join(spanArrs.hint("shuffle_hash"), Seq(idCol), "left")
+          .join(keepArrs.hint("shuffle_hash"), Seq(idCol), "left")
           .withColumn("__kept_toks", filter(toks, (_: Column, i: Column) =>
             !covered(spans, i) || covered(keeps, i)))
     }

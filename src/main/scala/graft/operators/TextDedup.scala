@@ -257,11 +257,16 @@ object TextDedup {
         ColumnBridge.expression(col(textCol)), n))).as("h"))
     val docGrams = grams(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val refSet = grams(reference).select("h").distinct()
+    // the reference is corpus-sized in the stated use (per-increment
+    // admission against everything already ingested): its distinct-gram
+    // set and the per-doc tallies must SHUFFLE, not broadcast — Catalyst's
+    // post-explode underestimate would otherwise build reference-vocab- and
+    // corpus-row-sized broadcast relations (the SCALING.md r8 trap)
+    val refSet = grams(reference).select("h").distinct().hint("shuffle_hash")
     val tot = docGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val seen = docGrams.join(refSet, Seq("h"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("seen_grams"))
-    val result = tot.join(seen, Seq(idCol), "left")
+    val result = tot.join(seen.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("seen_grams"), lit(0L)).as("seen_grams"),
         ((col("n_grams") - coalesce(col("seen_grams"), lit(0L))).cast("double")
@@ -309,7 +314,11 @@ object TextDedup {
     val buckets = bandBuckets(signatures, bands)
     val a = buckets.withColumnRenamed("doc", "doc_a")
     val b = buckets.withColumnRenamed("doc", "doc_b")
-    a.join(b, Seq("band", "bucket"))
+    // SHUFFLE_HASH: the band expansion is corpus-sized (docs × bands) but
+    // Catalyst's estimate inherits the pre-explode cache stats and would
+    // broadcast it — the same scale trap intersectionPairs pins (see
+    // SCALING.md r8). One exchange on (band, bucket) per side instead.
+    a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -326,7 +335,9 @@ object TextDedup {
       bands: Int): DataFrame = {
     val a = bandBuckets(batchSigs, bands).withColumnRenamed("doc", "doc_a")
     val b = bandBuckets(corpusSigs, bands).withColumnRenamed("doc", "doc_b")
-    a.join(b, Seq("band", "bucket"))
+    // the CORPUS-side band expansion must never broadcast (same trap as
+    // lshCandidatePairs — the batch side may be small, the corpus never is)
+    a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
       .select("doc_a", "doc_b")
       .distinct()
   }
@@ -364,7 +375,12 @@ object TextDedup {
     val sa = sigsA.select(col("doc").as("doc_a"), col("signature").as("sig_a"))
     val sb = sigsB.select(col("doc").as("doc_b"), col("signature").as("sig_b"))
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
+    // signature frames are corpus-row-sized (doc × k-long sketch) — the
+    // lookups must shuffle on the doc key, never build a corpus-sized
+    // broadcast hash relation (the candidates side is dup-mass-sized and
+    // shuffles cheaply alongside)
+    candidates.join(sa.hint("shuffle_hash"), "doc_a")
+      .join(sb.hint("shuffle_hash"), "doc_b")
       .withColumn("est_jaccard",
         ColumnBridge.column(graft.expressions.LongArrayMatchFrac(
           ColumnBridge.expression(col("sig_a")),

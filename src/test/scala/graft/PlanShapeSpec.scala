@@ -222,9 +222,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // compressed scan's stats) and would broadcast the corpus-sized
     // expansion — the 10x scaling probe measured 19-50x superlinear cost
     // from that (SCALING.md r8), and at real scale it is a driver OOM.
-    // The SHUFFLE_HASH hints must hold: expansion-derived joins shuffle on
-    // the 8-byte shingle hash; only doc-count-sized frames may broadcast.
-    for (q <- Seq("q41_ngram_jaccard", "q175_containment_pairs")) {
+    // The SHUFFLE_HASH hints must hold across the whole candidate-pair /
+    // span-dedup / LSH family: corpus-growing join sides shuffle; only
+    // contract-bounded frames (blocklists, query sets) may broadcast.
+    for (q <- Seq("q41_ngram_jaccard", "q175_containment_pairs",
+        "q42_minhash_lsh", "q110_dup_spans", "q146_paragraph_dedup",
+        "q164_ngram_novelty")) {
       val p = plan(q)
       assert(p.contains("ShuffledHashJoin"), s"$q: ${p.take(2000)}")
     }
