@@ -33,14 +33,18 @@ object AsOfJoin {
     joinAsOfNative(left, right, Seq(key), leftTs, Seq(rightKey), rightTs,
       graft.plans.AsOfBackward)
 
-  /** Full-surface native form: multi-column keys and either direction
+  /** Full-surface native form: multi-column keys, either direction
     * ([[graft.plans.AsOfBackward]] = greatest rightTs <= leftTs, DuckDB
     * `ASOF ... ON r.ts <= l.ts`; [[graft.plans.AsOfForward]] = smallest
-    * rightTs >= leftTs, DuckDB `ASOF ... ON r.ts >= l.ts`).
+    * rightTs >= leftTs, DuckDB `ASOF ... ON r.ts >= l.ts`), and an
+    * optional match tolerance (µs — null-extend when the nearest match is
+    * further than this, the same bound [[joinAsOf]]'s `toleranceMs`
+    * applies).
     */
   def joinAsOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightKeys: Seq[String], rightTs: String,
-      direction: graft.plans.AsOfDirection): DataFrame = {
+      direction: graft.plans.AsOfDirection,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
@@ -53,7 +57,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(lp, rp,
       keys.map(attr(lp, _)), attr(lp, leftTs),
-      rightKeys.map(attr(rp, _)), attr(rp, rightTs), direction))
+      rightKeys.map(attr(rp, _)), attr(rp, rightTs), direction, toleranceUs))
   }
 
   def joinAsOf(

@@ -39,7 +39,14 @@ final case class AsOfJoinNode(
     right: LogicalPlan,
     leftKeys: Seq[Attribute], leftTs: Attribute,
     rightKeys: Seq[Attribute], rightTs: Attribute,
-    direction: AsOfDirection = AsOfBackward)
+    direction: AsOfDirection = AsOfBackward,
+    /** Max |leftTs − rightTs| for a match, in the ts type's physical unit
+      * (µs for timestamps). The within-tolerance set is a contiguous run
+      * ending (backward) or starting (forward) at leftTs, so the nearest
+      * match is in-window iff ANY is — a post-check on the found candidate,
+      * not a different scan.
+      */
+    toleranceUs: Option[Long] = None)
     extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     s"as-of join needs matching key lists, got ${leftKeys.length} vs ${rightKeys.length}")
@@ -50,6 +57,12 @@ final case class AsOfJoinNode(
   }
   require(leftTs.dataType == rightTs.dataType,
     s"as-of join ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+  require(toleranceUs.forall(_ >= 0), "as-of tolerance must be >= 0")
+  // tolerance needs a physically-long ts (timestamp µs / bigint) to subtract
+  require(toleranceUs.isEmpty ||
+    PhysicalDataType(leftTs.dataType) ==
+      org.apache.spark.sql.catalyst.types.PhysicalLongType,
+    s"as-of tolerance requires a long-backed ts type, got ${leftTs.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,8 +72,8 @@ final case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lks, lts, rks, rts, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lks, lts, rks, rts, dir) :: Nil
+    case AsOfJoinNode(l, r, lks, lts, rks, rts, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, lts, rks, rts, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +82,8 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], leftTs: Attribute,
     rightKeys: Seq[Attribute], rightTs: Attribute,
-    direction: AsOfDirection)
+    direction: AsOfDirection,
+    toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -96,6 +110,8 @@ final case class AsOfJoinExec(
     val tsType = leftTs.dataType
     val rightArity = right.output.length
     val forward = direction == AsOfForward
+    // -1 = unbounded; node construction guarantees a long-backed ts when set
+    val tol: Long = toleranceUs.getOrElse(-1L)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrderings: Array[Ordering[Any]] = keyTypes.map(t =>
@@ -136,6 +152,9 @@ final case class AsOfJoinExec(
         // BACKWARD: consume right rows up to (lKey, lTs]; the last one
         // consumed for the current key is the match. Copied because the
         // underlying unsafe row buffer is reused by the sorter's iterator.
+        // Tolerance is a post-check on the found candidate: it is the
+        // GREATEST rightTs <= leftTs, so if it misses the window every
+        // older row misses it too — the in-window set is a suffix.
         var candidate: InternalRow = null
         val candKey = new Array[Any](nKeys)
         lIter.map { lRow =>
@@ -160,7 +179,9 @@ final case class AsOfJoinExec(
                 }
               }
             }
-            val matches = candidate != null && cmpKeys(candKey, lKey) == 0
+            val matches = candidate != null && cmpKeys(candKey, lKey) == 0 &&
+              (tol < 0 || lTs.asInstanceOf[Long] -
+                candidate.get(rTsOrd, tsType).asInstanceOf[Long] <= tol)
             joined(lRow, if (matches) candidate else nullRight)
           }
         }
@@ -187,8 +208,12 @@ final case class AsOfJoinExec(
                     (cmpKey == 0 && tsOrdering.compare(rTs, lTs) < 0)) {
                   rBuf.next()
                 } else {
+                  // same key and rTs >= lTs; tolerance post-check mirrors
+                  // backward (the in-window set is a prefix from leftTs)
                   advancing = false
-                  headOk = cmpKey == 0 // same key and rTs >= lTs
+                  headOk = cmpKey == 0 &&
+                    (tol < 0 || rTs.asInstanceOf[Long] -
+                      lTs.asInstanceOf[Long] <= tol)
                 }
               }
             }

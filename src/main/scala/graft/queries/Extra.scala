@@ -256,6 +256,47 @@ object Extra {
       |  ON p.user_id = e.user_id AND p.day = e.day AND e.ts >= p.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** q222: the native as-of join's TOLERANCE bound — each purchase matched
+    * to the user's most recent prior view only when it is at most one hour
+    * old (the staleness cutoff every production as-of enrichment carries).
+    * DuckDB's ASOF JOIN has no tolerance clause, so the oracle replays the
+    * equivalent windowed max: the greatest view ts in [p.ts − 1h, p.ts]
+    * (the in-window set is a suffix, so nearest-in-window = nearest
+    * overall when in window — the exec's post-check equivalence).
+    */
+  private val asofTolerance = QueryDef(
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("v_value"))
+      AsOfJoin.joinAsOfNative(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts",
+          rightKeys = Seq("v_user"), rightTs = "v_ts",
+          direction = graft.plans.AsOfBackward,
+          toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v_ts").as("view_ts"), col("v_value").as("view_value"))
+        .orderBy("event_id")
+    },
+    """WITH views AS (SELECT user_id, ts, max(value) AS v_value FROM events
+      |               WHERE event_type = 'view' GROUP BY 1, 2),
+      |purchases AS (SELECT event_id, user_id, ts FROM events
+      |              WHERE event_type = 'purchase'),
+      |best AS (SELECT p.event_id, max(v.ts) AS view_ts
+      |         FROM purchases p JOIN views v
+      |           ON p.user_id = v.user_id AND v.ts <= p.ts
+      |              AND v.ts >= p.ts - INTERVAL 1 HOUR
+      |         GROUP BY p.event_id)
+      |SELECT p.event_id, p.user_id, p.ts, b.view_ts, v.v_value AS view_value
+      |FROM purchases p
+      |LEFT JOIN best b ON p.event_id = b.event_id
+      |LEFT JOIN views v ON v.user_id = p.user_id AND v.ts = b.view_ts
+      |ORDER BY p.event_id""".stripMargin)
+
   /** CUBE aggregation (SURVEY §2.4 A9's second half): all grouping-set
     * combinations of status × priority. SQL path for the same
     * ambiguity-check reason as q11_rollup.
@@ -1098,6 +1139,7 @@ object Extra {
     "q26_asof_join" -> asofJoin,
     "q219_asof_native" -> asofNative,
     "q221_asof_forward" -> asofForward,
+    "q222_asof_tolerance" -> asofTolerance,
     "q27_cube" -> cubeAgg,
     "q28_percentiles" -> percentiles,
     "q44_lang_id" -> langId)

@@ -1197,8 +1197,9 @@ object Text {
     * frequency-weighted adjacent character pairs of the word-frequency
     * table (the quantity the first merge maximizes), top 30 by (count
     * desc, pair asc). The iterative merge learning itself isn't
-    * SQL-expressible — q141 gates the full encode rows-only with golden
-    * merges and round-trip invariants in BpeSpec.
+    * SQL-expressible — q141 hash-gates the full encode against a recursive
+    * DuckDB replay of a fixed merge list, with golden merges and
+    * round-trip invariants in BpeSpec.
     */
   private val bpePairStats = QueryDef(
     (s, dir) =>

@@ -8,8 +8,10 @@ import graft.operators.Similarity
 
 /** Embedding similarity surface (north-star extensions): norms, brute-force
   * cosine top-k (oracle-matched via identical sequential double folds), and
-  * the approximate scale paths (hyperplane LSH, IVF — rows-only checks;
-  * their recall is asserted against the exact baseline in ScalaTest).
+  * the approximate scale paths (hyperplane LSH, IVF, PQ — oracle-green:
+  * static sign-matrix literals for LSH, DynamicOracle trained-model
+  * literals for IVF/PQ/SemDeDup/PCA/prototypicality; recall is ALSO
+  * asserted against the exact baseline in ScalaTest).
   */
 object Vector {
 

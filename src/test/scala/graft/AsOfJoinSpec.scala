@@ -121,6 +121,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(brute.exceptAll(fwd).count() == 0)
   }
 
+  test("tolerance null-extends when the nearest match is too old / too far ahead") {
+    import spark.implicits._
+    def tsf(c: String) = org.apache.spark.sql.functions.timestamp_micros(col(c))
+    val l = Seq((1L, 10L, 10000000L), (2L, 10L, 30000000L))
+      .toDF("id", "k", "us").select(col("id"), col("k"), tsf("us").as("ts"))
+    val r = Seq((10L, 8000000L, 8.0), (10L, 40000000L, 40.0))
+      .toDF("k", "us", "v")
+      .select(col("k").as("rk"), tsf("us").as("rts"), col("v"))
+    def run(dir: graft.plans.AsOfDirection, tolUs: Long) =
+      AsOfJoin.joinAsOfNative(l, r, keys = Seq("k"), leftTs = "ts",
+        rightKeys = Seq("rk"), rightTs = "rts", direction = dir,
+        toleranceUs = Some(tolUs))
+        .select("id", "v").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+        .toMap
+    // backward: id=1's nearest prior is 2s old (in a 3s window, out of a 1s)
+    assert(run(graft.plans.AsOfBackward, 3000000L) ==
+      Map(1L -> Some(8.0), 2L -> None))
+    assert(run(graft.plans.AsOfBackward, 1000000L) == Map(1L -> None, 2L -> None))
+    // forward: id=2's nearest later is 10s ahead (in a 10s window, out of 5s)
+    assert(run(graft.plans.AsOfForward, 10000000L) ==
+      Map(1L -> None, 2L -> Some(40.0)))
+    assert(run(graft.plans.AsOfForward, 5000000L) == Map(1L -> None, 2L -> None))
+  }
+
   test("native merge handles null keys and timestamps (no NPE, SQL semantics)") {
     import spark.implicits._
     val l = Seq(
