@@ -159,7 +159,8 @@ object ScalingProbe {
     }
     val nBad = rows.count { case (_, _, _, r) => r > bar || r < 0 }
     md ++= f"\n${rows.size - nBad} of ${rows.size} within the linear bar.\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(args.lift(3).getOrElse("SCALING.md")),
       md.toString.getBytes("UTF-8"))
     println(md.toString)
     spark.stop()
