@@ -101,6 +101,10 @@ final case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // output rows ARE the left rows in their sorted order (one per left row) —
+  // declaring it lets a downstream sort on (keys…, ts) be elided
+  override def outputOrdering: Seq[SortOrder] = leftKeys.map(asc) :+ asc(leftTs)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyOrds = leftKeys.map(left.output.indexOf).toArray
     val lTsOrd = left.output.indexOf(leftTs)

@@ -146,6 +146,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NATIVE as-of join equals the brute-force reference in every mode") {
+    // the execution-layer merge (backward/forward × tolerance) against a
+    // driver-side model over random keyed event sets — the property form
+    // of AsOfJoinSpec's hand-picked cases
+    forAll(genEvents) { case (left, right) =>
+      whenever(left.nonEmpty) {
+        val l = left.zipWithIndex
+          .map { case ((k, ts), i) => (i.toLong, k, ts) }
+          .toDF("id", "k", "ts")
+          .withColumn("ts", timestamp_micros(col("ts")))
+        val r = right.toDF("rk", "rts", "v")
+          .withColumn("rts", timestamp_micros(col("rts")))
+        for {
+          forward <- Seq(false, true)
+          tolUs <- Seq(None, Some(1000L))
+        } {
+          val dir =
+            if (forward) graft.plans.AsOfForward else graft.plans.AsOfBackward
+          val got = AsOfJoin.joinAsOfNative(l, r, keys = Seq("k"),
+              leftTs = "ts", rightKeys = Seq("rk"), rightTs = "rts",
+              direction = dir, toleranceUs = tolUs)
+            .select(col("id"), col("v")).as[(Long, Option[Double])]
+            .collect().toMap
+          val expected = left.zipWithIndex.map { case ((k, ts), i) =>
+            val inWindow = right.filter { x =>
+              x._1 == k &&
+                (if (forward) x._2 >= ts && tolUs.forall(x._2 - ts <= _)
+                 else x._2 <= ts && tolUs.forall(ts - x._2 <= _))
+            }
+            i.toLong -> (if (inWindow.isEmpty) None
+              else Some((if (forward) inWindow.minBy(_._2)
+                else inWindow.maxBy(_._2))._3))
+          }.toMap
+          assert(got == expected, s"forward=$forward tol=$tolUs")
+        }
+      }
+    }
+  }
+
   test("parseAmount accepts generated comma formats, parseDate the 3 formats") {
     val genMoney = for {
       whole <- Gen.chooseNum(0L, 99999999L)
