@@ -275,8 +275,11 @@ object TextFunctions {
     * DuckDB-reproducible hash family
     * (`CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`).
     */
-  def md5Hashes60(strs: Column): Column =
-    transform(strs, s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+  def md5Hashes60(strs: Column): Column = transform(strs, md5Hash60(_))
+
+  /** The scalar form: 60-bit md5-derived hash of one string. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Positional md5-derived 60-bit shingle hashes (one per n-gram position,
     * document order). md5 is computed identically by DuckDB

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -75,12 +75,36 @@ object Chunking {
     */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       k: Int, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    chunksFromWindowHashes(df, idCol, textCol, k, divisor,
+      winHashes = ColumnBridge.column(graft.expressions.ShingleHashes(
+        ColumnBridge.expression(col(textCol)), k, distinct = false)),
+      fingerprint = xxhash64(_))
+  }
+
+  /** [[contentDefinedChunks]] with the DuckDB-reproducible md5 hash family
+    * deciding the cuts AND fingerprinting the chunks
+    * (TextFunctions.md5Hashes60 over the same hash-aligned positional
+    * windows) — the oracle-parity twin the q167 gate runs, same trick as
+    * q66's winnow fingerprints. The engine-fast path stays the one-pass
+    * ShingleHashes kernel above; cut DENSITY and every structural
+    * invariant are hash-family-independent (ChunkingSpec pins both).
+    */
+  def contentDefinedChunksMd5(df: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    chunksFromWindowHashes(df, idCol, textCol, k, divisor,
+      winHashes = ColumnBridge.column(graft.expressions.ShingleHashesMd5(
+        ColumnBridge.expression(col(textCol)), k)),
+      fingerprint = TextFunctions.md5Hash60)
+  }
+
+  private def chunksFromWindowHashes(df: DataFrame, idCol: String,
+      textCol: String, k: Int, divisor: Int, winHashes: Column,
+      fingerprint: Column => Column): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(divisor > 0, s"divisor must be positive, got $divisor")
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val wins = df.select(col(idCol), posexplode(ColumnBridge.column(
-        graft.expressions.ShingleHashes(
-          ColumnBridge.expression(col(textCol)), k, distinct = false))))
+    val wins = df.select(col(idCol), posexplode(winHashes))
       .toDF(idCol, "pos", "h")
     val cuts = wins.filter(pmod(col("h"), lit(divisor.toLong)) === 0)
       .groupBy(idCol)
@@ -110,6 +134,6 @@ object Chunking {
         (col("end") - col("tok_start") + 1).cast("long").as("n_tokens"),
         concat_ws(" ", slice(col("__t"), col("tok_start") + 1,
           col("end") - col("tok_start") + 1)).as("chunk_text"))
-      .withColumn("chunk_hash", xxhash64(col("chunk_text")))
+      .withColumn("chunk_hash", fingerprint(col("chunk_text")))
   }
 }

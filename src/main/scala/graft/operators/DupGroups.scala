@@ -245,15 +245,24 @@ object DupGroups {
     * grouping, verification reads only candidate signature pairs.
     */
   def minHashDupGroups(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, minJaccard: Double,
+      /** Use the md5-affine signature family + identity band buckets —
+        * the SQL-replayable twin (TextDedup.minHashSignaturesMd5); the
+        * default is the engine-fast one-pass xxhash kernel.
+        */
+      md5Parity: Boolean = false): DataFrame = {
     // minHashSignatures persists its result internally (it feeds both the
     // banding and the verify probe) — no second persist here; the closure's
     // labels are materialized by connectedComponents, so the signature
     // cache can be released before returning
-    val sigs = TextDedup.minHashSignatures(df, idCol, textCol, n, k)
+    val sigs =
+      if (md5Parity) TextDedup.minHashSignaturesMd5(df, idCol, textCol, n, k)
+      else TextDedup.minHashSignatures(df, idCol, textCol, n, k)
     try {
-      val verified = TextDedup.minHashVerify(
-        TextDedup.lshCandidatePairs(sigs, bands), sigs, minJaccard)
+      val cands =
+        if (md5Parity) TextDedup.lshCandidatePairsIdentity(sigs, bands)
+        else TextDedup.lshCandidatePairs(sigs, bands)
+      val verified = TextDedup.minHashVerify(cands, sigs, minJaccard)
       connectedComponents(verified, "doc_a", "doc_b")
         .select(col("vertex").as(idCol), col("label").as("group_id"))
     } finally sigs.unpersist()
@@ -280,9 +289,16 @@ object DupGroups {
     */
   def dedupIncrementNear(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int, k: Int, bands: Int,
-      minJaccard: Double): DataFrame = {
-    val bs = TextDedup.minHashSignatures(batch, idCol, textCol, n, k)
-    val cs = TextDedup.minHashSignatures(corpus, idCol, textCol, n, k)
+      minJaccard: Double,
+      /** md5-affine signatures + identity buckets (the SQL-replayable
+        * twin) — see [[minHashDupGroups]].
+        */
+      md5Parity: Boolean = false): DataFrame = {
+    def sigsOf(d: DataFrame) =
+      if (md5Parity) TextDedup.minHashSignaturesMd5(d, idCol, textCol, n, k)
+      else TextDedup.minHashSignatures(d, idCol, textCol, n, k)
+    val bs = sigsOf(batch)
+    val cs = sigsOf(corpus)
     try {
       // dup-mass-sized, read by two consumers (survivor signatures + the
       // final anti-join, which executes AFTER this method returns) — an
@@ -292,7 +308,8 @@ object DupGroups {
       // by the ContextCleaner when the result frame is dropped (the same
       // trade distributedComponents documents)
       val flagged = TextDedup.minHashVerifyAgainst(
-        TextDedup.lshCandidatePairsAgainst(bs, cs, bands), bs, cs, minJaccard)
+        TextDedup.lshCandidatePairsAgainst(bs, cs, bands, md5Parity),
+        bs, cs, minJaccard)
         .select(col("doc_a").as("doc")).distinct()
         .localCheckpoint(true)
       // survivor signatures feed FOUR plan branches (both sides of the
@@ -303,7 +320,9 @@ object DupGroups {
       val freshSigs = bs.join(flagged, Seq("doc"), "left_anti")
         .localCheckpoint(true)
       val verified = TextDedup.minHashVerify(
-        TextDedup.lshCandidatePairs(freshSigs, bands), freshSigs, minJaccard)
+        if (md5Parity) TextDedup.lshCandidatePairsIdentity(freshSigs, bands)
+        else TextDedup.lshCandidatePairs(freshSigs, bands),
+        freshSigs, minJaccard)
       val losers = connectedComponents(verified, "doc_a", "doc_b")
         .filter(col("vertex") =!= col("label"))
         .select(col("vertex").as(idCol))

@@ -306,6 +306,52 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Modulus of the md5-affine MinHash family: 2³¹ − 1 (Mersenne prime).
+    * Keeping a and the reduced base hash below 2³¹ bounds every product
+    * under 2⁶², so the arithmetic is overflow-free — hence bit-identical —
+    * in both Spark (wrapping Long) and DuckDB (strict BIGINT).
+    */
+  private[operators] val MinHashMd5P = 2147483647L
+
+  /** Affine params (aⱼ ∈ [1, P−1], bⱼ ∈ [0, P−1]) of the md5-parity MinHash
+    * family, derived from md5("mh:a:j") / md5("mh:b:j") first 60 bits — the
+    * exact `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)` value DuckDB
+    * computes, so an oracle can re-derive them instead of trusting
+    * embedded literals.
+    */
+  private[operators] def md5AffineParams(k: Int): (Array[Long], Array[Long]) = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    ((0 until k).map(j => h60(s"mh:a:$j") % (MinHashMd5P - 1) + 1).toArray,
+      (0 until k).map(j => h60(s"mh:b:$j") % MinHashMd5P).toArray)
+  }
+
+  /** md5-affine MinHash signatures — the oracle-parity twin of
+    * [[minHashSignatures]] (the q66-winnow / q167-CDC trick): base shingle
+    * hash is the DuckDB-reproducible 60-bit md5, permutations are the
+    * affine family over [[MinHashMd5P]], so every signature value replays
+    * in SQL and the LSH SELECTION itself can be hash-verified. Same frame
+    * shape and short-document contract as the xxhash path, and the same
+    * one-pass compiled kernel shape (the Column-HOF formulation it
+    * replaced evaluated k x shingles interpreted trees per document —
+    * minutes at sf0.1); the engine-fast production default remains
+    * MinHashSig (xxhash base, no per-shingle MessageDigest).
+    */
+  def minHashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (a, b) = md5AffineParams(k)
+    df.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.expressions.MinHashSigMd5(
+        ColumnBridge.expression(col(textCol)), n, k, a, b, MinHashMd5P))
+        .as("signature"))
+      .filter(col("signature").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** LSH banding over MinHash signatures: split the k-length signature into
     * `bands` bands, hash each band, and emit candidate pairs that collide in
     * at least one band. Shuffles on (band, bucket) — never all-pairs.
@@ -332,9 +378,11 @@ object TextDedup {
     * `doc_a` is always the batch side, `doc_b` the corpus side.
     */
   def lshCandidatePairsAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
-      bands: Int): DataFrame = {
-    val a = bandBuckets(batchSigs, bands).withColumnRenamed("doc", "doc_a")
-    val b = bandBuckets(corpusSigs, bands).withColumnRenamed("doc", "doc_b")
+      bands: Int, identityBuckets: Boolean = false): DataFrame = {
+    val a = bandBuckets(batchSigs, bands, identityBuckets)
+      .withColumnRenamed("doc", "doc_a")
+    val b = bandBuckets(corpusSigs, bands, identityBuckets)
+      .withColumnRenamed("doc", "doc_b")
     // the CORPUS-side band expansion must never broadcast (same trap as
     // lshCandidatePairs — the batch side may be small, the corpus never is)
     a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
@@ -342,14 +390,36 @@ object TextDedup {
       .distinct()
   }
 
-  /** (doc, band, bucket) banding of a signature frame — shared by the
-    * symmetric and asymmetric candidate generators.
+  /** [[lshCandidatePairs]] with IDENTITY buckets (the band's value string
+    * itself) instead of the 8-byte xxhash bucket — the oracle-parity twin:
+    * bucket equality is then exactly band-value equality, which SQL
+    * replays verbatim. The hash bucket is only a shuffle-key size
+    * optimization; candidate SETS are identical up to 2^-64 collisions.
     */
-  private def bandBuckets(signatures: DataFrame, bands: Int): DataFrame =
+  def lshCandidatePairsIdentity(signatures: DataFrame, bands: Int): DataFrame = {
+    val buckets = bandBuckets(signatures, bands, identityBucket = true)
+    val a = buckets.withColumnRenamed("doc", "doc_a")
+    val b = buckets.withColumnRenamed("doc", "doc_b")
+    a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** (doc, band, bucket) banding of a signature frame — shared by the
+    * symmetric and asymmetric candidate generators. `identityBucket` swaps
+    * the 8-byte xxhash bucket for the band's comma-joined value string
+    * (SQL-replayable; see [[lshCandidatePairsIdentity]]).
+    */
+  private def bandBuckets(signatures: DataFrame, bands: Int,
+      identityBucket: Boolean = false): DataFrame =
     signatures
       .select(col("doc"), posexplode(slices(col("signature"), bands)))
       .withColumnRenamed("pos", "band")
-      .withColumn("bucket", xxhash64(col("band"), col("col")))
+      .withColumn("bucket",
+        if (identityBucket)
+          concat_ws(",", transform(col("col"), _.cast("string")))
+        else xxhash64(col("band"), col("col")))
       .select("doc", "band", "bucket")
 
   /** Split an array into `bands` contiguous sub-arrays (as an array of
@@ -499,6 +569,22 @@ object TextDedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     df.select(col(idCol).as("doc"),
       ColumnBridge.column(graft.expressions.SimHash64(
+        ColumnBridge.expression(col(textCol)))).as("simhash"))
+  }
+
+  /** md5-parity SimHash — the oracle-replayable twin of [[simHash]] (same
+    * trick as [[minHashSignaturesMd5]]): 60-bit md5 token hashes, one ±1
+    * vote per bit per token OCCURRENCE, signature bit b set iff the vote
+    * sum is strictly positive (2·countSet > nTokens — the kernel's
+    * `votes(b) > 0`). 60 signature bits instead of 64; the banding and
+    * Hamming verify downstream are hash-family-independent. One compiled
+    * pass per row (SimHash64Md5); production default stays the FNV kernel
+    * (no per-token MessageDigest).
+    */
+  def simHashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol).as("doc"),
+      ColumnBridge.column(graft.expressions.SimHash64Md5(
         ColumnBridge.expression(col(textCol)))).as("simhash"))
   }
 

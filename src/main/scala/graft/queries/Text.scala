@@ -8,8 +8,11 @@ import graft.operators.TextDedup
 
 /** Text-analysis and document-dedup surface (north-star extensions): token
   * stats, language profiling, quality filtering, fingerprint dedup, exact
-  * n-gram Jaccard, and the sketch-based scale paths (MinHash+LSH, SimHash —
-  * rows-only checks, sketches aren't SQL-reproducible in DuckDB).
+  * n-gram Jaccard, and the sketch-based scale paths (MinHash+LSH, SimHash) —
+  * ALL oracle-green: the sketch gates run the md5-parity hash-family twins
+  * (TextDedup.minHashSignaturesMd5 / simHashMd5), whose signatures, band
+  * collisions, and verifies replay in DuckDB SQL, while the engine-fast
+  * xxhash/FNV kernels keep the ScalaTest recall/precision bars.
   */
 object Text {
 
@@ -112,28 +115,118 @@ object Text {
       |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** MinHash(128) + LSH(32 bands) candidate pairs verified at est-Jaccard
-    * ≥ 0.5. Sketch values depend on xxhash64 → rows-only driver check; the
-    * ScalaTest suite asserts recall against q41's exact pairs instead.
+    * ≥ 0.5 — oracle-green via the md5-affine hash family
+    * (TextDedup.minHashSignaturesMd5 + identity band buckets): signatures,
+    * band collisions, the candidate SET, and the estimated-Jaccard verify
+    * (agree-count / 128 — exact, power-of-two divisor) all replay in
+    * DuckDB, so the entire sketch path is hash-verified end to end. The
+    * engine-fast xxhash kernel keeps the ScalaTest recall assertions vs
+    * q41's exact pairs.
     */
   private val minhashLsh = QueryDef(
     (s, dir) => {
-      val sigs = TextDedup.minHashSignatures(
+      val sigs = TextDedup.minHashSignaturesMd5(
         Tables.documents(s, dir), "doc_id", "text", n = 3, k = 128)
       TextDedup.minHashVerify(
-        TextDedup.lshCandidatePairs(sigs, bands = 32), sigs, minJaccard = 0.5)
+        TextDedup.lshCandidatePairsIdentity(sigs, bands = 32), sigs,
+        minJaccard = 0.5)
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some(minhashMd5Ctes +
+      """,
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |        CAST(list_sum([CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END
+        |                       for i in range(1, 129)]) AS DOUBLE) / 128 AS est_jaccard
+        |      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+        |      JOIN sig sb ON c.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM v
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Shared DuckDB replay of the md5-affine MinHash path (q42, q113): the
+    * affine params are RE-DERIVED in SQL from the same md5("mh:a:j") window
+    * the Scala side uses — nothing is trusted as a literal. CTE chain ends
+    * at `sig(doc_id, sg)` (ordered 128-long signature) and
+    * `cand(doc_a, doc_b)` (distinct band-collision pairs).
+    */
+  /** One side's sig CTE chain of the md5-affine MinHash replay (prefix ->
+    * `{pfx}toks/hs/sigj/sig/bb`), over an upstream CTE named `src` with
+    * (doc_id, text). Shared by q127's two-corpus oracle.
+    */
+  private def md5SigSideCtes(src: String, pfx: String): String =
+    s"""${pfx}toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
+       |${pfx}hs AS (SELECT doc_id,
+       |    [CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647
+       |     for s in list_distinct(
+       |       [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])] AS hh
+       |  FROM ${pfx}toks WHERE len(t) >= 3),
+       |${pfx}sigj AS (SELECT doc_id, p.j,
+       |    list_min([(p.a * h + p.b) % 2147483647 for h in hh]) AS m
+       |  FROM ${pfx}hs CROSS JOIN params p),
+       |${pfx}sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM ${pfx}sigj GROUP BY doc_id),
+       |${pfx}bb AS (SELECT doc_id, band,
+       |    array_to_string(sg[(band * 4 + 1):(band * 4 + 4)], ',') AS bucket
+       |  FROM ${pfx}sig CROSS JOIN (SELECT unnest(range(0, 32)) AS band))""".stripMargin
+
+  /** Estimated Jaccard of two 128-long signature lists: agree-count / 128 —
+    * exact (power-of-two divisor), LongArrayMatchFrac's SQL twin.
+    */
+  private def sqlEstJaccard(sa: String, sb: String): String =
+    s"CAST(list_sum([CASE WHEN $sa[i] = $sb[i] THEN 1 ELSE 0 END " +
+      s"for i in range(1, 129)]) AS DOUBLE) / 128"
+
+  private lazy val minhashMd5Ctes: String =
+    """WITH RECURSIVE params AS (
+      |  SELECT j,
+      |    CAST('0x' || substring(md5('mh:a:' || j), 1, 15) AS BIGINT)
+      |      % 2147483646 + 1 AS a,
+      |    CAST('0x' || substring(md5('mh:b:' || j), 1, 15) AS BIGINT)
+      |      % 2147483647 AS b
+      |  FROM (SELECT unnest(range(0, 128)) AS j)),
+      |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |hs AS (SELECT doc_id,
+      |    [CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647
+      |     for s in list_distinct(
+      |       [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])] AS hh
+      |  FROM toks WHERE len(t) >= 3),
+      |sigj AS (SELECT doc_id, p.j,
+      |    list_min([(p.a * h + p.b) % 2147483647 for h in hh]) AS m
+      |  FROM hs CROSS JOIN params p),
+      |sig AS (SELECT doc_id, list(m ORDER BY j) AS sg FROM sigj GROUP BY doc_id),
+      |bb AS (SELECT doc_id, band,
+      |    array_to_string(sg[(band * 4 + 1):(band * 4 + 4)], ',') AS bucket
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 32)) AS band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      |           AND a.doc_id < b.doc_id)""".stripMargin
 
   /** SimHash near-dup pairs at Hamming ≤ 3 via 16-bit band blocking —
-    * rows-only driver check (hash-dependent), recall asserted in tests.
+    * oracle-green via the md5-parity signature (TextDedup.simHashMd5):
+    * the per-bit majority votes, the band blocking, and the XOR/popcount
+    * Hamming verify all replay in DuckDB. The FNV kernel path keeps the
+    * ScalaTest recall assertions.
     */
   private val simhashPairs = QueryDef(
     (s, dir) =>
       TextDedup.simHashPairs(
-        TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
+        TextDedup.simHashMd5(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("doc_a", "doc_b"),
-    None)
+    """WITH th AS (SELECT doc_id,
+      |    [CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT)
+      |     for tk in string_split(trim(text), ' ')] AS hh
+      |  FROM documents),
+      |sg AS (SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN 2 * len([h for h in hh if (h >> b) & 1 = 1]) > len(hh)
+      |                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+      |                   for b in range(0, 60)]) AS BIGINT) AS sig
+      |  FROM th),
+      |bands AS (SELECT doc_id, sig, b, (sig >> (b * 16)) & 65535 AS bucket
+      |          FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |           a.sig AS sa, b2.sig AS sb
+      |         FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket
+      |           AND a.doc_id < b2.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Deterministic train/holdout split by content-hash bucket: stable
     * membership across runs/engines (no RNG), tallied per split.
@@ -1002,13 +1095,33 @@ object Text {
     * Rows-only gate (sketches aren't SQL-reproducible); recall vs the exact
     * n-gram closure is asserted in SemDedupSpec.
     */
+  /** q113: the full sketch dedup path (signatures -> bands -> verify ->
+    * transitive closure) — oracle-green via the md5-affine family (q42's
+    * replay) plus the recursive reachability closure (q69's pattern), so
+    * the CLUSTER ASSIGNMENT itself is hash-verified end to end.
+    */
   private val minhashDupGroups = QueryDef(
     (s, dir) =>
       graft.operators.DupGroups.minHashDupGroups(
         Tables.documents(s, dir), "doc_id", "text",
-        n = 3, k = 128, bands = 32, minJaccard = 0.5)
+        n = 3, k = 128, bands = 32, minJaccard = 0.5, md5Parity = true)
         .orderBy("doc_id"),
-    None)
+    Some(minhashMd5Ctes +
+      """,
+        |vf AS (SELECT c.doc_a, c.doc_b,
+        |        CAST(list_sum([CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END
+        |                       for i in range(1, 129)]) AS DOUBLE) / 128 AS est_jaccard
+        |      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+        |      JOIN sig sb ON c.doc_b = sb.doc_id),
+        |prs AS (SELECT doc_a, doc_b FROM vf WHERE est_jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM prs
+        |          UNION ALL SELECT doc_b, doc_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT eu, eu FROM edges
+        |  UNION
+        |  SELECT r.src, e.ev FROM reach r JOIN edges e ON r.dst = e.eu)
+        |SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(dst) AS BIGINT) AS group_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
 
   /** Unigram LM perplexity scoring (CCNet-style): train token log-probs on
     * the corpus, score each document by mean negative log-likelihood via
@@ -2038,12 +2151,56 @@ object Text {
         .withColumn("doc_id", col("doc_id") + 10000)
       graft.operators.DupGroups.dedupIncrementNear(
         batch, corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
-        minJaccard = 0.5)
+        minJaccard = 0.5, md5Parity = true)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
         .orderBy("lang")
     },
-    None)
+    // oracle-green via the md5-affine family: BOTH corpora's signatures,
+    // the asymmetric batch-vs-ingested band probe, the in-batch survivor
+    // closure, and the final keep-set all replay in SQL. Short batch docs
+    // (< n tokens, no signature) always survive — they fall through both
+    // NOT IN filters, the operator's documented contract.
+    Some(s"""WITH RECURSIVE params AS (
+       |  SELECT j,
+       |    CAST('0x' || substring(md5('mh:a:' || j), 1, 15) AS BIGINT)
+       |      % 2147483646 + 1 AS a,
+       |    CAST('0x' || substring(md5('mh:b:' || j), 1, 15) AS BIGINT)
+       |      % 2147483647 AS b
+       |  FROM (SELECT unnest(range(0, 128)) AS j)),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |batch AS (SELECT doc_id + 10000 AS doc_id, lang, text
+       |          FROM documents WHERE doc_id >= 200),
+       |${md5SigSideCtes("corpus", "c")},
+       |${md5SigSideCtes("batch", "b")},
+       |flagged AS (SELECT DISTINCT a.doc_id AS doc_id
+       |  FROM bbb a JOIN cbb b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN bsig sa ON a.doc_id = sa.doc_id
+       |  JOIN csig sb ON b.doc_id = sb.doc_id
+       |  WHERE ${sqlEstJaccard("sa.sg", "sb.sg")} >= 0.5),
+       |fsig AS (SELECT doc_id, sg FROM bsig
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |fbb AS (SELECT doc_id, band,
+       |    array_to_string(sg[(band * 4 + 1):(band * 4 + 4)], ',') AS bucket
+       |  FROM fsig CROSS JOIN (SELECT unnest(range(0, 32)) AS band)),
+       |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fbb a JOIN fbb b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |  JOIN fsig sa ON a.doc_id = sa.doc_id
+       |  JOIN fsig sb ON b.doc_id = sb.doc_id
+       |  WHERE ${sqlEstJaccard("sa.sg", "sb.sg")} >= 0.5),
+       |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(src, dst) AS (
+       |  SELECT eu, eu FROM edges
+       |  UNION
+       |  SELECT r.src, e.ev FROM reach r JOIN edges e ON r.dst = e.eu),
+       |losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src),
+       |kept AS (SELECT b.doc_id, b.lang FROM batch b
+       |  WHERE b.doc_id NOT IN (SELECT doc_id FROM flagged)
+       |    AND b.doc_id NOT IN (SELECT doc_id FROM losers))
+       |SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Term-frequency drift between corpus snapshots (Drift.termDrift):
     * docs 0-249 vs 250+ as old/new, top-100 terms by the smoothed
@@ -2620,21 +2777,40 @@ object Text {
       |    AS oov_rate
       |FROM enc GROUP BY source ORDER BY source""".stripMargin)
 
-  /** q167: content-defined chunking (Chunking.contentDefinedChunks, k=4,
-    * divisor=8 → ~8-token expected chunks). Rows-only: cut positions
-    * derive from the library's 64-bit shingle hash, which no SQL replays;
-    * ChunkingSpec pins full coverage, text reconstruction, determinism
-    * and the edit-locality property (prefix insertion leaves tail chunk
-    * hashes identical — the reason CDC exists).
+  /** q167: content-defined chunking (k=4, divisor=8 → ~8-token expected
+    * chunks), oracle-green via the md5 hash family
+    * (Chunking.contentDefinedChunksMd5 — the q66 winnow trick): the cut
+    * rule, the chunk layout, AND the chunk fingerprints all replay in
+    * DuckDB, so boundary placement itself is hash-verified end to end.
+    * The engine-fast xxhash kernel path keeps ChunkingSpec's coverage /
+    * reconstruction / determinism / edit-locality invariants (prefix
+    * insertion leaves tail chunk hashes identical — the reason CDC
+    * exists), which are hash-family-independent.
     */
   private val cdcChunks = QueryDef(
     (s, dir) =>
-      graft.operators.Chunking.contentDefinedChunks(
+      graft.operators.Chunking.contentDefinedChunksMd5(
         Tables.documents(s, dir), "doc_id", "text", k = 4, divisor = 8)
         .select("doc_id", "chunk_id", "tok_start", "tok_end", "n_tokens",
           "chunk_hash")
         .orderBy("doc_id", "chunk_id"),
-    None)
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      |ends AS (SELECT doc_id, t,
+      |    list_sort(list_distinct(
+      |      [i + 3 for i in range(0, greatest(n - 3, 0))
+      |       if (CAST('0x' || substring(md5(array_to_string(t[(i+1):(i+4)], ' ')), 1, 15) AS BIGINT) % 8) = 0]
+      |      || [n - 1])) AS e
+      |  FROM base),
+      |c AS (SELECT doc_id, t, e, unnest(range(0, len(e))) AS ci FROM ends),
+      |b2 AS (SELECT doc_id, t, CAST(ci AS BIGINT) AS chunk_id,
+      |         CASE WHEN ci = 0 THEN 0 ELSE e[CAST(ci AS INT)] + 1 END AS s,
+      |         e[CAST(ci + 1 AS INT)] AS en
+      |       FROM c)
+      |SELECT doc_id, chunk_id, CAST(s AS BIGINT) AS tok_start,
+      |  CAST(en AS BIGINT) AS tok_end, CAST(en - s + 1 AS BIGINT) AS n_tokens,
+      |  CAST('0x' || substring(md5(array_to_string(t[CAST(s + 1 AS INT):CAST(en + 1 AS INT)], ' ')), 1, 15) AS BIGINT) AS chunk_hash
+      |FROM b2 ORDER BY doc_id, chunk_id""".stripMargin)
 
   /** q170: exact proportional budget allocation (Sampling.allocateBudget,
     * Hamilton largest-remainder) — 100k tokens across sources by summed

@@ -96,6 +96,31 @@ class ChunkingSpec extends AnyFunSuite {
     assert(docs.count() == perDoc.count())
   }
 
+  test("CDC md5 variant (the oracle-parity twin) holds the same partition invariants") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(50).cache()
+    val out = Chunking.contentDefinedChunksMd5(
+      docs, "doc_id", "text", k = 4, divisor = 8).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+    assert(out.withColumn("prev_end", lag("tok_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("tok_start") =!= col("prev_end") + 1).isEmpty)
+    val perDoc = out.groupBy("doc_id").agg(
+      min("tok_start").as("first"), max("tok_end").as("last"),
+      sum("n_tokens").as("mass"))
+    val joined = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.hashAlignedTokenCount(col("text"))
+          .cast("long").as("n"))
+      .filter(col("n") > 0).join(perDoc, "doc_id")
+    assert(joined.filter(col("first") =!= 0L ||
+      col("last") =!= col("n") - 1 || col("mass") =!= col("n")).isEmpty)
+    // expected cut density ~1/divisor holds for this hash family too
+    val nChunks = out.count().toDouble
+    val nTokens = joined.agg(sum("n")).head.getLong(0).toDouble
+    assert(nChunks / nTokens > 0.04 && nChunks / nTokens < 0.30,
+      s"cut density ${nChunks / nTokens} far from 1/8")
+  }
+
   test("CDC chunk texts reassemble the original token stream") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(20)
     val rebuilt = cdc(docs)

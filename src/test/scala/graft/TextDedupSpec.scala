@@ -35,6 +35,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.size <= exactPairs.size * 3)
   }
 
+  test("md5-parity MinHash twin (the q42/q113/q127 gate path) holds the same recall bar") {
+    val sigs = TextDedup.minHashSignaturesMd5(docs, "doc_id", "text", n = 3, k = 128)
+    val got = TextDedup.minHashVerify(
+      TextDedup.lshCandidatePairsIdentity(sigs, bands = 32), sigs, minJaccard = 0.45)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exactPairs.count(got).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} pairs")
+    assert(got.size <= exactPairs.size * 3)
+  }
+
+  test("md5-parity SimHash twin (the q43 gate path) keeps the precision bar") {
+    val pairs = TextDedup.simHashPairs(
+      TextDedup.simHashMd5(docs, "doc_id", "text"), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    val precision = pairs.count(exactPairs).toDouble / pairs.size
+    assert(precision >= 0.5, s"precision $precision")
+  }
+
   test("SimHash pairs at Hamming ≤ 3 are a subset-quality signal") {
     val pairs = TextDedup.simHashPairs(
       TextDedup.simHash(docs, "doc_id", "text"), maxHamming = 3)
