@@ -14,6 +14,20 @@ object Bench {
     // reading mostly measures the bench itself
     val loadAtStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // hypervisor CPU-steal accounting across the whole run: on a shared VM
+    // this is the wall-clock thief no in-process measurement sees — two
+    // identical-code runs minutes apart measured 116 s vs 164 s (r8) while
+    // the box was otherwise idle. (fields of /proc/stat "cpu": user nice
+    // system idle iowait irq softirq steal ...)
+    def cpuTicks(): Option[(Long, Long)] =
+      scala.util.Try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val parts = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          (parts.lift(7).getOrElse(0L), parts.sum)
+        } finally f.close()
+      }.toOption
+    val ticksAtStart = cpuTicks()
     // untimed warmup: JIT + codegen caches + parquet footers, so the first
     // alphabetical query doesn't absorb JVM startup cost. q42 is included
     // because its 128-minima sketch loop takes several seconds of C2
@@ -87,9 +101,16 @@ object Bench {
         .mkString(" ")
       val loadAtEnd = os.getSystemLoadAverage // -1.0 where unsupported
       val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      // steal% of all CPU ticks during the run; -1 where unreadable
+      val stealPct = (for {
+        (s0, t0) <- ticksAtStart
+        (s1, t1) <- cpuTicks()
+        if t1 > t0
+      } yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
       s"""{"jvm_flags":${jq(jvmFlags)},"max_heap_mb":$maxHeapMb,""" +
         s""""processors":${Runtime.getRuntime.availableProcessors()},""" +
-        s""""load_avg_at_start":$loadAtStart,"load_avg_at_end":$loadAtEnd,"cpus":"$cpus",""" +
+        s""""load_avg_at_start":$loadAtStart,"load_avg_at_end":$loadAtEnd,""" +
+        s""""cpu_steal_pct":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))},"cpus":"$cpus",""" +
         s""""passes":"min of 2 (3 for ${writeLifecycle.size} write-lifecycle gates)"}"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$envJson}"""
