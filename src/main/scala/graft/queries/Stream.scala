@@ -442,7 +442,51 @@ object Stream {
       |  ORDER BY ts, event_id)
       |ORDER BY user_id, session_no, turn_idx""".stripMargin)
 
+  /** q225: streaming distinct-user counts per event type — batch twin of
+    * EventStreams.distinctCountsHll, whose 1 KB-per-group register state
+    * EventStreamsSpec pins bit-equal to this across a checkpoint restart.
+    * The oracle replays the full md5-HLL dag (registers, ordered fold,
+    * linear-counting branch) exactly as q223 does.
+    */
+  private val streamDistinct: QueryDef = {
+    import graft.operators.HllMd5
+    QueryDef(
+      (s, dir) =>
+        EventStreams.distinctCountsHllBatch(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "event_type", "user_id")
+          .orderBy("event_type"),
+      s"""WITH keys AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type,
+         |        CAST('0x' || substring(md5(k), 1, 15) AS BIGINT) AS h FROM keys),
+         |reg AS (
+         |  SELECT event_type, h >> 50 AS reg_idx,
+         |    MAX(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+         |        ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1))) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT event_type, COUNT(*) AS m_used,
+         |    list_sum(list(CAST('1.0' AS DOUBLE) /
+         |      CAST(CAST(1 AS BIGINT) << r AS DOUBLE) ORDER BY reg_idx)) AS s_present
+         |  FROM reg GROUP BY 1),
+         |fin AS (
+         |  SELECT event_type, m_used, 1024 - m_used AS v_zero,
+         |    CAST('${HllMd5.AlphaMM}' AS DOUBLE) /
+         |      (s_present + CAST(1024 - m_used AS DOUBLE)) AS raw_est
+         |  FROM est)
+         |SELECT event_type, m_used, v_zero,
+         |  CASE WHEN raw_est <= CAST('${HllMd5.SmallRangeCutoff}' AS DOUBLE)
+         |        AND v_zero > 0
+         |       THEN CAST('1024.0' AS DOUBLE) *
+         |         ln(CAST('1024.0' AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |       ELSE raw_est END AS hll_estimate
+         |FROM fin ORDER BY event_type""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q225_stream_distinct" -> streamDistinct,
     "q197_sft_masks" -> sftMasks,
     "q195_conversations" -> conversations,
     "q192_freshness" -> freshness,

@@ -247,6 +247,61 @@ object EventStreams {
       .drop("session_no")
   }
 
+  /** Streaming distinct-count per group via the oracle-exact md5 HLL
+    * ([[graft.operators.HllMd5]]): each group carries a 1024-byte register
+    * array in `mapGroupsWithState`, folds every micro-batch's keys into it
+    * (register max — the same merge the batch sketch uses), and emits the
+    * refreshed estimate each batch. Because the hash, registers, and
+    * estimate dag are identical to the batch operator's, the stream's
+    * final row per group equals [[distinctCountsHllBatch]] on the same
+    * data to the LAST BIT — not "within sketch noise" (EventStreamsSpec
+    * pins the double equality, including across a checkpoint restart).
+    *
+    * State is 1 KB per group forever — no watermark needed for
+    * boundedness, which is the whole point of sketched streaming
+    * distincts: exact streaming COUNT(DISTINCT) state grows with
+    * cardinality and must be watermark-evicted; registers never grow.
+    * Output mode: Update (every batch re-emits touched groups).
+    */
+  def distinctCountsHll(events: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.operators.HllMd5
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](HllMd5.M))
+          rows.foreach { case (_, k) =>
+            val (idx, rho) = HllMd5.registerOf(k)
+            if (rho > regs(idx)) regs(idx) = rho.toByte
+          }
+          state.update(regs)
+          val (mUsed, vZero, est) = HllMd5.estimateScalar(regs)
+          (g, mUsed, vZero, est)
+      }
+      .toDF(groupCol, "m_used", "v_zero", "hll_estimate")
+  }
+
+  /** Batch twin of [[distinctCountsHll]] — the distributed register
+    * build + estimate over the same columns, bit-equal to the stream's
+    * final state and SQL-replayable (the q225 gate's oracle).
+    */
+  def distinctCountsHllBatch(events: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    import graft.operators.HllMd5
+    val keyed = events
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(keyCol).cast("string").as("k"))
+    HllMd5.estimate(HllMd5.sketch(keyed, "k", Seq(groupCol)), Seq(groupCol))
+  }
+
   /** Watermark-lateness audit over a RECORDED stream: replay the arrival
     * order and flag every event whose event time trails the running
     * maximum seen before it by more than `allowedLatenessUs` — exactly the

@@ -337,4 +337,70 @@ class EventStreamsSpec extends AnyFunSuite {
         Tables.events(spark, SparkTestSession.sfDir).count())
     } finally q.stop()
   }
+
+  test("streaming HLL distinct equals the batch sketch TO THE BIT across restarts") {
+    // two time-split files → two micro-batches; stop the query between
+    // them on a checkpoint and restart, so the register state also
+    // survives a recovery. The final per-group row must equal the batch
+    // twin exactly — same doubles, not "within sketch error".
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt")
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getTimestamp(0)
+    // stage as flat files (the source lists the directory, not nested dirs)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    stage(ev.filter(col("ts") <= cut), "0.parquet")
+    def stream() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    // foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    // and recovery is exactly what this test exercises
+    val emittedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double)]()
+    def run(): Unit = {
+      val q = EventStreams.distinctCountsHll(stream(), "event_type", "user_id")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emittedBuf.add(
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    stage(ev.filter(col("ts") > cut), "1.parquet")
+    run() // restart on the same checkpoint; state recovers, second file lands
+    // the memory sink holds every update-mode emission (one row per group
+    // per touching batch); order-free exactness check: every emission is
+    // the batch twin of SOME prefix (file0 or file0+file1), and the full
+    // twin's row for every group was emitted — i.e., each group's final
+    // streamed state equals the batch sketch bit-for-bit
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Double)] =
+      df.select(col("event_type"), col("m_used"), col("v_zero"),
+        col("hll_estimate")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val emitted = {
+      import scala.jdk.CollectionConverters._
+      emittedBuf.asScala.toSet
+    }
+    val twinPrefix = rowSet(
+      EventStreams.distinctCountsHllBatch(ev.filter(col("ts") <= cut),
+        "event_type", "user_id"))
+    val twinFull = rowSet(
+      EventStreams.distinctCountsHllBatch(ev, "event_type", "user_id"))
+    assert(twinFull.nonEmpty)
+    assert(twinFull.subsetOf(emitted),
+      s"missing final states: ${twinFull -- emitted}")
+    assert(emitted.subsetOf(twinPrefix ++ twinFull),
+      s"spurious emissions: ${emitted -- twinPrefix -- twinFull}")
+  }
 }
