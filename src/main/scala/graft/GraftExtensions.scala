@@ -22,7 +22,9 @@ import graft.expressions.{AlignedTokenCount, FloatVecDot, LongArrayMatchFrac, Lo
   * minhash_sig(text, n, k) → array<bigint>, winnow(array<bigint>, w) →
   * array<bigint>, ngram_freq_stats(array<string>, n) → struct,
   * token_set_hits(text, array<string>) → int, long_set_jaccard(array<bigint>,
-  * array<bigint>) → double, aligned_token_count(text) → int.
+  * array<bigint>) → double, aligned_token_count(text) → int,
+  * hll_md5_agg(key) → binary, hll_md5_union_agg(binary) → binary,
+  * hll_md5_estimate(binary) → struct(m_used, v_zero, hll_estimate).
   * (NearestCell, WrapMulAdd, BloomAnyContain and
   * CmsEstimateTerm stay Column-only: their parameters are driver-held
   * matrices/sketches a SQL literal can't express.)
@@ -66,7 +68,16 @@ object GraftExtensions {
       args => LongSetJaccard(args(0), args(1))),
     ("aligned_token_count",
       "aligned_token_count(text) - token count under the hashing kernels' tokenizer (space/tab/CR/LF runs)",
-      args => AlignedTokenCount(args.head)))
+      args => AlignedTokenCount(args.head)),
+    ("hll_md5_agg",
+      "hll_md5_agg(key) - binary md5-parity HLL sketch (1024 registers) of distinct keys",
+      args => graft.expressions.HllMd5Agg(args.head)),
+    ("hll_md5_union_agg",
+      "hll_md5_union_agg(sketch) - register-wise max merge of binary HLL sketches",
+      args => graft.expressions.HllMd5UnionAgg(args.head)),
+    ("hll_md5_estimate",
+      "hll_md5_estimate(sketch) - struct(m_used, v_zero, hll_estimate) read of a binary HLL sketch",
+      args => graft.expressions.HllMd5Estimate(args.head)))
 
   /** A function argument that must be a constant array of strings. */
   private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {

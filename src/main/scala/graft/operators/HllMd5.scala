@@ -124,6 +124,40 @@ object HllMd5 {
     sketches.groupBy((groupCols.map(col) :+ col("reg_idx")): _*)
       .agg(max(col("r")).as("r"))
 
+  /** One-pass native-aggregate sketch ([[graft.expressions.HllMd5Agg]],
+    * SQL `hll_md5_agg`): (groupCols*, hll_regs binary) with the m register
+    * bytes built in the aggregation buffer itself — the shuffle carries
+    * 1 KB per group per partition instead of register rows. Registers are
+    * bit-identical to [[sketch]]'s (HllMd5Spec pins it).
+    */
+  def sketchAgg(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(graft.expressions.HllMd5Agg(
+        ColumnBridge.expression(col(keyCol).cast("string")))
+        .toAggregateExpression()).as("hll_regs"))
+  }
+
+  /** Register-wise max over binary sketches (`hll_md5_union_agg`):
+    * re-aggregate [[sketchAgg]] outputs into coarser groups.
+    */
+  def unionAgg(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(ColumnBridge.column(graft.expressions.HllMd5UnionAgg(
+        ColumnBridge.expression(col("hll_regs")))
+        .toAggregateExpression()).as("hll_regs"))
+  }
+
+  /** Estimate triple struct(m_used, v_zero, hll_estimate) from a binary
+    * sketch column (`hll_md5_estimate`) — bit-equal to [[estimate]].
+    */
+  def estimateCol(regs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.HllMd5Estimate(
+      ColumnBridge.expression(regs)))
+  }
+
   /** Cardinality estimate per group from a register sketch: columns
     * (groupCols*, m_used, v_zero, hll_estimate). The float fold over
     * present registers runs in reg_idx order (sort_array + sequential

@@ -1127,8 +1127,16 @@ object Extra {
           .select(col("source").as("grp"), col("text").as("k"),
             lit(0).as("shard"))
         val keys = li.unionByName(docs)
-        val sharded = HllMd5.sketch(keys, "k", Seq("grp", "shard"))
-        val est = HllMd5.estimate(HllMd5.merge(sharded, Seq("grp")), Seq("grp"))
+        // native-aggregate path (hll_md5_agg → hll_md5_union_agg →
+        // hll_md5_estimate): 1 KB binary buffers per (grp, shard), merged
+        // by register max — bit-equal to the relational sketch/merge/
+        // estimate (HllMd5Spec), which is what the oracle replays
+        val sharded = HllMd5.sketchAgg(keys, "k", Seq("grp", "shard"))
+        val est = HllMd5.unionAgg(sharded, Seq("grp"))
+          .select(col("grp"), HllMd5.estimateCol(col("hll_regs")).as("e"))
+          .select(col("grp"), col("e.m_used").as("m_used"),
+            col("e.v_zero").as("v_zero"),
+            col("e.hll_estimate").as("hll_estimate"))
         val exact = keys.groupBy("grp")
           .agg(countDistinct(col("k")).as("n_exact"))
         est.join(exact, "grp").orderBy("grp")

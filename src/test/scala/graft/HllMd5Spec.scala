@@ -83,4 +83,60 @@ class HllMd5Spec extends AnyFunSuite {
     val df = Seq.empty[String].toDF("k").withColumn("g", lit("g"))
     assert(HllMd5.estimate(HllMd5.sketch(df, "k", Seq("g")), Seq("g")).isEmpty)
   }
+
+  test("native aggregate path is bit-equal to the relational path") {
+    // repartition forces partial-buffer merges AND buffer serialization
+    // across the exchange; three groups, cardinalities straddling both
+    // estimator branches
+    val df = ((1 to 9000).map(i => ("big", s"k$i")) ++
+      (1 to 300).map(i => ("mid", s"k$i")) ++
+      (1 to 7).map(i => ("small", s"x$i")))
+      .toDF("g", "k").repartition(13)
+    val rel = HllMd5.estimate(HllMd5.sketch(df, "k", Seq("g")), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("m_used"), r.getAs[Long]("v_zero"),
+          r.getAs[Double]("hll_estimate"))).toMap
+    val agg = HllMd5.sketchAgg(df, "k", Seq("g"))
+      .select(col("g"), HllMd5.estimateCol(col("hll_regs")).as("e"))
+      .select(col("g"), col("e.m_used"), col("e.v_zero"), col("e.hll_estimate"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(agg === rel)
+    // registers themselves match: dense array rebuilt from relational rows
+    val relRegs = HllMd5.sketch(df.filter(col("g") === "big"), "k", Seq("g"))
+      .collect().map(r => r.getAs[Int]("reg_idx") -> r.getAs[Int]("r")).toMap
+    val aggRegs = HllMd5.sketchAgg(df.filter(col("g") === "big"), "k", Seq("g"))
+      .select("hll_regs").collect().head.getAs[Array[Byte]](0)
+    assert(aggRegs.length === HllMd5.M)
+    aggRegs.zipWithIndex.foreach { case (b, i) =>
+      assert(b.toInt === relRegs.getOrElse(i, 0), s"register $i")
+    }
+  }
+
+  test("union aggregate over shard sketches equals the direct aggregate") {
+    val df = (1 to 20000).map(i => (s"key_$i", i % 16)).toDF("k", "shard")
+      .withColumn("g", lit("corpus"))
+    val direct = HllMd5.sketchAgg(df, "k", Seq("g"))
+      .select(HllMd5.estimateCol(col("hll_regs")).getField("hll_estimate"))
+      .as[Double].head()
+    val merged = HllMd5.unionAgg(
+      HllMd5.sketchAgg(df, "k", Seq("g", "shard")), Seq("g"))
+      .select(HllMd5.estimateCol(col("hll_regs")).getField("hll_estimate"))
+      .as[Double].head()
+    assert(direct == merged)
+  }
+
+  test("the SQL surface exposes the aggregate trio") {
+    graft.GraftExtensions.register(spark)
+    (1 to 5000).map(i => ("g", s"k$i")).toDF("g", "k")
+      .createOrReplaceTempView("hll_sql_in")
+    val viaSql = spark.sql(
+      """SELECT hll_md5_estimate(hll_md5_union_agg(sk)).hll_estimate AS e
+        |FROM (SELECT g, hll_md5_agg(k) AS sk FROM hll_sql_in GROUP BY g)
+        |GROUP BY g""".stripMargin).as[Double].head()
+    val df = (1 to 5000).map(i => ("g", s"k$i")).toDF("g", "k")
+    val viaCol = HllMd5.estimate(HllMd5.sketch(df, "k", Seq("g")), Seq("g"))
+      .select("hll_estimate").as[Double].head()
+    assert(viaSql == viaCol)
+  }
 }
