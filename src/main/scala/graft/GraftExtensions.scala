@@ -77,7 +77,11 @@ object GraftExtensions {
       args => graft.expressions.HllMd5UnionAgg(args.head)),
     ("hll_md5_estimate",
       "hll_md5_estimate(sketch) - struct(m_used, v_zero, hll_estimate) read of a binary HLL sketch",
-      args => graft.expressions.HllMd5Estimate(args.head)))
+      args => graft.expressions.HllMd5Estimate(args.head)),
+    ("kmv_md5_agg",
+      "kmv_md5_agg(key, k) - ascending array of the k smallest distinct md5 key hashes (KMV sketch)",
+      args => graft.expressions.KmvAgg(args(0),
+        intLiteralArg(args(1), "kmv_md5_agg", "k"))))
 
   /** A function argument that must be a constant array of strings. */
   private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {

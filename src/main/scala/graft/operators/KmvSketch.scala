@@ -48,6 +48,23 @@ object KmvSketch {
       tieCol = "h", k = k, descending = false)
   }
 
+  /** One-pass native-aggregate sketch ([[graft.expressions.KmvAgg]], SQL
+    * `kmv_md5_agg`): same (groupCol, h) rows as [[sketch]], but built in a
+    * single map-side-combining aggregation whose buffer is the k-bounded
+    * ordered hash set — no distinct shuffle, no second top-k exchange; k
+    * longs per group per partition on the wire. KmvSketchSpec pins row
+    * equality with the relational build.
+    */
+  def sketchAgg(df: DataFrame, keyCol: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(k >= 2, s"k must be >= 2 (the estimator reads the k-th minimum), got $k")
+    df.groupBy(col(groupCol))
+      .agg(ColumnBridge.column(graft.expressions.KmvAgg(
+        ColumnBridge.expression(col(keyCol).cast("string")), k)
+        .toAggregateExpression()).as("kmv"))
+      .select(col(groupCol), explode(col("kmv")).as("h"))
+  }
+
   /** Distinct-cardinality estimate per group from a [[sketch]]: when the
     * group holds fewer than k hashes the sketch is exhaustive and the
     * count is EXACT; otherwise (k-1)/tau with tau = h_(k)/2^60.
@@ -64,10 +81,15 @@ object KmvSketch {
     * sketch frame: for each pair, the k smallest hashes of the UNION of
     * the two sketches are found (a valid KMV sketch of the union), the
     * union cardinality estimated from their k-th minimum, Jaccard from
-    * the fraction of union minima present in BOTH sets, and the
-    * intersection as jaccard x union. When the union sketch is
-    * exhaustive (n_mins < k) all three are exact. Output:
-    * (src_a, src_b, n_mins, n_both, union_est, jaccard_est, inter_est).
+    * the fraction of union minima present in BOTH sets, the intersection
+    * as jaccard x union, and the full venn — per-side cardinalities
+    * (est_a/est_b, the [[estimate]] reads) and the one-sided differences
+    * (est_x minus the intersection estimate; a small negative value is
+    * possible when independent estimates disagree — it reads as
+    * "A is essentially contained in B"). When the union sketch is
+    * exhaustive (n_mins < k) the set estimates are exact. Output:
+    * (src_a, src_b, n_mins, n_both, union_est, jaccard_est, inter_est,
+    * est_a, est_b, a_only_est, b_only_est).
     *
     * The pair expansion multiplies SKETCH rows (pairs x 2k), never corpus
     * rows, so the report is cheap at any corpus size; with g groups it
@@ -75,6 +97,8 @@ object KmvSketch {
     * shape this audits.
     */
   def pairwiseOverlap(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val sideEst = estimate(sk, groupCol, k)
+      .select(col(groupCol).cast("string").as("g"), col("kmv_estimate"))
     val src = sk.select(col(groupCol).cast("string").as("g")).distinct()
     val pairs = src.as("pa").join(src.as("pb"),
         col("pa.g") < col("pb.g"))
@@ -106,6 +130,12 @@ object KmvSketch {
         col("n_both").cast("double") / col("n_mins").cast("double"))
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
       .drop("h_k")
+      .join(broadcast(sideEst.withColumnRenamed("g", "src_a")
+        .withColumnRenamed("kmv_estimate", "est_a")), "src_a")
+      .join(broadcast(sideEst.withColumnRenamed("g", "src_b")
+        .withColumnRenamed("kmv_estimate", "est_b")), "src_b")
+      .withColumn("a_only_est", col("est_a") - col("inter_est"))
+      .withColumn("b_only_est", col("est_b") - col("inter_est"))
       .orderBy("src_a", "src_b")
   }
 }

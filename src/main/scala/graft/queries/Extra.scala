@@ -1190,8 +1190,11 @@ object Extra {
         val li = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("g"),
             col("l_orderkey").cast("string").as("k"))
+        // native one-pass aggregate build (kmv_md5_agg): row-equal to the
+        // distinct + heap-top-k pipeline (KmvSketchSpec), which is what
+        // the oracle replays
         KmvSketch.pairwiseOverlap(
-          KmvSketch.sketch(li, "k", "g", k = 256), "g", k = 256)
+          KmvSketch.sketchAgg(li, "k", "g", k = 256), "g", k = 256)
       },
       s"""WITH dh AS (
          |  SELECT DISTINCT l_returnflag AS g,
@@ -1221,16 +1224,30 @@ object Extra {
          |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_both
          |  FROM um WHERE rk <= 256 GROUP BY 1, 2),
+         |ge AS (
+         |  SELECT g, COUNT(*) AS gn, MAX(h) AS gh FROM sk GROUP BY 1),
+         |gest AS (
+         |  SELECT g, CASE WHEN gn < 256 THEN CAST(gn AS DOUBLE)
+         |           ELSE CAST('$kmvC' AS DOUBLE) / CAST(gh AS DOUBLE)
+         |           END AS kmv_estimate
+         |  FROM ge),
          |fin AS (
          |  SELECT src_a, src_b, n_mins, n_both,
          |    CASE WHEN n_mins < 256 THEN CAST(n_mins AS DOUBLE)
          |         ELSE CAST('$kmvC' AS DOUBLE) / CAST(h_k AS DOUBLE)
          |         END AS union_est,
          |    CAST(n_both AS DOUBLE) / CAST(n_mins AS DOUBLE) AS jaccard_est
-         |  FROM agg)
+         |  FROM agg),
+         |fin2 AS (
+         |  SELECT f.*, jaccard_est * union_est AS inter_est,
+         |    ea.kmv_estimate AS est_a, eb.kmv_estimate AS est_b
+         |  FROM fin f JOIN gest ea ON ea.g = f.src_a
+         |             JOIN gest eb ON eb.g = f.src_b)
          |SELECT src_a, src_b, n_mins, n_both, union_est, jaccard_est,
-         |  jaccard_est * union_est AS inter_est
-         |FROM fin ORDER BY src_a, src_b""".stripMargin)
+         |  inter_est, est_a, est_b,
+         |  est_a - inter_est AS a_only_est,
+         |  est_b - inter_est AS b_only_est
+         |FROM fin2 ORDER BY src_a, src_b""".stripMargin)
   }
 
   val defs: Map[String, QueryDef] = Map(

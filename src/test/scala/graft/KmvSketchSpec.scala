@@ -52,6 +52,11 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(r.getAs[Double]("union_est") === 150.0)
     assert(r.getAs[Double]("jaccard_est") === 0.2)
     assert(r.getAs[Double]("inter_est") === 30.0)
+    // the full venn is exact too below k
+    assert(r.getAs[Double]("est_a") === 90.0)
+    assert(r.getAs[Double]("est_b") === 90.0)
+    assert(r.getAs[Double]("a_only_est") === 60.0)
+    assert(r.getAs[Double]("b_only_est") === 60.0)
   }
 
   test("pairwise overlap estimates track known overlap above k") {
@@ -67,6 +72,24 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(math.abs(u - 15000) / 15000 <= 0.15, s"union_est=$u")
     assert(math.abs(j - 1.0 / 3) <= 0.1, s"jaccard_est=$j")
     assert(r.getAs[Double]("inter_est") === j * u)
+  }
+
+  test("native aggregate build is row-equal to the distinct+top-k build") {
+    // repartition forces partial-buffer merges and buffer serialization
+    // across the exchange; duplicates force the TreeSet dedup path
+    val rows = (1 to 5000).flatMap(i => Seq(("A", s"id$i"), ("A", s"id$i"))) ++
+      (1 to 30).map(i => ("B", s"id$i"))
+    val df = rows.toDF("src", "k").repartition(11)
+    def asSet(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long)].collect().toSet
+    assert(asSet(KmvSketch.sketchAgg(df, "k", "src", k = 256)) ===
+      asSet(KmvSketch.sketch(df, "k", "src", k = 256)))
+    // and through the SQL surface
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("kmv_sql_in")
+    val viaSql = spark.sql(
+      "SELECT src, explode(kmv_md5_agg(k, 256)) AS h FROM kmv_sql_in GROUP BY src")
+    assert(asSet(viaSql) === asSet(KmvSketch.sketch(df, "k", "src", k = 256)))
   }
 
   test("three groups produce all three pairs, ordered") {
