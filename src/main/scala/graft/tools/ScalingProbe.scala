@@ -92,6 +92,11 @@ object ScalingProbe {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/root/repo/tmp/scaling")
     val mult = args.lift(2).map(_.toInt).getOrElse(10)
+    // args(4): optional comma-separated query list overriding the default
+    // expensive-15 (e.g. the sketch family)
+    val queries = args.lift(4)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(probeQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,7 +130,7 @@ object ScalingProbe {
       spark.catalog.clearCache()
       once(fn, dir)
     }
-    val rows = probeQueries.flatMap { name =>
+    val rows = queries.flatMap { name =>
       graft.SparkEntry.queries.get(name).map { fn =>
         val small = try Seq.fill(2)(cold(fn, baseDir)).min
           catch { case e: Throwable =>
@@ -142,7 +147,7 @@ object ScalingProbe {
 
     val bar = 1.5 * mult
     val md = new StringBuilder
-    md ++= s"# Scaling probe: sf0.1 -> ${mult}x (${probeQueries.size} most expensive gate queries)\n\n"
+    md ++= s"# Scaling probe: sf0.1 -> ${mult}x (${queries.size} gate queries)\n\n"
     md ++= s"Method: `graft.tools.ScalingProbe` fans every table out ${mult}x as\n"
     md ++= "disjoint key-offset shards (per-copy letter-rotated document text, so\n"
     md ++= "dedup sees genuinely new shards, not manufactured cross-copy clusters),\n"
