@@ -240,4 +240,19 @@ class EmptyInputSpec extends AnyFunSuite {
         Seq("q" -> "anything"))
     }
   }
+
+  test("HLL sketch/aggregate on an empty corpus") {
+    import graft.operators.HllMd5
+    assert(HllMd5.estimate(
+      HllMd5.sketch(emptyDocs, "text", Seq("source")), Seq("source")).count() == 0)
+    assert(HllMd5.sketchAgg(emptyDocs, "text", Seq("source")).count() == 0)
+  }
+
+  test("KMV overlap with a single group yields no pairs; empty corpus no rows") {
+    import graft.operators.KmvSketch
+    val one = Seq(("s0", "a"), ("s0", "b")).toDF("source", "text")
+    val sk = KmvSketch.sketch(one, "text", "source", k = 8)
+    assert(KmvSketch.pairwiseOverlap(sk, "source", k = 8).count() == 0)
+    assert(KmvSketch.sketchAgg(emptyDocs, "text", "source", k = 8).count() == 0)
+  }
 }

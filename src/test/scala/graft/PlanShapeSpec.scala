@@ -386,6 +386,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("sketch gates aggregate through native buffers, never corpus-wide state") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate: its presence
+    // proves the 1 KB-buffer path is in the executed plan (a regression to
+    // the relational build would show plain HashAggregate over register
+    // rows — still correct, but a different wire shape than documented)
+    val p223 = plan("q223_hll_exact_replay")
+    assert(p223.contains("ObjectHashAggregate"), p223.take(3000))
+    val p224 = plan("q224_kmv_overlap")
+    assert(p224.contains("ObjectHashAggregate"), p224.take(3000))
+    // the pair lift joins sketch rows against the broadcast pair list —
+    // sketch-sized on both sides; a shuffle on the sketch side is fine,
+    // but the LINEITEM scan must be consumed by the aggregate, not a join
+    assert(!p224.contains("CartesianProduct"), p224.take(3000))
+  }
+
   test("no gate query plans a cartesian product") {
     // knnBruteForce intentionally pairs a broadcast query set against the
     // corpus — BroadcastNestedLoopJoin is the intended plan there; an
