@@ -32,12 +32,16 @@ import graft.expressions.{AlignedTokenCount, FloatVecDot, LongArrayMatchFrac, Lo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
         builder))
     }
+    // engine-level guard against stats-blind broadcasts of exploded
+    // subtrees (see the rule's scaladoc for the failure mode)
+    ext.injectOptimizerRule(_ => graft.plans.NoBroadcastOverExpansion)
+  }
 }
 
 object GraftExtensions {

@@ -48,6 +48,14 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     graft.GraftExtensions.register(spark)
+    // expansion-broadcast safety net (see NoBroadcastOverExpansion): a
+    // post-construction session can't take injectOptimizerRule, but the
+    // experimental user-rule batch runs the same way (idempotent add)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.NoBroadcastOverExpansion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.NoBroadcastOverExpansion
     // gate hermeticity: this JVM removes its own on-disk gate artifacts at
     // exit, crashed runs included (idempotent; see Housekeeping)
     Housekeeping.installExitSweep(spark)
