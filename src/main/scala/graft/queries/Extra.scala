@@ -1174,6 +1174,64 @@ object Extra {
          |FROM fin f JOIN ex USING (grp) ORDER BY grp""".stripMargin)
   }
 
+  /** q226: sketch persistence — the "union yesterday's sketch into
+    * today's" story end-to-end through STORAGE: per-(flag, shard) binary
+    * HLL sketches are written to parquet, read back in a fresh scan, and
+    * only then union-merged and estimated. Proves the register encoding
+    * survives a write/read cycle byte-for-byte (the oracle recomputes the
+    * whole estimate from RAW data — any drift through storage would break
+    * the hash match) and that re-aggregation cost is sketch-sized: the
+    * merge reads shards x 1 KB, never a data row.
+    */
+  private val sketchPersist: QueryDef = {
+    import graft.operators.HllMd5
+    QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(col("l_orderkey").isNotNull)
+          .select(col("l_returnflag").as("grp"),
+            col("l_orderkey").cast("string").as("k"),
+            col("l_linenumber").cast("int").as("shard"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_sketch_store_${graft.core.Housekeeping.appTag(s)}"
+        HllMd5.sketchAgg(li, "k", Seq("grp", "shard"))
+          .write.mode("overwrite").parquet(path)
+        val loaded = s.read.parquet(path)
+        HllMd5.unionAgg(loaded, Seq("grp"))
+          .select(col("grp"), HllMd5.estimateCol(col("hll_regs")).as("e"))
+          .select(col("grp"), col("e.m_used").as("m_used"),
+            col("e.v_zero").as("v_zero"),
+            col("e.hll_estimate").as("hll_estimate"))
+          .orderBy("grp")
+      },
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |reg AS (
+         |  SELECT grp, h >> 50 AS reg_idx,
+         |    MAX(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+         |        ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1))) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |est AS (
+         |  SELECT grp, COUNT(*) AS m_used,
+         |    list_sum(list(CAST('1.0' AS DOUBLE) /
+         |      CAST(CAST(1 AS BIGINT) << r AS DOUBLE) ORDER BY reg_idx)) AS s_present
+         |  FROM reg GROUP BY 1),
+         |fin AS (
+         |  SELECT grp, m_used, 1024 - m_used AS v_zero,
+         |    CAST('${HllMd5.AlphaMM}' AS DOUBLE) /
+         |      (s_present + CAST(1024 - m_used AS DOUBLE)) AS raw_est
+         |  FROM est)
+         |SELECT grp, m_used, v_zero,
+         |  CASE WHEN raw_est <= CAST('${HllMd5.SmallRangeCutoff}' AS DOUBLE)
+         |        AND v_zero > 0
+         |       THEN CAST('1024.0' AS DOUBLE) *
+         |         ln(CAST('1024.0' AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |       ELSE raw_est END AS hll_estimate
+         |FROM fin ORDER BY grp""".stripMargin)
+  }
+
   /** q224: KMV bottom-k overlap report (operators.KmvSketch) — pairwise
     * union / Jaccard / intersection estimates between the three returnflag
     * orderkey sets from 256-minima sketches alone. The true intersections
@@ -1253,6 +1311,7 @@ object Extra {
   val defs: Map[String, QueryDef] = Map(
     "q223_hll_exact_replay" -> hllExactReplay,
     "q224_kmv_overlap" -> kmvOverlap,
+    "q226_sketch_persist" -> sketchPersist,
     "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
