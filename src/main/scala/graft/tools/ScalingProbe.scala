@@ -106,10 +106,18 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val scaledDir = s"$workDir/sf${mult}x"
-    println(s"[probe] building ${mult}x dataset at $scaledDir ...")
-    val tBuild = System.nanoTime()
-    buildScaled(spark, baseDir, scaledDir, mult)
-    println(f"[probe] built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    // SPARK_GRAFT_PROBE_REUSE=1 skips the fan-out when the scaled dataset
+    // already exists (it is deterministic), so a second query list can be
+    // probed at the same scale without the build cost
+    if (sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+        new java.io.File(s"$scaledDir/lineitem.parquet").exists()) {
+      println(s"[probe] reusing existing ${mult}x dataset at $scaledDir")
+    } else {
+      println(s"[probe] building ${mult}x dataset at $scaledDir ...")
+      val tBuild = System.nanoTime()
+      buildScaled(spark, baseDir, scaledDir, mult)
+      println(f"[probe] built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    }
 
     def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
