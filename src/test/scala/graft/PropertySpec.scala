@@ -439,4 +439,53 @@ class PropertySpec extends AnyFunSuite {
         .toSeq === Seq((rows.size.toLong, k0.toLong), (k0.toLong, k1.toLong)))
     }
   }
+
+  test("HLL register algebra: merge is the sketch of the union (scalar laws)") {
+    import graft.operators.HllMd5
+    val genKeys: Gen[(List[String], List[String])] = Gen.zip(
+      Gen.listOfN(300, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.listOfN(300, Gen.alphaNumStr.suchThat(_.nonEmpty)))
+    def regs(keys: Seq[String]): Array[Byte] = {
+      val a = new Array[Byte](HllMd5.M)
+      keys.foreach { k =>
+        val (i, r) = HllMd5.registerOf(k)
+        if (r > a(i)) a(i) = r.toByte
+      }
+      a
+    }
+    def maxMerge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      x.zip(y).map { case (a, b) => if (a > b) a else b }
+    forAll(genKeys, n = 8) { case (ka, kb) =>
+      val (ra, rb) = (regs(ka), regs(kb))
+      // merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the mergeability law
+      assert(maxMerge(ra, rb).toSeq === regs(ka ++ kb).toSeq)
+      // commutative, idempotent
+      assert(maxMerge(ra, rb).toSeq === maxMerge(rb, ra).toSeq)
+      assert(maxMerge(ra, ra).toSeq === ra.toSeq)
+      // estimate is permutation- and duplication-invariant
+      val shuffled = new scala.util.Random(1).shuffle(ka ++ ka)
+      assert(HllMd5.estimateScalar(regs(shuffled)) === HllMd5.estimateScalar(ra))
+    }
+  }
+
+  test("KMV minima algebra: bottom-k of merged sketches equals the union's (scalar laws)") {
+    import graft.expressions.MinHashSigMd5
+    val k = 16
+    def sk(keys: Seq[String]): Seq[Long] =
+      keys.map(MinHashSigMd5.h60).distinct.sorted.take(k)
+    val genKeys: Gen[(List[String], List[String])] = Gen.zip(
+      Gen.listOfN(100, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.listOfN(100, Gen.alphaNumStr.suchThat(_.nonEmpty)))
+    forAll(genKeys, n = 8) { case (ka, kb) =>
+      // bottom-k(K(A) ∪ K(B)) == K(A ∪ B): sketches suffice for unions —
+      // the property pairwiseOverlap's union estimate rests on
+      val mergedSk = (sk(ka) ++ sk(kb)).distinct.sorted.take(k)
+      assert(mergedSk === sk(ka ++ kb))
+      // a union minimum in both sketches iff the KEY sets both contain it
+      val inBoth = mergedSk.toSet.intersect(sk(ka).toSet).intersect(sk(kb).toSet)
+      val trueBoth = mergedSk.filter(h =>
+        ka.map(MinHashSigMd5.h60).contains(h) && kb.map(MinHashSigMd5.h60).contains(h))
+      assert(inBoth === trueBoth.toSet)
+    }
+  }
 }
