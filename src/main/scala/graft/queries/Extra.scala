@@ -1232,6 +1232,66 @@ object Extra {
          |FROM fin ORDER BY grp""".stripMargin)
   }
 
+  /** q227: approximate query processing (operators.Aqp) — per-priority
+    * order-value totals estimated from a deterministic 5% md5 sample with
+    * 95% CLT error bars and finite-population correction, next to the true
+    * totals and a ci_hit flag. Sample membership, the exact-decimal
+    * moments, and the estimate/variance/CI dag all replay bitwise in
+    * DuckDB — reproducible approximation, the answer-now shape for
+    * "revenue by segment, roughly" at 100 TB.
+    */
+  private val aqpSum = QueryDef(
+    (s, dir) =>
+      graft.operators.Aqp.sampledSum(
+        Tables.orders(s, dir), keyCol = "o_orderkey",
+        valueCol = "o_totalprice", groupCols = Seq("o_orderpriority"),
+        samplePct = 5)
+        .orderBy("o_orderpriority"),
+    s"""WITH f AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n_total,
+       |    ${sqlSumDec("o_totalprice")} AS total_true
+       |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+       |sm AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n_sample,
+       |    CAST(SUM(CAST(${sqlDec2("o_totalprice")} * 100 AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS s1c,
+       |    CAST(SUM(CAST(
+       |        CAST(${sqlDec2("o_totalprice")} * 100 AS DECIMAL(18,0)) *
+       |        CAST(${sqlDec2("o_totalprice")} * 100 AS DECIMAL(18,0))
+       |      AS DECIMAL(38,0))) AS DOUBLE) AS s2c
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL
+       |    AND CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+       |          AS BIGINT) % 100 < 5
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT f.o_orderpriority, f.n_total,
+       |    COALESCE(sm.n_sample, 0) AS n_sample, f.total_true,
+       |    CAST(f.n_total AS DOUBLE) AS nt,
+       |    CAST(COALESCE(sm.n_sample, 0) AS DOUBLE) AS ns,
+       |    sm.s1c / CAST(COALESCE(sm.n_sample, 0) AS DOUBLE) AS meanc, sm.s2c
+       |  FROM f LEFT JOIN sm USING (o_orderpriority)),
+       |e AS (
+       |  SELECT *, nt * meanc AS estc,
+       |    nt * sqrt((s2c - ns * meanc * meanc) / (ns - CAST('1.0' AS DOUBLE))
+       |      / ns * (CAST('1.0' AS DOUBLE) - ns / nt)) AS sec
+       |  FROM c)
+       |SELECT o_orderpriority, n_total, n_sample, total_true,
+       |  estc / CAST('100.0' AS DOUBLE) AS total_est,
+       |  CASE WHEN n_sample >= 2
+       |       THEN (estc - CAST('1.96' AS DOUBLE) * sec) / CAST('100.0' AS DOUBLE)
+       |       END AS ci_lo,
+       |  CASE WHEN n_sample >= 2
+       |       THEN (estc + CAST('1.96' AS DOUBLE) * sec) / CAST('100.0' AS DOUBLE)
+       |       END AS ci_hi,
+       |  CASE WHEN n_sample >= 2
+       |       THEN total_true >=
+       |         (estc - CAST('1.96' AS DOUBLE) * sec) / CAST('100.0' AS DOUBLE)
+       |        AND total_true <=
+       |         (estc + CAST('1.96' AS DOUBLE) * sec) / CAST('100.0' AS DOUBLE)
+       |       END AS ci_hit
+       |FROM e ORDER BY o_orderpriority""".stripMargin)
+
   /** q224: KMV bottom-k overlap report (operators.KmvSketch) — pairwise
     * union / Jaccard / intersection estimates between the three returnflag
     * orderkey sets from 256-minima sketches alone. The true intersections
@@ -1312,6 +1372,7 @@ object Extra {
     "q223_hll_exact_replay" -> hllExactReplay,
     "q224_kmv_overlap" -> kmvOverlap,
     "q226_sketch_persist" -> sketchPersist,
+    "q227_aqp_sum" -> aqpSum,
     "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
