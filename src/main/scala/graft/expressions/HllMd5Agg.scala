@@ -34,7 +34,8 @@ case class HllMd5Agg(child: Expression,
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val k = child.eval(input)
     if (k != null) {
-      val (idx, rho) = HllMd5.registerOf(k.asInstanceOf[UTF8String].toString)
+      val (idx, rho) = HllMd5.registerOfHash(
+        MinHashSigMd5.h60Bytes(k.asInstanceOf[UTF8String].getBytes))
       if (rho > buffer(idx)) buffer(idx) = rho.toByte
     }
     buffer

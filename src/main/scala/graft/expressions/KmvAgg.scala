@@ -44,7 +44,7 @@ case class KmvAgg(child: Expression, k: Int,
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = MinHashSigMd5.h60(v.asInstanceOf[UTF8String].toString)
+      val h = MinHashSigMd5.h60Bytes(v.asInstanceOf[UTF8String].getBytes)
       // admit only when it can be a bottom-k member; TreeSet dedups
       if (buffer.size < k) buffer.add(h)
       else if (h < buffer.last()) {

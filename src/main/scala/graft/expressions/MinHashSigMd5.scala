@@ -109,10 +109,16 @@ object MinHashSigMd5 {
   /** 60-bit md5 hash of a string — the shared scalar used by
     * [[SimHash64Md5]] and tests.
     */
-  def h60(s: String): Long = {
+  def h60(s: String): Long =
+    h60Bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  /** Same hash over raw UTF-8 bytes — the per-row path of the HLL/KMV
+    * aggregates, which read UTF8String bytes without a String round-trip.
+    */
+  def h60Bytes(bytes: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = md.digest(bytes)
     var be = 0L
     var bi = 0
     while (bi < 8) { be = (be << 8) | (d(bi) & 0xffL); bi += 1 }

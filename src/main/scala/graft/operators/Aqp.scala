@@ -20,10 +20,11 @@ import graft.core.OracleArith._
   * z-quantile confidence interval.
   *
   * Everything is reproducible to the bit: sample membership is a pure hash
-  * predicate; n, N, Σv, Σv² aggregate in EXACT decimal (OracleArith) and
-  * convert to double once; the estimate/variance/CI dag is then a fixed
-  * IEEE expression (sqrt is correctly rounded) a SQL oracle replays
-  * exactly. The q227 gate carries the true total and a `ci_hit` flag so
+  * predicate; n, N, Σv, Σv² aggregate in EXACT scale-0 decimal (integer
+  * cents — see the in-method note on why scale-0 is the only decimal→
+  * double conversion both engines round identically) and convert to double
+  * once; the estimate/variance/CI dag is then a fixed IEEE expression
+  * (sqrt is correctly rounded) a SQL oracle replays exactly. The q227 gate carries the true total and a `ci_hit` flag so
   * the frame itself shows the interval doing its job.
   *
   * Scale shape: the sample aggregate reads p% of rows (with a sample TABLE

@@ -67,8 +67,14 @@ object HllMd5 {
     * streaming register state ([[graft.streaming.EventStreams]]) so a
     * stream's registers are bit-identical to the batch sketch's.
     */
-  def registerOf(key: String): (Int, Int) = {
-    val h = graft.expressions.MinHashSigMd5.h60(key)
+  def registerOf(key: String): (Int, Int) =
+    registerOfHash(graft.expressions.MinHashSigMd5.h60(key))
+
+  /** Register decomposition of an already-computed 60-bit hash (the
+    * aggregates hash UTF8String bytes directly to skip a String
+    * round-trip per row).
+    */
+  def registerOfHash(h: Long): (Int, Int) = {
     val rem = h & RemMask
     val rho = if (rem == 0L) RemBits + 1
       else RemBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
