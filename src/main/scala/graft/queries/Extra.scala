@@ -1232,6 +1232,44 @@ object Extra {
          |FROM fin ORDER BY grp""".stripMargin)
   }
 
+  /** q228: the remaining ranked-window surface in one gate — percent_rank,
+    * cume_dist, first_value, nth_value(2) and defaulted lead over the
+    * per-customer order timeline. percent_rank/cume_dist are exact
+    * rational divisions of window counts (identical definitions in both
+    * engines); the value functions pin the default running frame
+    * semantics. Customers with a single order are excluded: both engines
+    * define percent_rank there as 0/0-guarded zero, but pinning the
+    * guarded edge adds nothing the ≥2 case doesn't.
+    */
+  private val windowSuite = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .filter(col("n_orders") >= 2)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """WITH o AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  lead(o_totalprice, 1, -1.0) OVER w AS next_price
+      |FROM o WHERE n_orders >= 2
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
   /** q227: approximate query processing (operators.Aqp) — per-priority
     * order-value totals estimated from a deterministic 5% md5 sample with
     * 95% CLT error bars and finite-population correction, next to the true
@@ -1373,6 +1411,7 @@ object Extra {
     "q224_kmv_overlap" -> kmvOverlap,
     "q226_sketch_persist" -> sketchPersist,
     "q227_aqp_sum" -> aqpSum,
+    "q228_window_suite" -> windowSuite,
     "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
