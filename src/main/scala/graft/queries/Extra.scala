@@ -1270,6 +1270,33 @@ object Extra {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  /** q229: correlated LATERAL join — per-nation top-2 customers by
+    * account balance through a correlated subquery with ORDER BY + LIMIT,
+    * the planner surface (DecorrelateInnerQuery → per-group limit) that
+    * the window/native top-k gates never touch. Tie-broken on the key, so
+    * both engines pick identical rows.
+    */
+  private val lateralTopk = QueryDef(
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_q229_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q229_customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM graft_q229_nation n
+          |JOIN LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM graft_q229_customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+    },
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON TRUE
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+
   /** q227: approximate query processing (operators.Aqp) — per-priority
     * order-value totals estimated from a deterministic 5% md5 sample with
     * 95% CLT error bars and finite-population correction, next to the true
@@ -1412,6 +1439,7 @@ object Extra {
     "q226_sketch_persist" -> sketchPersist,
     "q227_aqp_sum" -> aqpSum,
     "q228_window_suite" -> windowSuite,
+    "q229_lateral_topk" -> lateralTopk,
     "q108_topk_native" -> topkNative,
     "q107_interval_overlap" -> intervalOverlap,
     "q103_mad_outliers" -> madOutliers,
