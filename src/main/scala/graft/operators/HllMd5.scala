@@ -164,6 +164,41 @@ object HllMd5 {
       ColumnBridge.expression(regs)))
   }
 
+  /** Rolling `windowDays`-day distinct count per day (the DAU/WAU shape):
+    * distinct counts are NOT additive over sliding windows — recomputing
+    * each window from raw events costs windowDays x the corpus — but HLL
+    * registers union by MAX, so the rolling union is a RANGE-frame window
+    * max over per-day REGISTER rows: at most m rows per day regardless of
+    * corpus size. A day spine x register-index frame fills the gaps (a
+    * register untouched on day d still carries its in-window max from
+    * earlier days), and the estimate folds exactly like [[estimate]], so
+    * the result for day d is BIT-EQUAL to a direct sketch of days
+    * [d-windowDays+1, d] (HllMd5Spec pins it) and replays in SQL.
+    *
+    * `dayCol` must be integer-valued days (e.g. datediff from an epoch).
+    * Output: (day, m_used, v_zero, hll_estimate), one row per day present
+    * in `df`.
+    */
+  def rollingDistinct(df: DataFrame, keyCol: String, dayCol: String,
+      windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val regs = sketch(df, keyCol, Seq(dayCol))
+    val days = df.select(col(dayCol)).where(col(dayCol).isNotNull).distinct()
+    // spine: every (day, reg_idx) cell — days x m rows, sketch-sized
+    val spark = df.sparkSession
+    val idxs = spark.range(M).select(col("id").cast("int").as("reg_idx"))
+    val spine = days.crossJoin(broadcast(idxs))
+    val w = Window.partitionBy("reg_idx")
+      .orderBy(col(dayCol).cast("long"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val rolled = spine.join(regs, Seq(dayCol, "reg_idx"), "left")
+      .withColumn("rmax", max(col("r")).over(w))
+      .filter(col("rmax").isNotNull)
+      .select(col(dayCol), col("reg_idx"), col("rmax").as("r"))
+    estimate(rolled, Seq(dayCol))
+  }
+
   /** Cardinality estimate per group from a register sketch: columns
     * (groupCols*, m_used, v_zero, hll_estimate). The float fold over
     * present registers runs in reg_idx order (sort_array + sequential

@@ -485,8 +485,69 @@ object Stream {
          |FROM fin ORDER BY event_type""".stripMargin)
   }
 
+  /** q230: rolling 7-day distinct users per day (the WAU metric) through
+    * HllMd5.rollingDistinct — registers per day, rolling union as a
+    * RANGE-frame window max over register rows (at most 1024 per day,
+    * corpus-size-independent), estimate folded exactly like q223's. The
+    * oracle replays the full dag: day spine x range(1024), the same
+    * window, the same ordered fold.
+    */
+  private val rollingDistinct: QueryDef = {
+    import graft.operators.HllMd5
+    QueryDef(
+      (s, dir) =>
+        HllMd5.rollingDistinct(
+          Tables.events(s, dir)
+            .filter(col("user_id").isNotNull)
+            .select(
+              datediff(col("ts").cast("date"),
+                lit("1970-01-01").cast("date")).as("day"),
+              col("user_id").cast("string").as("k")),
+          keyCol = "k", dayCol = "day", windowDays = 7)
+          .orderBy("day"),
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+         |    CAST(user_id AS VARCHAR) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT day, CAST('0x' || substring(md5(k), 1, 15) AS BIGINT) AS h
+         |      FROM e),
+         |reg AS (
+         |  SELECT day, h >> 50 AS reg_idx,
+         |    MAX(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0 THEN 51
+         |        ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1))) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM e),
+         |idxs AS (SELECT CAST(range AS BIGINT) AS reg_idx FROM range(1024)),
+         |spine AS (SELECT d.day, i.reg_idx FROM days d CROSS JOIN idxs i),
+         |rolled AS (
+         |  SELECT s.day, s.reg_idx,
+         |    MAX(r.r) OVER (PARTITION BY s.reg_idx ORDER BY s.day
+         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rmax
+         |  FROM spine s LEFT JOIN reg r
+         |    ON r.day = s.day AND r.reg_idx = s.reg_idx),
+         |est AS (
+         |  SELECT day, COUNT(*) AS m_used,
+         |    list_sum(list(CAST('1.0' AS DOUBLE) /
+         |      CAST(CAST(1 AS BIGINT) << rmax AS DOUBLE) ORDER BY reg_idx))
+         |      AS s_present
+         |  FROM rolled WHERE rmax IS NOT NULL GROUP BY 1),
+         |fin AS (
+         |  SELECT day, m_used, 1024 - m_used AS v_zero,
+         |    CAST('${HllMd5.AlphaMM}' AS DOUBLE) /
+         |      (s_present + CAST(1024 - m_used AS DOUBLE)) AS raw_est
+         |  FROM est)
+         |SELECT day, m_used, v_zero,
+         |  CASE WHEN raw_est <= CAST('${HllMd5.SmallRangeCutoff}' AS DOUBLE)
+         |        AND v_zero > 0
+         |       THEN CAST('1024.0' AS DOUBLE) *
+         |         ln(CAST('1024.0' AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |       ELSE raw_est END AS hll_estimate
+         |FROM fin ORDER BY day""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q225_stream_distinct" -> streamDistinct,
+    "q230_rolling_distinct" -> rollingDistinct,
     "q197_sft_masks" -> sftMasks,
     "q195_conversations" -> conversations,
     "q192_freshness" -> freshness,

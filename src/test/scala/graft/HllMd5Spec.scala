@@ -126,6 +126,30 @@ class HllMd5Spec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("rolling 7-day estimate is BIT-EQUAL to a direct sketch of the window") {
+    // users churn daily with overlap, days have a gap (11 missing) — the
+    // range frame must skip absent days by VALUE, not by row position
+    val rows = for {
+      day <- (1 to 20).filterNot(_ == 11)
+      u <- day to (day + 30)
+    } yield (day, s"user_$u")
+    val df = rows.toDF("day", "k")
+    val rolling = HllMd5.rollingDistinct(df, "k", "day", windowDays = 7)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("m_used"), r.getAs[Long]("v_zero"),
+          r.getAs[Double]("hll_estimate"))).toMap
+    assert(rolling.keySet === rows.map(_._1).toSet)
+    for (d <- Seq(1, 7, 12, 17, 20)) {
+      val direct = HllMd5.estimate(
+        HllMd5.sketch(df.filter(col("day") >= d - 6 && col("day") <= d)
+          .withColumn("g", lit(1)), "k", Seq("g")), Seq("g"))
+        .collect().map(r =>
+          (r.getAs[Long]("m_used"), r.getAs[Long]("v_zero"),
+            r.getAs[Double]("hll_estimate"))).head
+      assert(rolling(d) === direct, s"day $d")
+    }
+  }
+
   test("the SQL surface exposes the aggregate trio") {
     graft.GraftExtensions.register(spark)
     (1 to 5000).map(i => ("g", s"k$i")).toDF("g", "k")
