@@ -137,7 +137,10 @@ object Bench {
         s""""load_avg_at_start":$loadAtStart,"load_avg_at_end":$loadAtEnd,""" +
         s""""cpu_steal_pct":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))},"cpus":"$cpus",""" +
         s""""stall_retried":[${suspects.toSeq.sorted.map(jq).mkString(",")}],""" +
-        s""""passes":"min of 2 (3 for ${writeLifecycle.size} write-lifecycle gates)"}"""
+        // count only write-lifecycle gates actually in this run's selection
+        // — under SPARK_GRAFT_BENCH_ONLY the full-set size would misstate
+        // the methodology of the file it annotates
+        s""""passes":"min of 2 (3 for ${selected.count(q => writeLifecycle(q._1))} write-lifecycle gates)"}"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$envJson}"""
     // stdout (raw via build.sbt's StdoutOutput strategy) + a file copy, so

@@ -64,7 +64,11 @@ object Aqp {
     val nS = col("n_sample").cast("double")
     val meanC = col("s1c") / nS
     val estC = nT * meanC
-    val varianceC = (col("s2c") - nS * meanC * meanC) / (nS - lit(1.0))
+    // clamp at 0: the E[x²]−n·mean² form can cancel to a tiny NEGATIVE
+    // double for (near-)constant groups, and sqrt(neg) is NaN in Spark but
+    // an error in DuckDB — the clamp keeps both engines defined and equal
+    val varianceC =
+      greatest((col("s2c") - nS * meanC * meanC) / (nS - lit(1.0)), lit(0.0))
     val seC = nT * sqrt(varianceC / nS * (lit(1.0) - nS / nT))
     // left join: a group the sample misses entirely still appears, with a
     // NULL estimate — absent rows must read as "no answer", not no group

@@ -21,7 +21,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Mechanics: for each join side with NO explicit strategy hint, if the
   * subtree reaches a Generate without passing a row-count-resetting barrier
   * (Aggregate/Deduplicate — their output is group-sized; GlobalLimit/
-  * LocalLimit/Sample — bounded or proportional), tag the side with
+  * LocalLimit — bounded), tag the side with
   * NO_BROADCAST_HASH (the same hint AQE's DynamicJoinSelection uses), which
   * JoinSelection honors both statically and at AQE re-planning. An explicit
   * `.hint("broadcast")`/`broadcast(df)` on that side still wins — stated
@@ -36,12 +36,24 @@ object NoBroadcastOverExpansion extends Rule[LogicalPlan] {
 
   /** True when `p`'s output can be expansion-sized: a Generate is reachable
     * without crossing a row-count barrier.
+    *
+    * NOT barriers: Sample — a fraction-based sample of an expansion is
+    * still proportional to it (Sample never bounds rows) and its size
+    * estimate inherits the same pre-explode underestimate, so sampling
+    * must not lift the restriction. Join — a join of an expansion side
+    * multiplies the expansion (a band join's candidate-pair frame), it
+    * never bounds it, so expansion-reachability propagates through the
+    * join into any LATER join that consumes the pair frame.
     */
   private def expandsUnaggregated(p: LogicalPlan): Boolean = p match {
     case _: Generate => true
     // barriers: output size is decoupled from the expansion's
-    case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit |
-         _: Sample => false
+    case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit =>
+      false
+    // a pair frame is expansion-sized if EITHER input is — stated
+    // explicitly (it also falls out of the default recursion) so a future
+    // barrier added above this line cannot silently swallow the join case
+    case j: Join => expandsUnaggregated(j.left) || expandsUnaggregated(j.right)
     case other => other.children.exists(expandsUnaggregated)
   }
 

@@ -1338,7 +1338,9 @@ object Extra {
        |  FROM f LEFT JOIN sm USING (o_orderpriority)),
        |e AS (
        |  SELECT *, nt * meanc AS estc,
-       |    nt * sqrt((s2c - ns * meanc * meanc) / (ns - CAST('1.0' AS DOUBLE))
+       |    nt * sqrt(greatest(
+       |        (s2c - ns * meanc * meanc) / (ns - CAST('1.0' AS DOUBLE)),
+       |        CAST('0.0' AS DOUBLE))
        |      / ns * (CAST('1.0' AS DOUBLE) - ns / nt)) AS sec
        |  FROM c)
        |SELECT o_orderpriority, n_total, n_sample, total_true,

@@ -84,7 +84,18 @@ object Storage {
       // lifecycle; with reuse, bench's min-of-passes times the exchange-free
       // JOIN (the operator under test — PlanShapeSpec pins its plan shape),
       // while the first pass still exercises the writer
-      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+      // reuse only a COMPLETED layout: tableExists alone would trust a
+      // table registered by a run that crashed mid-saveAsTable; like q84,
+      // require the _SUCCESS completed-write marker under each location
+      def complete(t: String): Boolean = s.catalog.tableExists(t) && {
+        val loc = java.net.URI.create(
+          s.sessionState.catalog
+            .getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+            .location.toString).getPath
+        new java.io.File(loc, "_SUCCESS").exists()
+      }
+      if (!complete(ot) || !complete(lt)) {
         // pre-partition on the bucket hash so each task owns exactly one
         // bucket and writes ONE file — unaligned input partitions make every
         // task write a file per bucket (numPartitions × buckets small files,

@@ -58,4 +58,31 @@ class NoBroadcastOverExpansionSpec extends AnyFunSuite {
     val p = agg.join(corpus, "v").queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("a Sample over the expansion does NOT lift the restriction") {
+    // a fraction sample of an exploded frame is still proportional to the
+    // expansion and inherits the same stale size estimate — sampling must
+    // not re-enable the broadcast the rule exists to prevent
+    val sampled = exploded.sample(withReplacement = false, 0.5, seed = 7)
+    val p = sampled.join(corpus, "v").queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("a pair-frame join (band-join candidates) stays demoted downstream") {
+    // the candidate-pair frame of a band join MULTIPLIES the expansion; a
+    // later join consuming it must not static-broadcast it either
+    val left = exploded.select(col("v"), col("id").as("ida"))
+    val right = exploded.select(col("v"), col("id").as("idb"))
+    val pairs = left.join(right, "v").filter(col("ida") < col("idb"))
+    val downstream = pairs.join(corpus, "v")
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, NO_BROADCAST_HASH}
+    val rewritten = NoBroadcastOverExpansion(downstream.queryExecution.analyzed)
+    val outerHints = rewritten.collect { case j: Join => j.hint }
+    assert(outerHints.forall(h =>
+      h.leftHint.exists(_.strategy.contains(NO_BROADCAST_HASH)) ||
+        h.rightHint.exists(_.strategy.contains(NO_BROADCAST_HASH))),
+      s"pair frame not demoted: $outerHints")
+    val p = downstream.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
