@@ -518,14 +518,20 @@ object Extra {
        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""".stripMargin)
 
   /** Sketch-based statistics at 100 TB scale: approximate percentiles +
-    * HLL distinct per group (rows-only — sketch internals are
-    * engine-specific; exact twins q28/q14 gate the semantics). Percentiles
-    * are projected to scalar p50/p95 columns: the driver's rows-only check
-    * sorts the frame and cannot handle array-typed cells.
+    * HLL distinct per group. Sketch internals are engine-specific, but the
+    * accuracy claims replay: the run's estimates become oracle literals
+    * ([[graft.core.DynamicOracle]]) and DuckDB checks each — n must equal
+    * its exact count, the HLL estimate must sit within 3x rsd of exact
+    * COUNT(DISTINCT), and each percentile estimate must fall between the
+    * exact rank-neighborhood quantiles (±2% rank, far wider than the
+    * 1/accuracy=0.1% guarantee). Percentiles are projected to scalar
+    * p50/p95 columns: the compare sorts the frame and cannot handle
+    * array-typed cells.
     */
   private val approxStats = QueryDef(
-    (s, dir) =>
-      Tables.orders(s, dir)
+    (s, dir) => {
+      import graft.core.DynamicOracle.dbl
+      val out = Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(
           expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("approx_p"),
@@ -537,7 +543,33 @@ object Extra {
           col("approx_p").getItem(1).as("p95"),
           col("approx_customers"),
           col("n"))
-        .orderBy("o_orderstatus"),
+        .orderBy("o_orderstatus")
+      val values = out.collect().map { r =>
+        s"('${r.getString(0)}', ${dbl(r.getDouble(1))}, ${dbl(r.getDouble(2))}, " +
+          s"CAST(${r.getLong(3)} AS BIGINT), CAST(${r.getLong(4)} AS BIGINT))"
+      }.mkString(", ")
+      graft.core.DynamicOracle.put("q36_approx_stats",
+        s"""WITH est(o_orderstatus, p50, p95, approx_customers, n) AS
+           |  (VALUES $values),
+           |x AS (
+           |  SELECT o_orderstatus,
+           |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS ec,
+           |    CAST(COUNT(*) AS BIGINT) AS en,
+           |    quantile_disc(o_totalprice, 0.48) AS p50_lo,
+           |    quantile_disc(o_totalprice, 0.52) AS p50_hi,
+           |    quantile_disc(o_totalprice, 0.93) AS p95_lo,
+           |    quantile_disc(o_totalprice, 0.97) AS p95_hi
+           |  FROM orders GROUP BY 1)
+           |SELECT e.o_orderstatus, e.p50, e.p95, e.approx_customers, e.n
+           |FROM est e JOIN x USING (o_orderstatus)
+           |WHERE e.n = x.en
+           |  AND abs(CAST(e.approx_customers AS DOUBLE) - ec) / ec
+           |        <= CAST('0.15' AS DOUBLE)
+           |  AND e.p50 BETWEEN x.p50_lo AND x.p50_hi
+           |  AND e.p95 BETWEEN x.p95_lo AND x.p95_hi
+           |ORDER BY e.o_orderstatus""".stripMargin)
+      out
+    },
     None)
 
   /** RANGE-frame window: per customer, total order value within the
@@ -941,9 +973,13 @@ object Extra {
     * `hll_union_agg` and estimated — the mergeable-sketch pattern that lets
     * 1000 executors count distincts with one tiny reduce instead of a
     * corpus shuffle, and lets sketches be persisted and unioned across
-    * days. Estimates aren't SQL-reproducible in DuckDB (different sketch
-    * impl) → rows-only gate; HllMergeSpec pins the accuracy and the
-    * shard-merge = unsharded-sketch invariant.
+    * days. The sketch registers aren't SQL-reproducible in DuckDB
+    * (different sketch impl), but the merged estimate's ACCURACY is: it
+    * rides into the oracle as a literal ([[graft.core.DynamicOracle]]) and
+    * DuckDB checks it against its own exact per-source COUNT(DISTINCT
+    * text) within 3x the lgK=12 rse (1.04/sqrt(4096) ≈ 1.6%);
+    * HllMergeSpec additionally pins the shard-merge = unsharded-sketch
+    * invariant.
     */
   private val hllShardMerge = QueryDef(
     (s, dir) => {
@@ -952,10 +988,24 @@ object Extra {
           graft.operators.Sampling.hashBucket(col("doc_id"), 8))
         .groupBy("source", "shard")
         .agg(hll_sketch_agg(col("text")).as("sk"))
-      sketches.groupBy("source")
+      val out = sketches.groupBy("source")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_distinct_docs"))
         .orderBy("source")
+      val values = out.collect().map { r =>
+        s"('${r.getString(0)}', CAST(${r.getLong(1)} AS BIGINT))"
+      }.mkString(", ")
+      graft.core.DynamicOracle.put("q101_hll_shard_merge",
+        s"""WITH est(source, approx_distinct_docs) AS (VALUES $values),
+           |x AS (
+           |  SELECT source, CAST(COUNT(DISTINCT text) AS DOUBLE) AS ed
+           |  FROM documents GROUP BY 1)
+           |SELECT e.source, e.approx_distinct_docs
+           |FROM est e JOIN x USING (source)
+           |WHERE abs(CAST(e.approx_distinct_docs AS DOUBLE) - ed) / ed
+           |        <= CAST('0.05' AS DOUBLE)
+           |ORDER BY e.source""".stripMargin)
+      out
     },
     None)
 

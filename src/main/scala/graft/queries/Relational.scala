@@ -388,17 +388,43 @@ object Relational {
     },
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
 
-  /** Approximate distinct (SURVEY §2.4 A10 at scale): HLL sketch — no DuckDB
-    * oracle (different sketch impls), driver does the rows-only check.
+  /** Approximate distinct (SURVEY §2.4 A10 at scale): HLL++ sketch. The
+    * sketch internals aren't SQL-reproducible, but the ACCURACY CLAIM is:
+    * the run-computed estimates ride into the oracle as literals
+    * ([[graft.core.DynamicOracle]]) and DuckDB checks each against its own
+    * exact COUNT(DISTINCT) — a group whose estimate strays past the bound
+    * drops out of the oracle frame and the row-count/hash check fails. The
+    * bound is 3x the default 5% rsd (HLL error is 1-sigma at rsd).
     */
   private val aggApprox = QueryDef(
-    (s, dir) =>
-      Tables.lineitem(s, dir)
+    (s, dir) => {
+      val out = Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag"),
+        .orderBy("l_returnflag")
+      val values = out.collect().map { r =>
+        s"('${r.getString(0)}', CAST(${r.getLong(1)} AS BIGINT), " +
+          s"CAST(${r.getLong(2)} AS BIGINT))"
+      }.mkString(", ")
+      graft.core.DynamicOracle.put("q18_approx_distinct",
+        s"""WITH est(l_returnflag, approx_orders, approx_parts) AS
+           |  (VALUES $values),
+           |x AS (
+           |  SELECT l_returnflag,
+           |    CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS eo,
+           |    CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS ep
+           |  FROM lineitem GROUP BY 1)
+           |SELECT e.l_returnflag, e.approx_orders, e.approx_parts
+           |FROM est e JOIN x USING (l_returnflag)
+           |WHERE abs(CAST(e.approx_orders AS DOUBLE) - eo) / eo
+           |        <= CAST('0.15' AS DOUBLE)
+           |  AND abs(CAST(e.approx_parts AS DOUBLE) - ep) / ep
+           |        <= CAST('0.15' AS DOUBLE)
+           |ORDER BY e.l_returnflag""".stripMargin)
+      out
+    },
     None)
 
   /** Structured JSON parsing: from_json into a typed struct (vs q15's
