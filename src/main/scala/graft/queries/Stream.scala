@@ -545,7 +545,101 @@ object Stream {
          |FROM fin ORDER BY day""".stripMargin)
   }
 
+  /** q231: REAL codec decode through the multimodal seam — synthetic but
+    * genuine WAV/PCM (RIFF chunk stream) and binary PPM (P6) containers
+    * are built per nation key, then decoded per partition by
+    * [[graft.multimodal.Codecs]] parsing the actual byte layouts (RIFF
+    * fourcc walk, LE fmt/data fields, netpbm ASCII header). Every output
+    * number — layout fields, exact PCM moments, per-channel pixel sums —
+    * comes from the PARSED bytes; the oracle replays the synthesis closed
+    * form in DuckDB, so any header-offset or endianness bug in the decoder
+    * shifts a sum and fails the hash. Stats are exact integer moments
+    * (RMS/means derive by one division) — no float fold over samples.
+    */
+  private val mediaCodecs = QueryDef(
+    (s, dir) => {
+      import graft.multimodal.{Codecs, MediaRecord, MediaStats}
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int")).as[Int]
+      val wav = keys.map { k =>
+        val n = 400 + (k * 37) % 201
+        val samples =
+          Array.tabulate(n)(i => (((k * 31 + i * 17) % 2003) - 1001).toShort)
+        MediaRecord(k.toLong, "audio", Codecs.wavBytes(8000, samples))
+      }
+      val img = keys.map { k =>
+        val w = 12 + k % 7; val h = 10 + k % 5
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = 3 * (y * w + x)
+            rgb(p) = ((k * 7 + x * 3 + y * 5) % 256).toByte
+            rgb(p + 1) = ((k * 11 + x * 5 + y * 7) % 256).toByte
+            rgb(p + 2) = ((k * 13 + x * 7 + y * 3) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        MediaRecord(1000L + k, "image", Codecs.ppmBytes(w, h, rgb))
+      }
+      // per-partition decode of real container bytes — the decodeAll seam
+      // shape, with the full-stats row instead of DecodedMedia
+      wav.union(img).mapPartitions(_.map { r =>
+        if (r.kind == "audio") {
+          val wv = Codecs.decodeWav(r.content)
+          MediaStats(r.media_id, "wav", None, None,
+            Some(wv.channels), Some(wv.sampleRateHz), Some(wv.bitsPerSample),
+            Some(wv.nSamples), Some(wv.durationMs),
+            Some(wv.sumAmp), Some(wv.sumSq), None, None, None)
+        } else {
+          val pp = Codecs.decodePpm(r.content)
+          MediaStats(r.media_id, "ppm", Some(pp.width), Some(pp.height),
+            None, None, None, None, None, None, None,
+            Some(pp.sumR), Some(pp.sumG), Some(pp.sumB))
+        }
+      }).toDF().orderBy("media_id")
+    },
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+      |wav AS (SELECT k.k, 400 + (k.k*37) % 201 AS n FROM k),
+      |wavagg AS (
+      |  SELECT w.k, w.n,
+      |    CAST(SUM(((w.k*31 + s.i*17) % 2003) - 1001) AS BIGINT) AS sum_amp,
+      |    CAST(SUM((((w.k*31 + s.i*17) % 2003) - 1001)
+      |           * (((w.k*31 + s.i*17) % 2003) - 1001)) AS BIGINT) AS sum_sq
+      |  FROM wav w, LATERAL (SELECT unnest(range(0, w.n)) AS i) s
+      |  GROUP BY 1, 2),
+      |img AS (SELECT k.k, 12 + k.k % 7 AS w, 10 + k.k % 5 AS h FROM k),
+      |imgagg AS (
+      |  SELECT i.k, i.w, i.h,
+      |    CAST(SUM((i.k*7 + xs.x*3 + ys.y*5) % 256) AS BIGINT) AS sum_r,
+      |    CAST(SUM((i.k*11 + xs.x*5 + ys.y*7) % 256) AS BIGINT) AS sum_g,
+      |    CAST(SUM((i.k*13 + xs.x*7 + ys.y*3) % 256) AS BIGINT) AS sum_b
+      |  FROM img i,
+      |    LATERAL (SELECT unnest(range(0, i.w)) AS x) xs,
+      |    LATERAL (SELECT unnest(range(0, i.h)) AS y) ys
+      |  GROUP BY 1, 2, 3)
+      |SELECT CAST(k AS BIGINT) AS media_id, 'wav' AS fmt,
+      |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS channels, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 AS DOUBLE) / CAST('8000.0' AS DOUBLE) AS duration_ms,
+      |  sum_amp, sum_sq,
+      |  CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+      |  CAST(NULL AS BIGINT) AS sum_b
+      |FROM wavagg
+      |UNION ALL
+      |SELECT CAST(1000 + k AS BIGINT), 'ppm', CAST(w AS INTEGER),
+      |  CAST(h AS INTEGER), NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      |  sum_r, sum_g, sum_b
+      |FROM imgagg
+      |ORDER BY media_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q231_media_codecs" -> mediaCodecs,
     "q225_stream_distinct" -> streamDistinct,
     "q230_rolling_distinct" -> rollingDistinct,
     "q197_sft_masks" -> sftMasks,
