@@ -638,7 +638,103 @@ object Stream {
       |FROM imgagg
       |ORDER BY media_id""".stripMargin)
 
+  /** q232: perceptual image near-dup (PerceptualHash) — the visual
+    * analogue of the SimHash text path (q43). Deterministic synthetic
+    * grayscale images (25 bases + 25 copies perturbed by +3 on ~1/7 of
+    * pixels) ride as REAL PGM containers, are decoded by the real codec
+    * (Codecs.decodePgm), dHashed (9x8 gradient grid → 4 x 16-bit bands),
+    * banded into LSH buckets, and candidate pairs are Hamming-verified
+    * ≤ 10. The oracle replays the ENTIRE chain in DuckDB from the pixel
+    * closed form — cell sums, gradient bits, band packing, bucket join,
+    * bit_count Hamming — so the gate checks the hash computation itself,
+    * not just literals. Finds exactly the 25 planted near-dup pairs
+    * (Hamming ≤ 2); closest cross-image distance is 21.
+    */
+  private val perceptualDedup = QueryDef(
+    (s, dir) => {
+      import graft.multimodal.{Codecs, PerceptualHash}
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int")).as[Int]
+      val W = 36; val H = 32
+      val media = keys.flatMap { k =>
+        def img(pert: Int): Array[Byte] = {
+          val gray = new Array[Byte](W * H)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              var v = 16 + ((x * y + k * (x + 2 * y) + k * k * 7) * 37) % 224
+              if (pert == 1 && (x + y + k) % 7 == 0) v += 3
+              gray(y * W + x) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.pgmBytes(W, H, gray)
+        }
+        Seq((k.toLong, img(0)), (2000L + k, img(1)))
+      }
+      val hashes = media.map { case (id, bytes) =>
+        val (w, h, px) = Codecs.decodePgm(bytes)
+        val b = PerceptualHash.dHashBands(px, w, h)
+        (id, b(0), b(1), b(2), b(3))
+      }.toDF("id", "b0", "b1", "b2", "b3")
+      PerceptualHash.nearDupPairs(hashes, "id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    },
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+      |imgs AS (
+      |  SELECT CAST(k AS BIGINT) AS id, k AS seed, 0 AS pert FROM k
+      |  UNION ALL
+      |  SELECT CAST(2000 + k AS BIGINT), k, 1 FROM k),
+      |px AS (
+      |  SELECT i.id, xs.x, ys.y,
+      |    16 + ((xs.x*ys.y + i.seed*(xs.x + 2*ys.y) + i.seed*i.seed*7) * 37)
+      |      % 224
+      |      + CASE WHEN i.pert = 1 AND (xs.x + ys.y + i.seed) % 7 = 0
+      |             THEN 3 ELSE 0 END AS v
+      |  FROM imgs i,
+      |    LATERAL (SELECT unnest(range(0, 36)) AS x) xs,
+      |    LATERAL (SELECT unnest(range(0, 32)) AS y) ys),
+      |cells AS (
+      |  SELECT id, x // 4 AS cx, y // 4 AS cy, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS bitidx,
+      |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.id = b.id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |bands AS (
+      |  SELECT id, bitidx // 16 AS band_idx,
+      |    CAST(SUM(bit << (bitidx % 16)) AS INTEGER) AS band_val
+      |  FROM bits GROUP BY 1, 2),
+      |hashes AS (
+      |  SELECT id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS INTEGER) AS hamming
+      |FROM cand c JOIN hashes ha ON ha.id = c.id_a
+      |            JOIN hashes hb ON hb.id = c.id_b
+      |WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
+      |ORDER BY id_a, id_b""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q232_perceptual_dedup" -> perceptualDedup,
     "q231_media_codecs" -> mediaCodecs,
     "q225_stream_distinct" -> streamDistinct,
     "q230_rolling_distinct" -> rollingDistinct,
