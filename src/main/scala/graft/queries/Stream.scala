@@ -733,7 +733,47 @@ object Stream {
       |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q233: streaming KMV bottom-k distinct per event type — batch twin of
+    * EventStreams.distinctCountsKmv, whose ≤8 KB-per-group sorted-hash
+    * state EventStreamsSpec pins bit-equal to this across a checkpoint
+    * restart. Where q225's HLL state only estimates cardinality, the KMV
+    * state stays a valid sketch for union/Jaccard math (q224) — streamed
+    * and batch sketches interoperate. The oracle replays the k-smallest
+    * selection and the (k-1)/tau estimate exactly as q224 does.
+    */
+  private val streamKmv: QueryDef = {
+    import graft.operators.KmvSketch
+    // k = 64 < the ~150 distinct users/type at the gate's sf0.01, so the
+    // driver exercises the saturated (k-1)/tau estimator, not the exact
+    // small-set branch
+    val k = 64
+    val kC = (k - 1).toDouble * KmvSketch.HashSpace
+    QueryDef(
+      (s, dir) =>
+        EventStreams.distinctCountsKmvBatch(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "event_type", "user_id", k)
+          .orderBy("event_type"),
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |    FROM dh)
+         |  WHERE rk <= $k)
+         |SELECT event_type, COUNT(*) AS n_mins,
+         |  CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE CAST('$kC' AS DOUBLE) / CAST(MAX(h) AS DOUBLE)
+         |       END AS kmv_estimate
+         |FROM sk GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q233_stream_kmv" -> streamKmv,
     "q232_perceptual_dedup" -> perceptualDedup,
     "q231_media_codecs" -> mediaCodecs,
     "q225_stream_distinct" -> streamDistinct,

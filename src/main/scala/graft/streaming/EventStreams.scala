@@ -302,6 +302,67 @@ object EventStreams {
     HllMd5.estimate(HllMd5.sketch(keyed, "k", Seq(groupCol)), Seq(groupCol))
   }
 
+  /** Streaming bottom-k (KMV) distinct sketch per group — the set-operation
+    * counterpart of [[distinctCountsHll]]: state is the k smallest DISTINCT
+    * 60-bit md5 hashes seen for the group (a sorted long array, ≤ 8k bytes
+    * forever — checkpoint-friendly exactly like the HLL registers), folded
+    * per micro-batch with the same bounded-insert the batch aggregate
+    * ([[graft.expressions.KmvAgg]]) uses. Emits the refreshed
+    * (group, n_mins, kmv_estimate) each batch; because hash family, k-th
+    * minimum selection, and the (k-1)/tau estimate dag are identical to
+    * [[graft.operators.KmvSketch.estimate]], the final row per group
+    * equals the batch read TO THE BIT (EventStreamsSpec pins this across
+    * a checkpoint restart). Unlike HLL registers, the recovered state also
+    * remains a valid sketch for UNION/JACCARD math against any other
+    * sketch — streamed sketches and batch sketches interoperate.
+    */
+  def distinctCountsKmv(events: DataFrame, groupCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator reads the k-th minimum), got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kC = (k - 1).toDouble * graft.operators.KmvSketch.HashSpace
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.foreach(set.add))
+          rows.foreach { case (_, key) =>
+            val h = graft.expressions.MinHashSigMd5.h60(key)
+            // bounded insert: skip hashes past the current k-th minimum
+            if (set.size < k) set.add(h)
+            else if (h < set.last && set.add(h)) set.remove(set.last)
+          }
+          val arr = set.toArray // ascending
+          state.update(arr)
+          val nMins = arr.length
+          val est =
+            if (nMins < k) nMins.toDouble else kC / arr.last.toDouble
+          (g, nMins.toLong, est)
+      }
+      .toDF(groupCol, "n_mins", "kmv_estimate")
+  }
+
+  /** Batch twin of [[distinctCountsKmv]] — the native one-pass aggregate
+    * sketch + estimate over the same columns, bit-equal to the stream's
+    * final state and SQL-replayable (the q233 gate's oracle).
+    */
+  def distinctCountsKmvBatch(events: DataFrame, groupCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    import graft.operators.KmvSketch
+    val keyed = events
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(keyCol).cast("string").as("k"))
+    KmvSketch.estimate(
+      KmvSketch.sketchAgg(keyed, "k", groupCol, k), groupCol, k)
+  }
+
   /** Watermark-lateness audit over a RECORDED stream: replay the arrival
     * order and flag every event whose event time trails the running
     * maximum seen before it by more than `allowedLatenessUs` — exactly the

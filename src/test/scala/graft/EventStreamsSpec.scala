@@ -403,4 +403,62 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(emitted.subsetOf(twinPrefix ++ twinFull),
       s"spurious emissions: ${emitted -- twinPrefix -- twinFull}")
   }
+
+  test("streaming KMV bottom-k equals the batch sketch TO THE BIT across restarts") {
+    // same discipline as the HLL test: two time-split micro-batches with a
+    // stop+restart on the checkpoint between them; every final per-group
+    // emission must equal the batch twin's doubles exactly
+    val k = 8 // < the 15 distinct users per type at sf0.001 → saturated branch
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ckpt")
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getTimestamp(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    stage(ev.filter(col("ts") <= cut), "0.parquet")
+    def stream() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val emittedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+    def run(): Unit = {
+      val q = EventStreams.distinctCountsKmv(stream(), "event_type", "user_id", k)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emittedBuf.add(
+            (r.getString(0), r.getLong(1), r.getDouble(2))))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    stage(ev.filter(col("ts") > cut), "1.parquet")
+    run() // restart on the same checkpoint; sorted-hash state recovers
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+      df.select(col("event_type"), col("n_mins"), col("kmv_estimate"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val emitted = {
+      import scala.jdk.CollectionConverters._
+      emittedBuf.asScala.toSet
+    }
+    val twinPrefix = rowSet(EventStreams.distinctCountsKmvBatch(
+      ev.filter(col("ts") <= cut).filter(col("user_id").isNotNull),
+      "event_type", "user_id", k))
+    val twinFull = rowSet(EventStreams.distinctCountsKmvBatch(
+      ev.filter(col("user_id").isNotNull), "event_type", "user_id", k))
+    assert(twinFull.nonEmpty)
+    assert(twinFull.exists(_._2 == k), "test should exercise the saturated (k-th minimum) branch")
+    assert(twinFull.subsetOf(emitted),
+      s"missing final states: ${twinFull -- emitted}")
+    assert(emitted.subsetOf(twinPrefix ++ twinFull),
+      s"spurious emissions: ${emitted -- twinPrefix -- twinFull}")
+  }
 }
