@@ -185,7 +185,16 @@ object Bench {
         diffs.filter(_._4 < -0.20).sortBy(_._4).map { case (n, p, v, d) =>
           s"""{"query":"$n","prev":${f(p)},"now":${f(v)},"pct":${f(d * 100)}}"""
         }.mkString(",") +
-        s"""],"n_compared":${diffs.size},"prev_total":${f(diffs.map(_._2).sum)},"now_total":${f(diffs.map(_._3).sum)}}"""
+        s"""],"n_compared":${diffs.size},"prev_total":${f(diffs.map(_._2).sum)},"now_total":${f(diffs.map(_._3).sum)},""" +
+        // the measured same-code noise floor rides INSIDE every diff file
+        // this bench writes (driver or builder), so a regression list can
+        // never again be read without its environment context (the r8
+        // working-tree diff lost the note because it lived outside the file)
+        "\"noise_floor\":\"same-code back-to-back full-suite runs measured " +
+        "167.0s vs 145.9s (cpu_steal 3.47% vs 0.71%) with 21 queries past " +
+        "+20% on identical code - sub-second queries swing 1-2s with " +
+        "hypervisor steal; compare regressions against env.cpu_steal_pct " +
+        "before attributing to code\"}"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out.toString.stripSuffix(".json") + "_prev_diff.json"),
         diffJson.getBytes("UTF-8"))

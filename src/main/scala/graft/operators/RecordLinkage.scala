@@ -68,4 +68,46 @@ object RecordLinkage {
         .when(col("weight") <= lower, "non_match")
         .otherwise("possible"))
   }
+
+  /** Multi-rule blocking (the Splink "blocking rules" shape): project the
+    * comparison attributes once, self-join under EACH rule (a conjunction
+    * of attr equalities — an equi-join, so every pass is hash-partitioned
+    * on its own block key, never a cartesian), keep id_a < id_b, and
+    * union-DISTINCT the passes so a pair proposed by several rules scores
+    * once. `attrs` maps attr name → source expression; each lands on the
+    * pair frame as `<name>_a` / `<name>_b`, which is what [[FieldSpec]]
+    * agreement columns reference.
+    *
+    * Scale shape: cost = Σ per-rule block volumes + one distinct shuffle
+    * on the candidate keys — the candidate-pair volume IS the pipeline's
+    * cost driver, which is exactly what the composed probe (q234 rows in
+    * SCALING.md) measures rather than assumes.
+    */
+  def blockedPairsUnion(df: DataFrame, idCol: String,
+      attrs: Seq[(String, Column)],
+      blockingRules: Seq[Seq[String]]): DataFrame = {
+    require(blockingRules.nonEmpty, "at least one blocking rule required")
+    val names = attrs.map(_._1)
+    blockingRules.foreach(r => r.foreach(n =>
+      require(names.contains(n), s"blocking rule references unknown attr $n")))
+    val base = df.select(
+      col(idCol).as("id") +: attrs.map { case (n, c) => c.as(n) }: _*)
+    val a = base.toDF("id_a" +: names.map(_ + "_a"): _*)
+    val b = base.toDF("id_b" +: names.map(_ + "_b"): _*)
+    blockingRules.map { rule =>
+      a.join(b, rule.map(n => col(s"${n}_a") === col(s"${n}_b")).reduce(_ && _))
+        .filter(col("id_a") < col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** The composed Fellegi–Sunter pipeline as ONE declarative plan:
+    * multi-rule blocking → per-field scoring → three-way decision. No
+    * stage materializes; Catalyst sees blocking joins, the literal-weight
+    * projection, and the threshold CASE as a single dag.
+    */
+  def pipeline(df: DataFrame, idCol: String, attrs: Seq[(String, Column)],
+      blockingRules: Seq[Seq[String]], fields: Seq[FieldSpec],
+      lower: Double, upper: Double): DataFrame =
+    classify(blockedPairsUnion(df, idCol, attrs, blockingRules),
+      fields, lower, upper)
 }

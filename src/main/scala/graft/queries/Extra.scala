@@ -925,6 +925,72 @@ object Extra {
          |FROM w GROUP BY 1 ORDER BY decision""".stripMargin)
   }
 
+  /** q234: the COMPOSED Fellegi–Sunter pipeline as one plan — multi-rule
+    * blocking (Splink-shaped union of equi-join passes: (nation, segment)
+    * and (balance band, name suffix)), per-field literal-weight scoring,
+    * three-way decision, summary — where q159 scores a single pre-blocked
+    * frame. No stage materializes, so the probe rows for this gate measure
+    * the candidate-pair volume (the pipeline's true cost driver) end to
+    * end. Weights are driver-computed log2 odds inlined as quoted-cast
+    * literals; the oracle replays blocking UNION, fold order, and
+    * thresholds exactly.
+    */
+  private val linkagePipeline: QueryDef = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.FieldSpec
+    def fields = Seq(
+      FieldSpec("seg", col("seg_a") === col("seg_b"), 0.9, 0.2),
+      FieldSpec("bal", abs(col("bal_a") - col("bal_b")) < 500.0, 0.8, 0.3),
+      FieldSpec("sfx", col("sx_a") === col("sx_b"), 0.7, 0.05),
+      FieldSpec("p2", col("p2_a") === col("p2_b"), 0.85, 0.1))
+    def sqlCase(agreeExpr: String, f: FieldSpec): String =
+      s"(CASE WHEN $agreeExpr THEN CAST('${f.agreeWeight}' AS DOUBLE) " +
+        s"ELSE CAST('${f.disagreeWeight}' AS DOUBLE) END)"
+    val Seq(fSeg, fBal, fSfx, fP2) = fields
+    QueryDef(
+      (s, dir) =>
+        RecordLinkage.pipeline(
+          Tables.customer(s, dir), "c_custkey",
+          attrs = Seq(
+            "nk" -> col("c_nationkey"),
+            "seg" -> col("c_mktsegment"),
+            "bal" -> col("c_acctbal"),
+            "sx" -> substring(col("c_name"), -1, 1),
+            "p2" -> substring(col("c_name"), -2, 1),
+            "band" -> floor(col("c_acctbal") / lit(100.0))),
+          blockingRules = Seq(Seq("nk", "seg"), Seq("band", "sx")),
+          fields, lower = -2.0, upper = 3.0)
+          .groupBy("decision")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
+          .orderBy("decision"),
+      s"""WITH c AS (
+         |  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+         |    c_acctbal AS bal, substring(c_name, -1, 1) AS sx,
+         |    substring(c_name, -2, 1) AS p2,
+         |    CAST(floor(c_acctbal / CAST('100.0' AS DOUBLE)) AS BIGINT) AS band
+         |  FROM customer),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    a.seg AS seg_a, b.seg AS seg_b, a.bal AS bal_a, b.bal AS bal_b,
+         |    a.sx AS sx_a, b.sx AS sx_b, a.p2 AS p2_a, b.p2 AS p2_b
+         |  FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+         |  UNION
+         |  SELECT a.id, b.id, a.seg, b.seg, a.bal, b.bal, a.sx, b.sx,
+         |    a.p2, b.p2
+         |  FROM c a JOIN c b ON a.band = b.band AND a.sx = b.sx
+         |   AND a.id < b.id),
+         |w AS (SELECT ${sqlCase("seg_a = seg_b", fSeg)}
+         |           + ${sqlCase("abs(bal_a - bal_b) < 500.0", fBal)}
+         |           + ${sqlCase("sx_a = sx_b", fSfx)}
+         |           + ${sqlCase("p2_a = p2_b", fP2)} AS weight FROM p)
+         |SELECT CASE WHEN weight >= 3.0 THEN 'match'
+         |            WHEN weight <= -2.0 THEN 'non_match'
+         |            ELSE 'possible' END AS decision,
+         |  COUNT(*) AS n_pairs, MIN(weight) AS min_w, MAX(weight) AS max_w
+         |FROM w GROUP BY 1 ORDER BY decision""".stripMargin)
+  }
+
   /** Snapshot diff (SnapshotDiff.diff): classify keys as added / removed /
     * changed / unchanged between today's orders snapshot and a
     * deterministically simulated next-day dump (drop every 101st key,
@@ -1497,6 +1563,7 @@ object Extra {
     "q103_mad_outliers" -> madOutliers,
     "q98_fuzzy_match" -> fuzzyMatch,
     "q159_linkage_score" -> linkageScore,
+    "q234_linkage_pipeline" -> linkagePipeline,
     "q99_snapshot_diff" -> snapshotDiff,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,

@@ -357,8 +357,11 @@ object Text {
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("fp_min"),
-          array_max(col("fps")).as("fp_max"))
-        .orderBy("doc_id"),
+          array_max(col("fps")).as("fp_max")),
+      // no global orderBy: the driver compare sorts rows itself, and at
+      // corpus scale a final total sort of per-doc stats is a pure n·log n
+      // tax — the 40x probe measured it as q66's entire ratio/M curvature
+      // (0.92 → 1.10 → 1.15 rising with log n; expression cost is linear)
     """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
       |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
       |FROM (

@@ -82,4 +82,42 @@ class RecordLinkageSpec extends AnyFunSuite {
     val planted = dups.count()
     assert(found.count() == planted, s"expected $planted planted matches")
   }
+
+  test("blockedPairsUnion: each rule proposes, the union dedups, no cartesian") {
+    val df = Seq(
+      (1L, "ny", "a"), (2L, "ny", "b"), (3L, "ny", "a"),
+      (4L, "la", "a"), (5L, "la", "b")
+    ).toDF("id", "city", "grp")
+    val pairs = RecordLinkage.blockedPairsUnion(df, "id",
+      attrs = Seq("city" -> col("city"), "grp" -> col("grp")),
+      blockingRules = Seq(Seq("city"), Seq("grp")))
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // city blocks: {1,2,3} and {4,5}; grp blocks: {1,3,4} and {2,5}.
+    // (1,3) is proposed by BOTH rules and must appear once.
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L),
+      (1L, 4L), (3L, 4L), (2L, 5L)))
+    assert(pairs.count() == 7) // distinct, not 8
+    intercept[IllegalArgumentException](
+      RecordLinkage.blockedPairsUnion(df, "id",
+        Seq("city" -> col("city")), Seq(Seq("nope"))))
+  }
+
+  test("pipeline composes blocking, scoring, and decision as one plan") {
+    val df = Seq(
+      (1L, "ny", "x", 100.0), (2L, "ny", "x", 150.0), (3L, "ny", "y", 5000.0)
+    ).toDF("id", "city", "sfx", "bal")
+    val out = RecordLinkage.pipeline(df, "id",
+      attrs = Seq("city" -> col("city"), "sfx" -> col("sfx"),
+        "bal" -> col("bal")),
+      blockingRules = Seq(Seq("city")),
+      fields = Seq(
+        FieldSpec("sfx", col("sfx_a") === col("sfx_b"), 0.9, 0.1),
+        FieldSpec("bal", abs(col("bal_a") - col("bal_b")) < 500.0, 0.8, 0.3)),
+      lower = -1.0, upper = 3.0)
+    val rows = out.select("id_a", "id_b", "decision").as[(Long, Long, String)]
+      .collect().toSet
+    // (1,2): both agree → strong match; (1,3)/(2,3): both disagree → non
+    assert(rows == Set((1L, 2L, "match"), (1L, 3L, "non_match"),
+      (2L, 3L, "non_match")))
+  }
 }
