@@ -79,25 +79,74 @@ object RecordLinkage {
     * agreement columns reference.
     *
     * Scale shape: cost = Σ per-rule block volumes + one distinct shuffle
-    * on the candidate keys — the candidate-pair volume IS the pipeline's
-    * cost driver, which is exactly what the composed probe (q234 rows in
-    * SCALING.md) measures rather than assumes.
+    * on the candidate keys. Per-block pair volume is quadratic in block
+    * size, so a blocking key whose CARDINALITY does not grow with the
+    * data (e.g. a fixed set of balance bands × name suffixes) turns the
+    * whole pipeline quadratic — the 10× probe measured exactly that
+    * (ratio/M 2.04 before the cap below existed). `maxBlockSize` is the
+    * standard countermeasure: blocks at or under the cap enumerate all
+    * pairs; OVERSIZED blocks degrade to sorted-neighborhood pairing
+    * (members ranked by id within the block; each row pairs with the next
+    * `overflowWindow` ranks), bounding per-block cost at O(size × w)
+    * while keeping partial recall instead of dropping the block outright
+    * (block purging, Papadakis et al., TKDE 2013, §block refinement;
+    * windowed degrade after Hernández & Stolfo, SIGMOD 1995). The
+    * windowed pass enumerates candidates by EXPLODING each row into its
+    * w target ranks and equi-joining on (block key, target rank) — never
+    * materializing the quadratic pair set. With the cap, total candidate
+    * volume is O(n × rules × max(cap, w)) — linear in n, which the
+    * re-probed q234 rows in SCALING.md verify empirically.
     */
   def blockedPairsUnion(df: DataFrame, idCol: String,
       attrs: Seq[(String, Column)],
-      blockingRules: Seq[Seq[String]]): DataFrame = {
+      blockingRules: Seq[Seq[String]],
+      maxBlockSize: Option[Int] = None,
+      overflowWindow: Int = 8): DataFrame = {
     require(blockingRules.nonEmpty, "at least one blocking rule required")
+    require(overflowWindow >= 1, "overflowWindow must be >= 1")
     val names = attrs.map(_._1)
     blockingRules.foreach(r => r.foreach(n =>
       require(names.contains(n), s"blocking rule references unknown attr $n")))
     val base = df.select(
       col(idCol).as("id") +: attrs.map { case (n, c) => c.as(n) }: _*)
-    val a = base.toDF("id_a" +: names.map(_ + "_a"): _*)
-    val b = base.toDF("id_b" +: names.map(_ + "_b"): _*)
-    blockingRules.map { rule =>
-      a.join(b, rule.map(n => col(s"${n}_a") === col(s"${n}_b")).reduce(_ && _))
-        .filter(col("id_a") < col("id_b"))
-    }.reduce(_ unionByName _).distinct()
+    val outCols = ("id" +: names).flatMap(n => Seq(s"${n}_a", s"${n}_b"))
+    def rename(d: DataFrame, sfx: String): DataFrame =
+      d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, c + sfx))
+    val passes = blockingRules.flatMap { rule =>
+      val keyEq = (n: String) => col(s"${n}_a") === col(s"${n}_b")
+      maxBlockSize match {
+        case None =>
+          val a = rename(base, "_a")
+          val b = rename(base, "_b")
+          Seq(a.join(b, rule.map(keyEq).reduce(_ && _))
+            .filter(col("id_a") < col("id_b"))
+            .select(outCols.map(col): _*))
+        case Some(cap) =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(rule.map(col): _*)
+          val sized = base
+            .withColumn("bn", count(lit(1)).over(w))
+            .withColumn("rn", row_number().over(w.orderBy(col("id"))).cast("long"))
+          val a = rename(sized, "_a")
+          val b = rename(sized, "_b")
+          val small = a.filter(col("bn_a") <= cap)
+            .join(b.filter(col("bn_b") <= cap), rule.map(keyEq).reduce(_ && _))
+            .filter(col("id_a") < col("id_b"))
+            .select(outCols.map(col): _*)
+          val over = a.filter(col("bn_a") > cap)
+            .withColumn("rn_tgt", explode(
+              when(col("rn_a") < col("bn_a"),
+                sequence(col("rn_a") + 1L,
+                  least(col("rn_a") + overflowWindow.toLong, col("bn_a"))))
+                .otherwise(array().cast("array<bigint>"))))
+          val windowed = over
+            .join(b.filter(col("bn_b") > cap),
+              (rule.map(keyEq) :+ (col("rn_tgt") === col("rn_b"))).reduce(_ && _))
+            .select(outCols.map(col): _*)
+          Seq(small, windowed)
+      }
+    }
+    passes.reduce(_ unionByName _).distinct()
   }
 
   /** The composed Fellegi–Sunter pipeline as ONE declarative plan:
@@ -107,7 +156,10 @@ object RecordLinkage {
     */
   def pipeline(df: DataFrame, idCol: String, attrs: Seq[(String, Column)],
       blockingRules: Seq[Seq[String]], fields: Seq[FieldSpec],
-      lower: Double, upper: Double): DataFrame =
-    classify(blockedPairsUnion(df, idCol, attrs, blockingRules),
+      lower: Double, upper: Double,
+      maxBlockSize: Option[Int] = None, overflowWindow: Int = 8): DataFrame =
+    classify(
+      blockedPairsUnion(df, idCol, attrs, blockingRules, maxBlockSize,
+        overflowWindow),
       fields, lower, upper)
 }

@@ -931,9 +931,17 @@ object Extra {
     * three-way decision, summary — where q159 scores a single pre-blocked
     * frame. No stage materializes, so the probe rows for this gate measure
     * the candidate-pair volume (the pipeline's true cost driver) end to
-    * end. Weights are driver-computed log2 odds inlined as quoted-cast
-    * literals; the oracle replays blocking UNION, fold order, and
-    * thresholds exactly.
+    * end. Both blocking keys here have FIXED cardinality (≤125 and ≤1100
+    * blocks), so uncapped pair volume grows quadratically — the 10× probe
+    * measured ratio/M 2.04. The gate therefore runs with
+    * `maxBlockSize = 15`: blocks over the cap degrade to
+    * sorted-neighborhood windowed pairing (w = 8, ranked by id), which
+    * the oracle replays via the same COUNT/ROW_NUMBER windows — at sf0.01
+    * rule 1's largest blocks (up to 21 rows) exercise the windowed path
+    * while rule 2 (max 6) stays exact, so BOTH branches are
+    * oracle-checked. Weights are driver-computed log2 odds inlined as
+    * quoted-cast literals; the oracle replays blocking UNION, fold order,
+    * and thresholds exactly.
     */
   private val linkagePipeline: QueryDef = {
     import graft.operators.RecordLinkage
@@ -959,7 +967,8 @@ object Extra {
             "p2" -> substring(col("c_name"), -2, 1),
             "band" -> floor(col("c_acctbal") / lit(100.0))),
           blockingRules = Seq(Seq("nk", "seg"), Seq("band", "sx")),
-          fields, lower = -2.0, upper = 3.0)
+          fields, lower = -2.0, upper = 3.0,
+          maxBlockSize = Some(15), overflowWindow = 8)
           .groupBy("decision")
           .agg(count(lit(1)).as("n_pairs"),
             min(col("weight")).as("min_w"), max(col("weight")).as("max_w"))
@@ -970,16 +979,33 @@ object Extra {
          |    substring(c_name, -2, 1) AS p2,
          |    CAST(floor(c_acctbal / CAST('100.0' AS DOUBLE)) AS BIGINT) AS band
          |  FROM customer),
+         |s1 AS (SELECT *, COUNT(*) OVER (PARTITION BY nk, seg) AS bn,
+         |    ROW_NUMBER() OVER (PARTITION BY nk, seg ORDER BY id) AS rn
+         |  FROM c),
+         |s2 AS (SELECT *, COUNT(*) OVER (PARTITION BY band, sx) AS bn,
+         |    ROW_NUMBER() OVER (PARTITION BY band, sx ORDER BY id) AS rn
+         |  FROM c),
          |p AS (
          |  SELECT a.id AS id_a, b.id AS id_b,
          |    a.seg AS seg_a, b.seg AS seg_b, a.bal AS bal_a, b.bal AS bal_b,
          |    a.sx AS sx_a, b.sx AS sx_b, a.p2 AS p2_a, b.p2 AS p2_b
-         |  FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+         |  FROM s1 a JOIN s1 b ON a.nk = b.nk AND a.seg = b.seg
+         |  WHERE a.bn <= 15 AND a.id < b.id
          |  UNION
          |  SELECT a.id, b.id, a.seg, b.seg, a.bal, b.bal, a.sx, b.sx,
          |    a.p2, b.p2
-         |  FROM c a JOIN c b ON a.band = b.band AND a.sx = b.sx
-         |   AND a.id < b.id),
+         |  FROM s1 a JOIN s1 b ON a.nk = b.nk AND a.seg = b.seg
+         |  WHERE a.bn > 15 AND b.rn BETWEEN a.rn + 1 AND least(a.rn + 8, a.bn)
+         |  UNION
+         |  SELECT a.id, b.id, a.seg, b.seg, a.bal, b.bal, a.sx, b.sx,
+         |    a.p2, b.p2
+         |  FROM s2 a JOIN s2 b ON a.band = b.band AND a.sx = b.sx
+         |  WHERE a.bn <= 15 AND a.id < b.id
+         |  UNION
+         |  SELECT a.id, b.id, a.seg, b.seg, a.bal, b.bal, a.sx, b.sx,
+         |    a.p2, b.p2
+         |  FROM s2 a JOIN s2 b ON a.band = b.band AND a.sx = b.sx
+         |  WHERE a.bn > 15 AND b.rn BETWEEN a.rn + 1 AND least(a.rn + 8, a.bn)),
          |w AS (SELECT ${sqlCase("seg_a = seg_b", fSeg)}
          |           + ${sqlCase("abs(bal_a - bal_b) < 500.0", fBal)}
          |           + ${sqlCase("sx_a = sx_b", fSfx)}

@@ -102,6 +102,24 @@ class RecordLinkageSpec extends AnyFunSuite {
         Seq("city" -> col("city")), Seq(Seq("nope"))))
   }
 
+  test("maxBlockSize degrades oversized blocks to the id-ranked window") {
+    // block "ny" has 10 members (> cap 4) → sorted-neighborhood pairs only:
+    // each id pairs with the next w=2 ranks. block "la" (2 members ≤ cap)
+    // stays exact all-pairs.
+    val df = ((1L to 10L).map(i => (i, "ny")) ++ Seq((11L, "la"), (12L, "la")))
+      .toDF("id", "city")
+    val pairs = RecordLinkage.blockedPairsUnion(df, "id",
+      attrs = Seq("city" -> col("city")),
+      blockingRules = Seq(Seq("city")),
+      maxBlockSize = Some(4), overflowWindow = 2)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val windowed = (1L to 10L).flatMap(i =>
+      Seq(i + 1, i + 2).filter(_ <= 10L).map(j => (i, j))).toSet
+    assert(got == windowed + ((11L, 12L)))
+    // bound holds: an oversized block contributes at most size*w pairs
+    assert(got.count(_._2 <= 10L) == 17)
+  }
+
   test("pipeline composes blocking, scoring, and decision as one plan") {
     val df = Seq(
       (1L, "ny", "x", 100.0), (2L, "ny", "x", 150.0), (3L, "ny", "y", 5000.0)
