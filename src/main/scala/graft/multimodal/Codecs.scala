@@ -52,12 +52,14 @@ object Codecs {
     bb.array()
   }
 
-  /** Parse a RIFF/WAVE byte stream: walks the chunk list (tolerating
-    * extra chunks like LIST/INFO between fmt and data, and the RIFF pad
-    * byte after odd-sized chunks), requires PCM format 1 at 16 bits, and
-    * folds the samples into exact integer moments.
+  private final case class WavLayout(channels: Int, rate: Int, bits: Int,
+      dataOff: Int, dataLen: Int, bb: java.nio.ByteBuffer)
+
+  /** The shared RIFF/WAVE chunk walk: tolerates extra chunks like
+    * LIST/INFO between fmt and data and the RIFF pad byte after
+    * odd-sized chunks, requires PCM format 1 at 16 bits.
     */
-  def decodeWav(bytes: Array[Byte]): WavInfo = {
+  private def walkWav(bytes: Array[Byte]): WavLayout = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
@@ -91,15 +93,37 @@ object Codecs {
     }
     require(rate > 0, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
-    val n = dataLen / 2
+    WavLayout(channels, rate, bits, dataOff, dataLen, bb)
+  }
+
+  /** Parse a RIFF/WAVE byte stream and fold the samples into exact
+    * integer moments (no sample array materialized — the stats path).
+    */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    val l = walkWav(bytes)
+    val n = l.dataLen / 2
     var sum = 0L; var sumSq = 0L
     var i = 0
     while (i < n) {
-      val s = bb.getShort(dataOff + 2 * i).toLong
+      val s = l.bb.getShort(l.dataOff + 2 * i).toLong
       sum += s; sumSq += s * s
       i += 1
     }
-    WavInfo(channels, rate, bits, n, sum, sumSq)
+    WavInfo(l.channels, l.rate, l.bits, n, sum, sumSq)
+  }
+
+  /** Parse a RIFF/WAVE byte stream and materialize the 16-bit PCM
+    * samples — the fingerprinting path ([[AudioFingerprint]] needs the
+    * signal itself where [[decodeWav]] needs only its moments). Returns
+    * (sampleRateHz, samples).
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val l = walkWav(bytes)
+    val n = l.dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = l.bb.getShort(l.dataOff + 2 * i); i += 1 }
+    (l.rate, out)
   }
 
   // --------------------------------------------------------- PPM / PGM

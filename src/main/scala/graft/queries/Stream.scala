@@ -733,6 +733,100 @@ object Stream {
       |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q235: perceptual AUDIO near-dup (AudioFingerprint) — the acoustic
+    * leg of the media dedup trio, mirroring q232's structure over real
+    * RIFF/WAVE containers: 25 deterministic amplitude-modulated base
+    * clips + 25 copies perturbed by short +45 bursts (~3.5% of samples)
+    * are encoded by Codecs.wavBytes, decoded back by the real chunk
+    * walker (decodeWavSamples), fingerprinted by sign-of-frame-energy
+    * differences (Haitsma-Kalker shape, 64 bits → 4 x 16-bit bands), and
+    * paired through the SAME banded-LSH + Hamming-verify machinery as
+    * images. The oracle replays the ENTIRE chain from the sample closed
+    * form — frame energies, cross-multiplied sign bits, band packing,
+    * bucket join, bit_count — so a decoder offset bug or an energy-fold
+    * error shifts a band value and fails the hash. Finds exactly the 25
+    * planted pairs (Hamming ≤ 4); closest cross-clip distance is 16.
+    */
+  private val audioNearDup = QueryDef(
+    (s, dir) => {
+      import graft.multimodal.{AudioFingerprint, Codecs, PerceptualHash}
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int")).as[Int]
+      val media = keys.flatMap { k =>
+        val n = 1600 + 13 * k
+        def clipBytes(pert: Int): Array[Byte] = {
+          val samples = Array.tabulate(n) { i =>
+            val carrier = ((i * (7 + k % 5) + k) % 127) - 63
+            val env = 1 + 3 * ((i / 50 * (k + 3) + 2 * k) % 9)
+            var v = carrier * env
+            if (pert == 1 && (i + 29 * k) % 173 < 6) v += 45
+            v.toShort
+          }
+          Codecs.wavBytes(8000, samples)
+        }
+        Seq((k.toLong, clipBytes(0)), (2000L + k, clipBytes(1)))
+      }
+      val hashes = media.map { case (id, bytes) =>
+        val (_, samples) = Codecs.decodeWavSamples(bytes)
+        val b = AudioFingerprint.energyDiffBands(samples)
+        (id, b(0), b(1), b(2), b(3))
+      }.toDF("id", "b0", "b1", "b2", "b3")
+      PerceptualHash.nearDupPairs(hashes, "id", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    },
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+      |clips AS (
+      |  SELECT CAST(k AS BIGINT) AS id, k AS seed, 0 AS pert,
+      |    1600 + 13*k AS n FROM k
+      |  UNION ALL
+      |  SELECT CAST(2000 + k AS BIGINT), k, 1, 1600 + 13*k FROM k),
+      |smp AS (
+      |  SELECT c.id, s.i, c.n,
+      |    (((s.i*(7 + c.seed % 5) + c.seed) % 127) - 63)
+      |      * (1 + 3*((s.i // 50 * (c.seed + 3) + 2*c.seed) % 9))
+      |    + CASE WHEN c.pert = 1 AND (s.i + 29*c.seed) % 173 < 6
+      |           THEN 45 ELSE 0 END AS v
+      |  FROM clips c, LATERAL (SELECT unnest(range(0, c.n)) AS i) s),
+      |fr AS (SELECT unnest(range(0, 65)) AS f),
+      |fe AS (
+      |  SELECT s.id, fr.f, CAST(SUM(s.v * s.v) AS BIGINT) AS e,
+      |    COUNT(*) AS cnt
+      |  FROM smp s JOIN fr
+      |    ON s.i >= fr.f * s.n // 65 AND s.i < (fr.f + 1) * s.n // 65
+      |  GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.id, a.f AS bitidx,
+      |    CASE WHEN b.e * a.cnt > a.e * b.cnt THEN 1 ELSE 0 END AS bit
+      |  FROM fe a JOIN fe b ON a.id = b.id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |bands AS (
+      |  SELECT id, bitidx // 16 AS band_idx,
+      |    CAST(SUM(bit << (bitidx % 16)) AS INTEGER) AS band_val
+      |  FROM bits GROUP BY 1, 2),
+      |hashes AS (
+      |  SELECT id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |    AS INTEGER) AS hamming
+      |FROM cand c JOIN hashes ha ON ha.id = c.id_a
+      |            JOIN hashes hb ON hb.id = c.id_b
+      |WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin)
+
   /** q233: streaming KMV bottom-k distinct per event type — batch twin of
     * EventStreams.distinctCountsKmv, whose ≤8 KB-per-group sorted-hash
     * state EventStreamsSpec pins bit-equal to this across a checkpoint
@@ -773,6 +867,7 @@ object Stream {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "q235_audio_near_dup" -> audioNearDup,
     "q233_stream_kmv" -> streamKmv,
     "q232_perceptual_dedup" -> perceptualDedup,
     "q231_media_codecs" -> mediaCodecs,
