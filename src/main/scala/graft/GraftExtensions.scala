@@ -85,7 +85,11 @@ object GraftExtensions {
     ("kmv_md5_agg",
       "kmv_md5_agg(key, k) - ascending array of the k smallest distinct md5 key hashes (KMV sketch)",
       args => graft.expressions.KmvAgg(args(0),
-        intLiteralArg(args(1), "kmv_md5_agg", "k"))))
+        intLiteralArg(args(1), "kmv_md5_agg", "k"))),
+    ("cms_md5_agg",
+      "cms_md5_agg(key, width) - row-major depth x width md5-parity count-min counters of key occurrences",
+      args => graft.expressions.CmsMd5Agg(args(0),
+        intLiteralArg(args(1), "cms_md5_agg", "width"))))
 
   /** A function argument that must be a constant array of strings. */
   private def stringArrayLiteralArg(e: Expression, fn: String, arg: String): Seq[String] = {

@@ -733,6 +733,80 @@ object Stream {
       |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q236: oracle-exact count-min frequency sketch (CmsMd5) — the
+    * frequency leg of the md5-parity sketch trio (HLL q223 cardinality,
+    * KMV q224 overlap). Per event type, ONE map-side-combining
+    * `cms_md5_agg` pass builds the 4×512 counter matrix; the gate then
+    * probes the 5 exact-top users of each type against the sketch with
+    * the codegen affine arithmetic (CmsMd5.estimateCol — no UDF) and
+    * reports estimate, exact, and overestimate. DuckDB replays EVERY
+    * probed counter from the raw keys (md5-60 base hash, the fixed
+    * affine row maps, integer bucket sums), so this hash-checks the
+    * sketch arithmetic itself — overestimates included — not just an
+    * error bound. CMS never underestimates; the overestimate column is
+    * the per-probe collision mass, nonzero at gate scale by design
+    * (width 512 ≪ distinct users).
+    */
+  private val cmsFrequency: QueryDef = {
+    val width = 512
+    QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.CmsMd5
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id").cast("string").as("uid"))
+        val sk = EventStreams.freqSketchCmsBatch(ev, "event_type", "uid", width)
+          .select("event_type", "counters")
+        val exact = ev.groupBy("event_type", "uid")
+          .agg(count(lit(1)).as("n_exact"))
+        val top = exact.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("n_exact").desc, col("uid"))))
+          .filter(col("rk") <= 5).drop("rk")
+        top.join(broadcast(sk), "event_type")
+          .withColumn("n_est",
+            CmsMd5.estimateCol(col("counters"), col("uid"), width))
+          .select(col("event_type"), col("uid"), col("n_exact"),
+            col("n_est"), (col("n_est") - col("n_exact")).as("overestimate"))
+          .orderBy("event_type", "uid")
+      },
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type, uid,
+         |    CAST('0x' || substring(md5(uid), 1, 15) AS BIGINT) AS h60
+         |  FROM ev),
+         |prm AS (SELECT * FROM (VALUES
+         |  (0, 1103, 7919), (1, 12289, 104729),
+         |  (2, 52379, 130363), (3, 94321, 55987)) AS t(di, a, b)),
+         |cnt AS (
+         |  SELECT event_type, p.di,
+         |    ((p.a * (h.h60 % 2147483647) + p.b) % 2147483647) % $width
+         |      AS bucket,
+         |    COUNT(*) AS c
+         |  FROM h, prm p GROUP BY 1, 2, 3),
+         |exact AS (
+         |  SELECT event_type, uid, COUNT(*) AS n_exact FROM ev GROUP BY 1, 2),
+         |top AS (
+         |  SELECT event_type, uid, n_exact FROM (
+         |    SELECT event_type, uid, n_exact, ROW_NUMBER() OVER (
+         |      PARTITION BY event_type ORDER BY n_exact DESC, uid) AS rk
+         |    FROM exact) WHERE rk <= 5),
+         |probe AS (
+         |  SELECT t.event_type, t.uid, t.n_exact, p.di,
+         |    ((p.a * (CAST('0x' || substring(md5(t.uid), 1, 15) AS BIGINT)
+         |        % 2147483647) + p.b) % 2147483647) % $width AS bucket
+         |  FROM top t, prm p)
+         |SELECT pr.event_type, pr.uid, pr.n_exact,
+         |  MIN(c.c) AS n_est, MIN(c.c) - pr.n_exact AS overestimate
+         |FROM probe pr JOIN cnt c
+         |  ON c.event_type = pr.event_type AND c.di = pr.di
+         | AND c.bucket = pr.bucket
+         |GROUP BY 1, 2, 3
+         |ORDER BY pr.event_type, pr.uid""".stripMargin)
+  }
+
   /** q235: perceptual AUDIO near-dup (AudioFingerprint) — the acoustic
     * leg of the media dedup trio, mirroring q232's structure over real
     * RIFF/WAVE containers: 25 deterministic amplitude-modulated base
@@ -867,6 +941,7 @@ object Stream {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "q236_cms_frequency" -> cmsFrequency,
     "q235_audio_near_dup" -> audioNearDup,
     "q233_stream_kmv" -> streamKmv,
     "q232_perceptual_dedup" -> perceptualDedup,

@@ -363,6 +363,63 @@ object EventStreams {
       KmvSketch.sketchAgg(keyed, "k", groupCol, k), groupCol, k)
   }
 
+  /** Streaming count-min frequency sketch per group — the frequency leg
+    * of the streaming sketch trio ([[distinctCountsHll]] cardinality,
+    * [[distinctCountsKmv]] set overlap, this for per-key counts): state
+    * is the `depth × width` md5-parity counter matrix of
+    * [[graft.operators.CmsMd5]] (16 KB at width 512 — fixed forever, the
+    * checkpoint-friendly contract), bumped per micro-batch row. Counter
+    * updates are pure sums, so arrival order and micro-batch boundaries
+    * CANNOT change the final state — the recovered sketch equals the
+    * batch aggregate ([[graft.expressions.CmsMd5Agg]]) element for
+    * element (EventStreamsSpec pins this across a checkpoint restart),
+    * and stays valid for further merge/probe math. Emits the refreshed
+    * (group, n_rows, counters) each batch.
+    */
+  def freqSketchCms(events: DataFrame, groupCol: String, keyCol: String,
+      width: Int): DataFrame = {
+    import graft.operators.CmsMd5
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](CmsMd5.Depth * width))
+          rows.foreach { case (_, key) => CmsMd5.addKey(counts, width, key) }
+          state.update(counts)
+          // every row adds depth increments; row 0's sum is the row count
+          (g, counts.view.slice(0, width).sum, counts.toSeq)
+      }
+      .toDF(groupCol, "n_rows", "counters")
+  }
+
+  /** Batch twin of [[freqSketchCms]] — the native one-pass aggregate over
+    * the same columns, bit-equal to the stream's final state and
+    * bucket-for-bucket SQL-replayable (the q236 gate's oracle).
+    */
+  def freqSketchCmsBatch(events: DataFrame, groupCol: String, keyCol: String,
+      width: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val keyed = events
+      .select(col(groupCol).cast("string").as(groupCol),
+        col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+    keyed.groupBy(groupCol)
+      .agg(ColumnBridge.column(
+        graft.expressions.CmsMd5Agg(
+          ColumnBridge.expression(col("k")), width)
+          .toAggregateExpression()).as("counters"))
+      .select(col(groupCol),
+        aggregate(slice(col("counters"), 1, width), lit(0L), _ + _).as("n_rows"),
+        col("counters"))
+  }
+
   /** Watermark-lateness audit over a RECORDED stream: replay the arrival
     * order and flag every event whose event time trails the running
     * maximum seen before it by more than `allowedLatenessUs` — exactly the

@@ -461,4 +461,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(emitted.subsetOf(twinPrefix ++ twinFull),
       s"spurious emissions: ${emitted -- twinPrefix -- twinFull}")
   }
+
+  test("streaming CMS counters equal the batch sketch TO THE BIT across restarts") {
+    // counter updates are pure sums, so micro-batch boundaries and a
+    // checkpoint restart cannot move a single counter off the batch twin
+    val width = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ckpt")
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getTimestamp(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cms_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    stage(ev.filter(col("ts") <= cut), "0.parquet")
+    def stream() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val emittedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Seq[Long])]()
+    def run(): Unit = {
+      val q = EventStreams.freqSketchCms(stream(), "event_type", "user_id", width)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emittedBuf.add(
+            (r.getString(0), r.getLong(1), r.getSeq[Long](2))))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    stage(ev.filter(col("ts") > cut), "1.parquet")
+    run() // restart on the same checkpoint; the counter matrix recovers
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Seq[Long])] =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val emitted = {
+      import scala.jdk.CollectionConverters._
+      emittedBuf.asScala.toSet
+    }
+    val twinPrefix = rowSet(EventStreams.freqSketchCmsBatch(
+      ev.filter(col("ts") <= cut), "event_type", "user_id", width))
+    val twinFull = rowSet(EventStreams.freqSketchCmsBatch(
+      ev, "event_type", "user_id", width))
+    assert(twinFull.nonEmpty)
+    assert(twinFull.exists(_._3.exists(_ > 1L)),
+      "test should exercise colliding/repeated counters")
+    assert(twinFull.subsetOf(emitted),
+      s"missing final states: ${(twinFull -- emitted).map(_._1)}")
+    assert(emitted.subsetOf(twinPrefix ++ twinFull),
+      s"spurious emissions: ${(emitted -- twinPrefix -- twinFull).map(_._1)}")
+  }
 }
