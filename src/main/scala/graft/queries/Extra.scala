@@ -1025,6 +1025,59 @@ object Extra {
     * full-outer join on the key; the gate tallies counts + key checksums
     * per change class.
     */
+  /** q238: incremental view maintenance (IncrementalAgg) — refresh a
+    * materialized revenue-by-(status, priority) aggregate from a CDC
+    * delta WITHOUT rescanning the base: the plan sees only the base
+    * STATE (group-sized) and the delta (delete every 101st order,
+    * reprice every surviving 97th as delete+insert of price+500.00,
+    * re-insert every 103rd), while the oracle recomputes the post-delta
+    * aggregate FROM SCRATCH in DuckDB — hash equality IS the IVM
+    * invariant (incremental ≡ full recompute), exact because counts are
+    * ±1 longs and value sums exact DECIMAL, so delete contributions
+    * cancel without float error. The +500.00 reprice is a double add on
+    * identical inputs in both engines (no multiply-rounding divergence).
+    */
+  private val incrementalAgg = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val o = Tables.orders(s, dir)
+      val groups = Seq("o_orderstatus", "o_orderpriority")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val base = IncrementalAgg.state(o, groups, sums)
+      val deleted = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("op", lit("delete"))
+      val repricedOld = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 101 =!= 0)
+        .withColumn("op", lit("delete"))
+      val repricedNew = repricedOld
+        .withColumn("op", lit("insert"))
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      val inserted = o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("op", lit("insert"))
+      val delta = deleted.unionByName(repricedOld)
+        .unionByName(repricedNew).unionByName(inserted)
+        .select((Seq("op") ++ groups ++ Seq("o_totalprice")).map(col): _*)
+      IncrementalAgg.refresh(base,
+          IncrementalAgg.deltaState(delta, "op", groups, sums),
+          groups, sums.map(_._1))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n").as("n_orders"), col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    """WITH survivors AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 103 = 0)
+      |SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM survivors GROUP BY 1, 2
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1591,6 +1644,7 @@ object Extra {
     "q159_linkage_score" -> linkageScore,
     "q234_linkage_pipeline" -> linkagePipeline,
     "q99_snapshot_diff" -> snapshotDiff,
+    "q238_incremental_agg" -> incrementalAgg,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

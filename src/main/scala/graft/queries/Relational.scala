@@ -427,6 +427,60 @@ object Relational {
     },
     None)
 
+  /** Approximate percentiles (the quantile face of A10-at-scale, next to
+    * q18's approx distinct): Spark's built-in `percentile_approx`
+    * (Greenwald-Khanna-style summary) per return flag at accuracy 1000.
+    * Sketch internals aren't SQL-reproducible, but the RANK-ERROR claim
+    * is: the run-computed estimates ride into the oracle as literals and
+    * DuckDB asserts each lies between the EXACT order statistics at rank
+    * (q ± 2/accuracy)·n (±1 rank for boundary conventions) from its own
+    * sort — an estimate outside its rank window drops the row and fails
+    * the hash. Bound is 2x the documented 1/accuracy error.
+    */
+  private val aggApproxPercentile = QueryDef(
+    (s, dir) => {
+      import graft.core.DynamicOracle.dbl
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val acc = 1000
+      val out = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(acc)).as("est"))
+        .select(col("l_returnflag"), posexplode(col("est")))
+        .withColumn("quantile",
+          element_at(array(qs.map(lit): _*), col("pos") + 1))
+        .select(col("l_returnflag"), col("quantile"),
+          col("col").as("est_value"))
+        .orderBy("l_returnflag", "quantile")
+      val values = out.collect().map { r =>
+        s"('${r.getString(0)}', ${dbl(r.getDouble(1))}, ${dbl(r.getDouble(2))})"
+      }.mkString(", ")
+      val eps = dbl(2.0 / acc)
+      graft.core.DynamicOracle.put("q237_approx_percentile",
+        s"""WITH est(l_returnflag, quantile, est_value) AS (VALUES $values),
+           |x AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem
+           |      WHERE l_extendedprice IS NOT NULL),
+           |n_tbl AS (SELECT l_returnflag, COUNT(*) AS n FROM x GROUP BY 1),
+           |r AS (SELECT l_returnflag, v, ROW_NUMBER() OVER (
+           |        PARTITION BY l_returnflag ORDER BY v) AS rk FROM x),
+           |b AS (SELECT e.l_returnflag, e.quantile, e.est_value,
+           |    GREATEST(1, CAST(floor((e.quantile - $eps) * n.n) AS BIGINT))
+           |      AS lo_rk,
+           |    LEAST(n.n, CAST(ceil((e.quantile + $eps) * n.n) AS BIGINT) + 1)
+           |      AS hi_rk
+           |  FROM est e JOIN n_tbl n USING (l_returnflag)),
+           |chk AS (SELECT b.*, rl.v AS lo_v, rh.v AS hi_v
+           |  FROM b JOIN r rl ON rl.l_returnflag = b.l_returnflag
+           |                  AND rl.rk = b.lo_rk
+           |         JOIN r rh ON rh.l_returnflag = b.l_returnflag
+           |                  AND rh.rk = b.hi_rk)
+           |SELECT l_returnflag, quantile, est_value FROM chk
+           |WHERE est_value >= lo_v AND est_value <= hi_v
+           |ORDER BY l_returnflag, quantile""".stripMargin)
+      out
+    },
+    None)
+
   /** Structured JSON parsing: from_json into a typed struct (vs q15's
     * path extraction) with schema-declared field access.
     */
@@ -466,5 +520,6 @@ object Relational {
     "q15_json" -> jsonExtract,
     "q16_time_window" -> timeWindow,
     "q17_csv_roundtrip" -> csvRoundtrip,
-    "q18_approx_distinct" -> aggApprox)
+    "q18_approx_distinct" -> aggApprox,
+    "q237_approx_percentile" -> aggApproxPercentile)
 }
