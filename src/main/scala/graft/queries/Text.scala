@@ -2074,8 +2074,43 @@ object Text {
     * partition-order-free.
     */
   private val compressionReport = QueryDef(
-    (s, dir) =>
-      Tables.documents(s, dir)
+    (s, dir) => {
+      // No SQL zlib exists, so the per-doc DEFLATE lengths ride into the
+      // oracle as literals (DynamicOracle, the q18/q237 discipline): the
+      // kernel itself stays spec-pinned (DeflateLengthSpec known vectors),
+      // while DuckDB independently recomputes every raw length, enforces
+      // the zlib STORED-BLOCK upper bound (deflate output can never exceed
+      // raw + 5 bytes per 65535-byte block + 11 bytes of zlib framing — a
+      // violated bound drops the doc and fails the hash) and replays the
+      // ratio bands, band counts, and pooled-ratio division exactly.
+      val docs = Tables.documents(s, dir)
+      val perDoc = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.deflateLen(col("text")).as("dl"))
+        .collect()
+      val values = perDoc.map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+        .mkString(", ")
+      graft.core.DynamicOracle.put("q209_compression_report",
+        s"""WITH dl(doc_id, deflate_len) AS (VALUES $values),
+           |d AS (SELECT doc_id, source,
+           |        CAST(strlen(text) AS BIGINT) AS raw
+           |      FROM documents),
+           |j AS (SELECT d.source, d.raw, l.deflate_len
+           |      FROM d JOIN dl l USING (doc_id)
+           |      WHERE l.deflate_len >= 1
+           |        AND l.deflate_len <= d.raw + 11 + 5 * (1 + d.raw // 65535))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(raw) AS BIGINT) AS raw_bytes,
+           |  CAST(SUM(deflate_len) AS BIGINT) AS deflate_bytes,
+           |  CAST(SUM(CASE WHEN CAST(deflate_len AS DOUBLE) /
+           |      CAST(nullif(raw, 0) AS DOUBLE) < 0.3
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs,
+           |  CAST(SUM(CASE WHEN CAST(deflate_len AS DOUBLE) /
+           |      CAST(nullif(raw, 0) AS DOUBLE) > 0.8
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS high_entropy_docs,
+           |  CAST(SUM(deflate_len) AS DOUBLE) /
+           |    CAST(nullif(SUM(raw), 0) AS DOUBLE) AS pooled_ratio
+           |FROM j GROUP BY source ORDER BY source""".stripMargin)
+      docs
         .select(col("source"),
           graft.functions.TextFunctions.deflateLen(col("text")).as("__c"),
           octet_length(col("text")).cast("long").as("__b"))
@@ -2092,7 +2127,8 @@ object Text {
         .withColumn("pooled_ratio",
           col("deflate_bytes").cast("double") /
             nullif(col("raw_bytes"), lit(0L)).cast("double"))
-        .orderBy("source"),
+        .orderBy("source")
+    },
     None)
 
   /** DSIR greedy selection (Dsir.selectTopK): the 50 highest importance
