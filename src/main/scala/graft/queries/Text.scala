@@ -114,6 +114,41 @@ object Text {
       |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** q239: EXACT threshold-Jaccard join via prefix filtering
+    * (PrefixFilter.jaccardPairs) — the deterministic sibling of q41
+    * (shared-any-shingle candidates) and q42 (probabilistic MinHash
+    * LSH): candidates come only from each doc's rarest
+    * `|d| − ceil(t·|d|) + 1` shingles under the global df-ascending
+    * order, with the pigeonhole guarantee of NO false negatives at
+    * J ≥ t. The oracle makes that guarantee the gate: DuckDB computes
+    * the COMPLETE exact pair set with no filtering at all, so a single
+    * pair lost to an over-aggressive prefix (or a df-ordering bug)
+    * fails the hash.
+    */
+  private val prefixFilterJoin = QueryDef(
+    (s, dir) =>
+      graft.operators.PrefixFilter.jaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", t = 0.6, n = 3)
+        .orderBy("doc_a", "doc_b"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t
+      |              FROM documents WHERE trim(text) != ''),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) s
+      |       FROM toks WHERE len(t) >= 3),
+      |h AS (SELECT doc_id,
+      |        CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS hh
+      |      FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM h GROUP BY 1),
+      |inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) c
+      |          FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b, c AS inter,
+      |  x.n AS sz_a, y.n AS sz_b,
+      |  CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= CAST('0.6' AS DOUBLE)
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
   /** MinHash(128) + LSH(32 bands) candidate pairs verified at est-Jaccard
     * ≥ 0.5 — oracle-green via the md5-affine hash family
     * (TextDedup.minHashSignaturesMd5 + identity band buckets): signatures,
@@ -3434,6 +3469,7 @@ object Text {
     "q39_quality_filter" -> qualityFilter,
     "q40_fingerprint_dedup" -> fingerprintDedup,
     "q41_ngram_jaccard" -> ngramJaccard,
+    "q239_prefix_filter_join" -> prefixFilterJoin,
     "q42_minhash_lsh" -> minhashLsh,
     "q43_simhash_pairs" -> simhashPairs,
     "q122_lm_score_join" -> lmScoreJoin,
