@@ -56,27 +56,47 @@ object PrefixFilter {
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(ColumnBridge.column(ShingleHashesMd5(
           ColumnBridge.expression(col(textCol)), n)))).as("h"))
+    // EVERY join side below grows with the corpus (the df aggregate's
+    // group domain is the shingle vocabulary, the set frame is
+    // doc-count-sized with |d|-long arrays, candidates are pair-sized) —
+    // none is broadcast-safe at scale, and Catalyst's size estimates for
+    // aggregates over an exploded subtree inherit the compressed scan
+    // stats, so pin SHUFFLE_HASH everywhere
     val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(df, "h")
+    val ranked = toks.join(df.hint("shuffle_hash"), "h")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
     // prefix = |d| - ceil(t*|d|) + 1, plus the one-token float-safety margin
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + lit(2))
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.toDF("doc_a", "h").hint("shuffle_hash")
-      .join(prefix.toDF("doc_b", "h").hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("h"), col("rn"), col("sz"))
+    val pa = prefix.toDF("doc_a", "h", "rn_a", "sz_a")
+    val pb = prefix.toDF("doc_b", "h", "rn_b", "sz_b")
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2): J ≥ t needs
+    // overlap ≥ α = t/(1+t)·(|A|+|B|); the best overlap still achievable
+    // from a meet at ranks (rn_a, rn_b) is 1 + min(sz−rn) (met token
+    // included — all other shared tokens sort after the EARLIEST shared
+    // one on both sides, so that meet always passes for a qualifying
+    // pair: no false negatives). Prunes the junk-candidate tail before
+    // any array is carried; the ε slack can only ADMIT a float-boundary
+    // pair, never prune one.
+    val cand = pa.hint("shuffle_hash")
+      .join(pb.hint("shuffle_hash"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(1.0) +
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")).cast("double") +
+        lit(1e-9) >=
+        lit(t / (1.0 + t)) * (col("sz_a") + col("sz_b")).cast("double"))
       .select("doc_a", "doc_b").distinct()
     val sets = toks.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"),
         count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-        col("sz").as("sz_a")), "doc_a")
+        col("sz").as("sz_a")).hint("shuffle_hash"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-        col("sz").as("sz_b")), "doc_b")
+        col("sz").as("sz_b")).hint("shuffle_hash"), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /

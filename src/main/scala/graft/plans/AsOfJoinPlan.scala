@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.expressions.SortOrder
@@ -126,6 +126,10 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightArity)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
+      // the exec's contract is UnsafeRow output (collect/shuffle read the
+      // backing bytes directly); a bare JoinedRow crashes when this node
+      // is the plan root
+      val toUnsafe = UnsafeProjection.create(output, output)
 
       // key tuple helpers over a scratch array (no per-row allocation)
       def readKeys(row: InternalRow, ords: Array[Int], out: Array[Any]): Boolean = {
@@ -152,7 +156,7 @@ final case class AsOfJoinExec(
       val lKey = new Array[Any](nKeys)
       val rKey = new Array[Any](nKeys)
 
-      if (!forward) {
+      val resultIter: Iterator[InternalRow] = if (!forward) {
         // BACKWARD: consume right rows up to (lKey, lTs]; the last one
         // consumed for the current key is the match. Copied because the
         // underlying unsafe row buffer is reused by the sorter's iterator.
@@ -225,6 +229,7 @@ final case class AsOfJoinExec(
           }
         }
       }
+      resultIter.map(toUnsafe)
     }
   }
 

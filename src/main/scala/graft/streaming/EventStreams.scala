@@ -183,6 +183,85 @@ object EventStreams {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Streaming TEMPORAL enrichment — the streaming twin of the native
+    * batch as-of join ([[graft.operators.AsOfJoin.joinAsOfNative]],
+    * backward): the dimension is not a static table but a STREAM of
+    * versioned updates (a CDC changelog), and every event enriches with
+    * the latest version at-or-before its event time.
+    *
+    * Contract: `events` carries (key string, event_id long, ts long ≥ 0);
+    * `dimUpdates` carries (key string, version_ts long ≥ 0, payload
+    * string), per-key in non-decreasing version_ts order — the changelog
+    * contract (a CDC stream is per-key ordered by construction). Events
+    * may arrive in ANY order relative to each other and to versions.
+    *
+    * Semantics: each event is emitted on arrival with its current best
+    * match (null-extended when none), and RE-emitted whenever a
+    * later-arriving version changes its match — downstream
+    * last-write-wins per event_id therefore converges to exactly the
+    * batch as-of over the full data, which is what the spec pins across
+    * a checkpoint restart. An event becomes FINAL once its key's version
+    * high-water mark passes its timestamp (under the changelog contract
+    * no future version can match it) and leaves the state — pending
+    * state is bounded by how far events run ahead of their dimension,
+    * not by stream length. Version history is retained per key; a
+    * production deployment bounds it with the event-lateness watermark
+    * (versions older than the bound compact to their last
+    * representative), the same retention rule stream-stream joins apply.
+    */
+  def asOfEnrichStream(events: DataFrame, dimUpdates: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evTagged = events.select(
+      col("key").cast("string").as("k"), lit(true).as("is_event"),
+      col("event_id").cast("long").as("event_id"),
+      col("ts").cast("long").as("ev_ts"),
+      lit(0L).as("v_ts"), lit(null).cast("string").as("payload"))
+    val dimTagged = dimUpdates.select(
+      col("key").cast("string").as("k"), lit(false).as("is_event"),
+      lit(0L).as("event_id"), lit(0L).as("ev_ts"),
+      col("version_ts").cast("long").as("v_ts"),
+      col("payload").cast("string").as("payload"))
+    // state: (sorted version history (ts, payload), pending events
+    // (event_id, ts, last-emitted match; MinValue = never emitted,
+    // -1 = emitted unmatched))
+    evTagged.unionByName(dimTagged)
+      .as[(String, Boolean, Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Seq[(Long, String)], Seq[(Long, Long, Long)]),
+        (String, Long, Long, Option[Long], Option[String])](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Boolean, Long, Long, Long, String)],
+            state: GroupState[(Seq[(Long, String)], Seq[(Long, Long, Long)])]) =>
+          val (oldVersions, oldPending) =
+            state.getOption.getOrElse((Seq.empty[(Long, String)], Seq.empty[(Long, Long, Long)]))
+          val batch = rows.toSeq
+          val versions = (oldVersions ++ batch.collect {
+            case (_, false, _, _, vts, p) => (vts, p)
+          }).sortBy(_._1) // stable: same-ts re-delivery keeps last arrival
+          val hwm = versions.lastOption.map(_._1).getOrElse(Long.MinValue)
+          val pending = oldPending ++ batch.collect {
+            case (_, true, id, ts, _, _) => (id, ts, Long.MinValue)
+          }
+          val out = Seq.newBuilder[(String, Long, Long, Option[Long], Option[String])]
+          val keep = Seq.newBuilder[(Long, Long, Long)]
+          pending.foreach { case (id, ts, prev) =>
+            val m = versions.foldLeft(Option.empty[(Long, String)]) {
+              case (acc, v) => if (v._1 <= ts) Some(v) else acc
+            }
+            val mTs = m.map(_._1).getOrElse(-1L)
+            if (mTs != prev)
+              out += ((k, id, ts, m.map(_._1), m.map(_._2)))
+            if (ts >= hwm) keep += ((id, ts, mTs)) // still overtakable
+          }
+          state.update((versions, keep.result()))
+          out.result().iterator
+      }
+      .toDF("key", "event_id", "event_ts", "version_ts", "payload")
+  }
+
   /** Streaming ingest into a medallion table: each micro-batch appends
     * through the TableFormat seam (schema evolution included) — the
     * streaming twin of graft.ingest.Ingestor. Caller starts/stops the query.
@@ -418,6 +497,62 @@ object EventStreams {
       .select(col(groupCol),
         aggregate(slice(col("counters"), 1, width), lit(0L), _ + _).as("n_rows"),
         col("counters"))
+  }
+
+  /** Streaming fixed-bin histogram sketch per group — the QUANTILE leg
+    * completing the streaming sketch family (HLL cardinality, KMV set
+    * overlap, CMS frequency, this for percentile monitoring): state is
+    * the nBins-long count vector of
+    * [[graft.operators.HistogramSketch]]'s bins, bumped per micro-batch
+    * row with the scalar twin of the batch binning expression. Counts
+    * are pure sums, so the recovered state equals the batch sketch bin
+    * for bin across any micro-batch split or checkpoint restart
+    * (EventStreamsSpec), and stays mergeable/quantile-readable with any
+    * batch-built histogram. Emits (group, n_rows, counts) each batch.
+    */
+  def histogramSketchStream(events: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    import graft.operators.HistogramSketch
+    require(nBins >= 1 && hi > lo, "need hi > lo and nBins >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Double)], state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](nBins))
+          rows.foreach { case (_, v) =>
+            counts(HistogramSketch.binOfScalar(v, lo, hi, nBins)) += 1L
+          }
+          state.update(counts)
+          (g, counts.sum, counts.toSeq)
+      }
+      .toDF(groupCol, "n_rows", "counts")
+  }
+
+  /** Batch twin of [[histogramSketchStream]] — the same zero-filled
+    * per-group count vector from [[graft.operators.HistogramSketch]]'s
+    * relational sketch, bit-equal to the stream's final state.
+    */
+  def histogramSketchStreamBatch(events: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    import graft.operators.HistogramSketch
+    val sk = HistogramSketch.sketch(
+      events.select(col(groupCol).cast("string").as(groupCol), col(valueCol)),
+      groupCol, valueCol, lo, hi, nBins)
+    sk.groupBy(groupCol)
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt"))))
+        .as("m"))
+      .select(col(groupCol),
+        transform(sequence(lit(0), lit(nBins - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"))
+      .select(col(groupCol),
+        aggregate(col("counts"), lit(0L), _ + _).as("n_rows"), col("counts"))
   }
 
   /** Watermark-lateness audit over a RECORDED stream: replay the arrival

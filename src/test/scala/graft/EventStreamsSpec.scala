@@ -517,4 +517,132 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(emitted.subsetOf(twinPrefix ++ twinFull),
       s"spurious emissions: ${(emitted -- twinPrefix -- twinFull).map(_._1)}")
   }
+
+  test("streaming as-of enrich converges to the native batch as-of join across restarts") {
+    import spark.implicits._
+    val evDir = java.nio.file.Files.createTempDirectory("graft_asof_ev")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_asof_dim")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt")
+    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    // file 0: early versions + events, including id4 whose match will be
+    // OVERTAKEN by a later version (re-emission path) and id1 (no match)
+    stage(Seq(("a", 10L, "a1"), ("a", 20L, "a2")).toDF("key", "version_ts", "payload"),
+      dimDir, "0.parquet")
+    stage(Seq(("a", 1L, 5L), ("a", 2L, 10L), ("a", 3L, 25L), ("a", 4L, 35L))
+      .toDF("key", "event_id", "ts"), evDir, "0.parquet")
+    val dim1 = Seq(("a", 30L, "a3"), ("b", 15L, "b1")).toDF("key", "version_ts", "payload")
+    val ev1 = Seq(("b", 5L, 50L)).toDF("key", "event_id", "ts")
+    def evStream() = spark.readStream
+      .schema("key STRING, event_id BIGINT, ts BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(evDir.toString)
+    def dimStream() = spark.readStream
+      .schema("key STRING, version_ts BIGINT, payload STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dimDir.toString)
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Option[Long], Option[String])]()
+    def run(): Unit = {
+      val q = EventStreams.asOfEnrichStream(evStream(), dimStream())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emitted.add((seq.incrementAndGet(),
+            r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            Option(r.getString(4)))))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    stage(dim1, dimDir, "1.parquet")
+    stage(ev1, evDir, "1.parquet")
+    run() // restart: version history + pending events recover
+    // last emission per event must equal the batch as-of over ALL data
+    val lastPerEvent = {
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSeq.sortBy(_._1)
+        .map(e => e._2 -> ((e._3, e._4, e._5))).toMap
+    }
+    val allEv = Seq(("a", 1L, 5L), ("a", 2L, 10L), ("a", 3L, 25L),
+      ("a", 4L, 35L), ("b", 5L, 50L)).toDF("key", "event_id", "ts")
+    val allDim = Seq(("a", 10L, "a1"), ("a", 20L, "a2"), ("a", 30L, "a3"),
+      ("b", 15L, "b1")).toDF("dkey", "version_ts", "payload")
+    val batchTwin = graft.operators.AsOfJoin.joinAsOfNative(
+      allEv, allDim, Seq("key"), "ts", Seq("dkey"), "version_ts",
+      graft.plans.AsOfBackward)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getString(5))))).toMap
+    assert(batchTwin.size == 5)
+    assert(lastPerEvent == batchTwin)
+    // the overtaken event was emitted at least twice (a2 then a3)
+    val id4Emissions = {
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSeq.filter(_._2 == 4L).map(_._5).distinct
+    }
+    assert(id4Emissions.toSet == Set(Some("a2"), Some("a3")))
+  }
+
+  test("streaming histogram bins equal the batch sketch TO THE BIT across restarts") {
+    // bin counts are pure sums over the shared scalar/column binning, so
+    // micro-batch splits and a restart cannot move a count between bins
+    val (lo, hi, nBins) = (0.0, 100.0, 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hist_ckpt")
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val cut = ev.select(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+      .head.getTimestamp(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    stage(ev.filter(col("ts") <= cut), "0.parquet")
+    def stream() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val emittedBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Seq[Long])]()
+    def run(): Unit = {
+      val q = EventStreams.histogramSketchStream(
+          stream(), "event_type", "value", lo, hi, nBins)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emittedBuf.add(
+            (r.getString(0), r.getLong(1), r.getSeq[Long](2))))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    stage(ev.filter(col("ts") > cut), "1.parquet")
+    run()
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Seq[Long])] =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val emitted = {
+      import scala.jdk.CollectionConverters._
+      emittedBuf.asScala.toSet
+    }
+    val twinPrefix = rowSet(EventStreams.histogramSketchStreamBatch(
+      ev.filter(col("ts") <= cut), "event_type", "value", lo, hi, nBins))
+    val twinFull = rowSet(EventStreams.histogramSketchStreamBatch(
+      ev, "event_type", "value", lo, hi, nBins))
+    assert(twinFull.nonEmpty)
+    assert(twinFull.exists(_._3.count(_ > 0L) > 3),
+      "test should spread mass over several bins")
+    assert(twinFull.subsetOf(emitted),
+      s"missing final states: ${(twinFull -- emitted).map(_._1)}")
+    assert(emitted.subsetOf(twinPrefix ++ twinFull),
+      s"spurious emissions: ${(emitted -- twinPrefix -- twinFull).map(_._1)}")
+  }
 }

@@ -100,6 +100,21 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("prefix-filter candidate join is shuffled, never a static broadcast") {
+    // the prefix frame is an expansion (explode of per-doc shingle sets)
+    // whose stats inherit the compressed scan estimate — the exact shape
+    // NoBroadcastOverExpansion exists for; the operator also pins
+    // SHUFFLE_HASH on both sides. A static broadcast here OOMs the driver
+    // at corpus scale.
+    val p = plan("q239_prefix_filter_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // every join side here grows with the corpus (vocab df aggregate,
+    // |d|-long token-set arrays, pair frame) — a static broadcast of any
+    // of them is a driver OOM at scale
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("fuzzy matching joins on the block key, no cartesian expansion") {
     val p = plan("q98_fuzzy_match")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
