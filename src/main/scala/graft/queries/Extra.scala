@@ -1078,6 +1078,48 @@ object Extra {
       |FROM survivors GROUP BY 1, 2
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
+  /** q240: the NON-invertible half of incremental view maintenance —
+    * min/max cannot subtract a delete from a scalar, so the delta's
+    * dirty groups (deletes from 1-URGENT, repriced inserts into
+    * 3-MEDIUM: 6 of the 15 (status, priority) groups) are re-aggregated
+    * from the post-apply base via a semi-join-restricted scan and
+    * PATCHED over the untouched state rows, which never rescan. The
+    * oracle recomputes every group's min/max from scratch in DuckDB —
+    * hash equality proves the patch seam: a group wrongly marked clean
+    * would surface a stale extreme.
+    */
+  private val incrementalMinMax = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val o = Tables.orders(s, dir)
+      val groups = Seq("o_orderstatus", "o_orderpriority")
+      val aggs = Seq(min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"))
+      val state = o.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val deletes = o.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 3 === 0)
+      val inserts = o.filter(col("o_orderpriority") === "3-MEDIUM" &&
+          col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 50000.0)
+      val delta = deletes.unionByName(inserts)
+      val after = o.exceptAll(deletes).unionByName(inserts)
+      val dirty = IncrementalAgg.dirtyGroups(delta, groups)
+      val recomputed = IncrementalAgg.recomputeGroups(after, dirty, groups, aggs)
+      IncrementalAgg.patch(state, recomputed, dirty, groups)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    """WITH after AS (
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+      |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice + 50000.0
+      |  FROM orders
+      |  WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0)
+      |SELECT o_orderstatus, o_orderpriority,
+      |  MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p
+      |FROM after GROUP BY 1, 2
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1645,6 +1687,7 @@ object Extra {
     "q234_linkage_pipeline" -> linkagePipeline,
     "q99_snapshot_diff" -> snapshotDiff,
     "q238_incremental_agg" -> incrementalAgg,
+    "q240_incremental_minmax" -> incrementalMinMax,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,
