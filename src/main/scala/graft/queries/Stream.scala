@@ -733,6 +733,125 @@ object Stream {
       |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q241: VIDEO near-dup via per-frame perceptual hashes — the
+    * shot-level dedup that closes the multimodal family (bytes → image
+    * q232 → audio q235 → video): each video is its SET of frame dHashes,
+    * candidates come from an inverted frame-hash index (equi-join — a
+    * video pair is considered only if some frame hash collides), and
+    * near-dups are set-Jaccard ≥ 0.6 over frame hashes. The planted
+    * copies share 6 of 7 frames BRIGHTNESS-SHIFTED by +10 on every
+    * pixel: the raw bytes differ (byte-exact dedup finds nothing), but
+    * dHash's cross-multiplied gradient compare is EXACTLY invariant
+    * under a uniform shift, so the shared frames hash identically —
+    * the property that makes perceptual frame dedup strictly stronger
+    * than content-hash dedup. The oracle replays pixels → cell sums →
+    * gradient bits → band packing → frame keys → inverted-index join →
+    * set Jaccard entirely in SQL; finds exactly the 25 planted pairs at
+    * J = 6/8 = 0.75, zero cross-video frame collisions.
+    */
+  private val videoNearDup = QueryDef(
+    (s, dir) => {
+      import graft.multimodal.{Codecs, PerceptualHash}
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int")).as[Int]
+      val W = 36; val H = 32
+      def baseFrame(k: Int, f: Int, shift: Int): Array[Byte] =
+        Array.tabulate(W * H) { i =>
+          val x = i % W; val y = i / W
+          (16 + ((x * y + k * (x + 2 * y) + f * (3 * x + y) + k * k * 7) * 37) % 224
+            + shift).toByte
+        }
+      def newFrame(k: Int): Array[Byte] =
+        Array.tabulate(W * H) { i =>
+          val x = i % W; val y = i / W
+          (16 + ((x + y * 3 + k * 5 + 11) * 53) % 224).toByte
+        }
+      val frames = keys.flatMap { k =>
+        val base = (0 until 7).map(f =>
+          (k.toLong, Codecs.pgmBytes(W, H, baseFrame(k, f, 0))))
+        val copy = (1 until 7).map(f =>
+          (2000L + k, Codecs.pgmBytes(W, H, baseFrame(k, f, 10)))) :+
+          ((2000L + k, Codecs.pgmBytes(W, H, newFrame(k))))
+        base ++ copy
+      }
+      val hashes = frames.map { case (vid, bytes) =>
+        val (w, h, px) = Codecs.decodePgm(bytes)
+        val b = PerceptualHash.dHashBands(px, w, h)
+        (vid, s"${b(0)}_${b(1)}_${b(2)}_${b(3)}")
+      }.toDF("video_id", "frame_key").distinct()
+      val sets = hashes.groupBy("video_id")
+        .agg(sort_array(collect_set(col("frame_key"))).as("fs"),
+          count(lit(1)).as("sz"))
+      val cand = hashes.toDF("id_a", "frame_key").hint("shuffle_hash")
+        .join(hashes.toDF("id_b", "frame_key").hint("shuffle_hash"),
+          Seq("frame_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(sets.select(col("video_id").as("id_a"), col("fs").as("fs_a"),
+          col("sz").as("sz_a")).hint("shuffle_hash"), "id_a")
+        .join(sets.select(col("video_id").as("id_b"), col("fs").as("fs_b"),
+          col("sz").as("sz_b")).hint("shuffle_hash"), "id_b")
+        .withColumn("inter",
+          size(array_intersect(col("fs_a"), col("fs_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+      |fr AS (
+      |  SELECT CAST(k AS BIGINT) AS vid, k AS seed, f.f AS f,
+      |    0 AS shift, 0 AS isnew
+      |  FROM k, LATERAL (SELECT unnest(range(0, 7)) AS f) f
+      |  UNION ALL
+      |  SELECT CAST(2000 + k AS BIGINT), k, f.f, 10, 0
+      |  FROM k, LATERAL (SELECT unnest(range(1, 7)) AS f) f
+      |  UNION ALL
+      |  SELECT CAST(2000 + k AS BIGINT), k, 99, 0, 1 FROM k),
+      |px AS (
+      |  SELECT fr.vid, fr.f, xs.x, ys.y,
+      |    CASE WHEN fr.isnew = 1
+      |      THEN 16 + ((xs.x + ys.y*3 + fr.seed*5 + 11) * 53) % 224
+      |      ELSE 16 + ((xs.x*ys.y + fr.seed*(xs.x + 2*ys.y)
+      |           + fr.f*(3*xs.x + ys.y) + fr.seed*fr.seed*7) * 37) % 224
+      |           + fr.shift END AS v
+      |  FROM fr, LATERAL (SELECT unnest(range(0, 36)) AS x) xs,
+      |           LATERAL (SELECT unnest(range(0, 32)) AS y) ys),
+      |cells AS (
+      |  SELECT vid, f, x // 4 AS cx, y // 4 AS cy, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.vid, a.f, a.cy * 8 + a.cx AS bitidx,
+      |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.vid = b.vid AND a.f = b.f AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |bands AS (
+      |  SELECT vid, f, bitidx // 16 AS band_idx,
+      |    CAST(SUM(bit << (bitidx % 16)) AS INTEGER) AS bv
+      |  FROM bits GROUP BY 1, 2, 3),
+      |fkeys AS (
+      |  SELECT DISTINCT vid, CONCAT_WS('_',
+      |    MAX(CASE WHEN band_idx = 0 THEN bv END),
+      |    MAX(CASE WHEN band_idx = 1 THEN bv END),
+      |    MAX(CASE WHEN band_idx = 2 THEN bv END),
+      |    MAX(CASE WHEN band_idx = 3 THEN bv END)) AS fk
+      |  FROM bands GROUP BY vid, f),
+      |sz AS (SELECT vid, COUNT(*) AS n FROM fkeys GROUP BY 1),
+      |inter AS (
+      |  SELECT a.vid AS ia, b.vid AS ib, COUNT(*) AS c
+      |  FROM fkeys a JOIN fkeys b ON a.fk = b.fk AND a.vid < b.vid
+      |  GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b, c AS inter, x.n AS sz_a, y.n AS sz_b,
+      |  CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      |FROM inter JOIN sz x ON ia = x.vid JOIN sz y ON ib = y.vid
+      |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= CAST('0.6' AS DOUBLE)
+      |ORDER BY id_a, id_b""".stripMargin)
+
   /** q236: oracle-exact count-min frequency sketch (CmsMd5) — the
     * frequency leg of the md5-parity sketch trio (HLL q223 cardinality,
     * KMV q224 overlap). Per event type, ONE map-side-combining
@@ -941,6 +1060,7 @@ object Stream {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "q241_video_near_dup" -> videoNearDup,
     "q236_cms_frequency" -> cmsFrequency,
     "q235_audio_near_dup" -> audioNearDup,
     "q233_stream_kmv" -> streamKmv,
