@@ -1120,6 +1120,69 @@ object Extra {
       |FROM after GROUP BY 1, 2
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 
+  /** q242: incremental maintenance of a JOIN view (IncrementalJoin) —
+    * the materialized revenue-by-(segment, status) view over
+    * customer ⋈ orders refreshed from CDC deltas on BOTH sides at once
+    * (every 53rd customer switches segment; orders deleted / repriced /
+    * re-inserted as in q238) via the three-term signed delta rule
+    * ΔV = ΔR⋈S + R⋈ΔS + ΔR⋈ΔS. The plan only ever joins a delta side
+    * against a base side — never recomputes the base join — and the
+    * oracle recomputes the post-delta join-aggregate FROM SCRATCH in
+    * DuckDB, so hash equality proves the algebra including the
+    * cross-side cancellation term (a switched customer meeting a
+    * repriced order must net exactly one −old +new pair).
+    */
+  private val incrementalJoin = QueryDef(
+    (s, dir) => {
+      import graft.operators.{IncrementalAgg, IncrementalJoin}
+      val groups = Seq("seg", "o_orderstatus")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val base = IncrementalAgg.state(c.join(o, Seq("k")), groups, sums)
+      val switched = c.filter(col("k") % 53 === 0)
+      val cDelta = switched.withColumn("op", lit("delete"))
+        .unionByName(switched.withColumn("seg", lit("SWITCHED"))
+          .withColumn("op", lit("insert")))
+      val oRepOld = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 101 =!= 0)
+        .withColumn("op", lit("delete"))
+      val oDelta = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(oRepOld)
+        .unionByName(oRepOld.withColumn("op", lit("insert"))
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("op", lit("insert")))
+      IncrementalAgg.refresh(base,
+          IncrementalJoin.deltaJoinState(c, cDelta, o, oDelta,
+            "op", Seq("k"), groups, sums),
+          groups, sums.map(_._1))
+        .select(col("seg"), col("o_orderstatus"), col("n").as("n_rows"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("seg", "o_orderstatus")
+    },
+    """WITH c2 AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 53 = 0 THEN 'SWITCHED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |o2 AS (
+      |  SELECT o_custkey AS k, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 103 = 0)
+      |SELECT seg, o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM o2 JOIN c2 USING (k)
+      |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1688,6 +1751,7 @@ object Extra {
     "q99_snapshot_diff" -> snapshotDiff,
     "q238_incremental_agg" -> incrementalAgg,
     "q240_incremental_minmax" -> incrementalMinMax,
+    "q242_incremental_join" -> incrementalJoin,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

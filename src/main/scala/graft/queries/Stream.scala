@@ -1059,7 +1059,57 @@ object Stream {
          |FROM sk GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q243: continuous IVM, batch twin — the q238 delta rule folded
+    * through FOUR sequential micro-batch chunks (IvmStream.foldRefresh,
+    * chunks = o_orderkey % 4), exactly the computation the streaming
+    * maintainAggStream runs per foreachBatch commit. Refresh COMPOSES:
+    * state after chunk 4 must equal a one-shot refresh, must equal a
+    * from-scratch recompute — the oracle checks the last leg in DuckDB
+    * while the plan only ever touches base state + chunk deltas.
+    * IvmStreamSpec pins the first leg on the real stream (file source,
+    * versioned state, checkpoint restart mid-delta).
+    */
+  private val streamIvm = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      import graft.streaming.IvmStream
+      val o = Tables.orders(s, dir)
+      val groups = Seq("o_orderpriority")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val base = IncrementalAgg.state(o, groups, sums)
+      val repOld = o.filter(col("o_orderkey") % 83 === 0 &&
+          col("o_orderkey") % 89 =!= 0)
+        .withColumn("op", lit("delete"))
+      val delta = o.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(repOld)
+        .unionByName(repOld.withColumn("op", lit("insert"))
+          .withColumn("o_totalprice", col("o_totalprice") + 250.0))
+        .unionByName(o.filter(col("o_orderkey") % 79 === 0)
+          .withColumn("op", lit("insert")))
+        .select(col("op"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"))
+      val chunks = (0 until 4).map(i =>
+        delta.filter(col("o_orderkey") % 4 === i))
+      IvmStream.foldRefresh(base, chunks, "op", groups, sums)
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    """WITH survivors AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 250.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 89 <> 0
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 79 = 0)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM survivors GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q243_stream_ivm" -> streamIvm,
     "q241_video_near_dup" -> videoNearDup,
     "q236_cms_frequency" -> cmsFrequency,
     "q235_audio_near_dup" -> audioNearDup,
