@@ -48,6 +48,26 @@ object IncrementalJoin {
       rOld: DataFrame, rDelta: DataFrame,
       sOld: DataFrame, sDelta: DataFrame,
       opCol: String, joinKeys: Seq[String],
+      groupCols: Seq[String], sums: Seq[(String, String)]): DataFrame =
+    deltaJoinStateSigned(
+      rOld.withColumn("__m", lit(1)), rDelta,
+      sOld.withColumn("__m", lit(1)), sDelta,
+      "__m", opCol, joinKeys, groupCols, sums)
+
+  /** As [[deltaJoinState]], but the base sides are themselves SIGNED
+    * multisets: `signCol` (±1) on `rOld`/`sOld`. This is the
+    * log-structured form a continuously maintained view keeps its base
+    * relations in — base rows (+1) unioned with every applied delta-log
+    * row (±1) — so a delete NEVER rewrites a snapshot, it just appends a
+    * −1 row ([[graft.streaming.IvmStream.maintainJoinAggStream]]'s
+    * storage). The multiset a signed union denotes is exactly the
+    * post-delta relation, so the three-term rule applies unchanged with
+    * every pair's sign the product of its sides' signs.
+    */
+  def deltaJoinStateSigned(
+      rOld: DataFrame, rDelta: DataFrame,
+      sOld: DataFrame, sDelta: DataFrame,
+      signCol: String, opCol: String, joinKeys: Seq[String],
       groupCols: Seq[String], sums: Seq[(String, String)]): DataFrame = {
 
     def signed(df: DataFrame, as: String): DataFrame =
@@ -56,6 +76,8 @@ object IncrementalJoin {
 
     val rD = signed(rDelta, "m_r")
     val sD = signed(sDelta, "m_s")
+    val rO = rOld.withColumnRenamed(signCol, "mo_r")
+    val sO = sOld.withColumnRenamed(signCol, "mo_s")
 
     // Each term normalized to (groupCols..., sign, sumValueCols...)
     def term(left: DataFrame, right: DataFrame,
@@ -64,14 +86,16 @@ object IncrementalJoin {
         .select(groupCols.map(col) ++ Seq(sign.as("sign")) ++
           sums.map { case (out, v) => col(v).as(s"v_$out") }: _*)
 
-    val t1 = term(rD, sOld, col("m_r"))
-    val t2 = term(rOld, sD, col("m_s"))
+    val t1 = term(rD, sO, col("m_r") * col("mo_s"))
+    val t2 = term(rO, sD, col("mo_r") * col("m_s"))
     val t3 = term(rD, sD, col("m_r") * col("m_s"))
 
     t1.unionByName(t2).unionByName(t3)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("sign").cast("long")).as("n"),
         sums.map { case (out, _) =>
+          // sign is a product of ±1s, so it is itself ±1 — the
+          // branch keeps the sum at dec2's exact precision
           sum(when(col("sign") === 1, OracleArith.dec2(col(s"v_$out")))
             .otherwise(-OracleArith.dec2(col(s"v_$out")))).as(out)
         }: _*)

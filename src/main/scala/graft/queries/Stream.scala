@@ -1108,7 +1108,74 @@ object Stream {
       |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM survivors GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 
+  /** q244: continuously maintained JOIN view, batch twin — three
+    * two-sided CDC chunks (customers re-segmenting AND orders
+    * deleting/repricing/arriving, chunked by key % 3) folded through
+    * IvmStream.foldJoinRefresh: each chunk's ΔV comes from the
+    * three-term signed rule against the relations AS OF the previous
+    * chunk, kept as signed multisets (base +1 ∪ applied deltas ±1 — the
+    * log-structured form maintainJoinAggStream persists; no snapshot is
+    * ever rewritten). The oracle recomputes the final join-aggregate
+    * from scratch, so hash equality proves chunked two-sided maintenance
+    * converges to truth regardless of how history was sliced —
+    * IvmStreamSpec pins the same fold against the real multi-table CDC
+    * stream across a checkpoint restart.
+    */
+  private val streamJoinIvm = QueryDef(
+    (s, dir) => {
+      import graft.streaming.IvmStream
+      val groups = Seq("seg", "o_orderstatus")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val moved = c.filter(col("k") % 47 === 0)
+      val cDelta = moved.withColumn("op", lit("delete"))
+        .unionByName(moved.withColumn("seg", lit("MOVED"))
+          .withColumn("op", lit("insert")))
+      val repOld = o.filter(col("o_orderkey") % 107 === 0 &&
+          col("o_orderkey") % 109 =!= 0)
+        .withColumn("op", lit("delete"))
+      val oDelta = o.filter(col("o_orderkey") % 109 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(repOld)
+        .unionByName(repOld.withColumn("op", lit("insert"))
+          .withColumn("o_totalprice", col("o_totalprice") + 125.0))
+        .unionByName(o.filter(col("o_orderkey") % 113 === 0)
+          .withColumn("op", lit("insert")))
+      val chunks = (0 until 3).map(i => (
+        cDelta.filter(col("k") % 3 === i)
+          .select("op", "k", "seg"),
+        oDelta.filter(col("o_orderkey") % 3 === i)
+          .select("op", "k", "o_orderstatus", "o_totalprice")))
+      IvmStream.foldJoinRefresh(c, o.drop("o_orderkey"), chunks,
+          "op", Seq("k"), groups, sums)
+        .select(col("seg"), col("o_orderstatus"), col("n").as("n_rows"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("seg", "o_orderstatus")
+    },
+    """WITH c2 AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 47 = 0 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |o2 AS (
+      |  SELECT o_custkey AS k, o_orderstatus,
+      |    CASE WHEN o_orderkey % 107 = 0 THEN o_totalprice + 125.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 109 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 113 = 0)
+      |SELECT seg, o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM o2 JOIN c2 USING (k)
+      |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q244_stream_join_ivm" -> streamJoinIvm,
     "q243_stream_ivm" -> streamIvm,
     "q241_video_near_dup" -> videoNearDup,
     "q236_cms_frequency" -> cmsFrequency,

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.IncrementalAgg
+import graft.operators.{IncrementalAgg, IncrementalJoin}
 
 /** Continuous incremental view maintenance: a materialized grouped
   * count/sum view kept current from a CDC delta STREAM — the streaming
@@ -88,4 +89,117 @@ object IvmStream {
             groupCols, sums.map(_._1))
           .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
       }
+
+  /** Sequential multi-batch JOIN-view refresh — the batch twin of
+    * [[maintainJoinAggStream]]: each chunk is a (ΔR, ΔS) pair applied
+    * through the three-term signed delta rule against the relations AS
+    * OF the previous chunk, kept as signed multisets (base +1 ∪ applied
+    * deltas ±1) so no chunk ever rewrites a base snapshot.
+    */
+  def foldJoinRefresh(rBase: DataFrame, sBase: DataFrame,
+      chunks: Seq[(DataFrame, DataFrame)], opCol: String,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      sums: Seq[(String, String)]): DataFrame = {
+    def signed(d: DataFrame): DataFrame =
+      d.withColumn("__m",
+        when(col(opCol) === "insert", 1).otherwise(-1)).drop(opCol)
+    val init = (
+      rBase.withColumn("__m", lit(1)),
+      sBase.withColumn("__m", lit(1)),
+      IncrementalAgg.state(rBase.join(sBase, joinKeys), groupCols, sums))
+    chunks.foldLeft(init) { case ((rOld, sOld, state), (rD, sD)) =>
+      (rOld.unionByName(signed(rD)), sOld.unionByName(signed(sD)),
+        IncrementalAgg.refresh(state,
+          IncrementalJoin.deltaJoinStateSigned(rOld, rD, sOld, sD,
+            "__m", opCol, joinKeys, groupCols, sums),
+          groupCols, sums.map(_._1)))
+    }._3
+  }
+
+  /** Maintain a JOIN-aggregate view from ONE multi-table CDC stream (the
+    * shape a CDC bus delivers: each row tagged `sideCol` ∈ {"r", "s"}
+    * with the other side's columns null). Storage is log-structured:
+    *
+    *   - `statePath/rlog`, `statePath/slog` — append-only SIGNED delta
+    *     logs, one partition per micro-batch (`__batch_id=<id>`,
+    *     dynamic-overwrite so an at-least-once replay rewrites its own
+    *     partition, the [[EventStreams.idempotentAppend]] discipline);
+    *   - `statePath/view/v=<id>` — the versioned maintained view,
+    *     [[maintainAggStream]]'s exactly-once chain.
+    *
+    * Batch B joins its deltas against base ∪ log(< B) — partition
+    * pruning makes "committed log prefix" a filter, never a rescan of
+    * data files beyond the log — and a delete is a −1 log row, so base
+    * relations are NEVER rewritten. Log growth is bounded by compacting
+    * the log into a new base version offline (q154's machinery); the
+    * algebra is indifferent to when, since base ∪ log is the same
+    * multiset before and after.
+    */
+  def maintainJoinAggStream(cdc: DataFrame,
+      rBase: DataFrame, sBase: DataFrame,
+      statePath: String, checkpointDir: String,
+      sideCol: String, opCol: String, joinKeys: Seq[String],
+      rCols: Seq[String], sCols: Seq[String],
+      groupCols: Seq[String], sums: Seq[(String, String)]): DataStreamWriter[Row] =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def side(tag: String, cols: Seq[String]): DataFrame =
+          batch.filter(col(sideCol) === tag)
+            .select((opCol +: cols).map(col): _*)
+        val rD = side("r", rCols)
+        val sD = side("s", sCols)
+        def appendLog(d: DataFrame, path: String): Unit =
+          d.withColumn("__m",
+              when(col(opCol) === "insert", 1).otherwise(-1))
+            .drop(opCol)
+            .withColumn("__batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(path)
+        appendLog(rD, s"$statePath/rlog")
+        appendLog(sD, s"$statePath/slog")
+        def oldSide(base: DataFrame, path: String): DataFrame = {
+          val withSign = base.withColumn("__m", lit(1))
+          // enumerate committed partitions explicitly: a replayed batch's
+          // own (possibly partial, pre-crash) partition must never reach
+          // the reader — not even its parquet footers
+          val committed = listLogBatches(spark, path, before = batchId)
+          if (committed.isEmpty) withSign
+          else withSign.unionByName(
+            spark.read.parquet(
+              committed.map(b => s"$path/__batch_id=$b"): _*))
+        }
+        val prev = latestState(spark, s"$statePath/view", before = batchId)
+          .getOrElse(IncrementalAgg.state(
+            rBase.join(sBase, joinKeys), groupCols, sums))
+        IncrementalAgg.refresh(prev,
+            IncrementalJoin.deltaJoinStateSigned(
+              oldSide(rBase, s"$statePath/rlog"), rD,
+              oldSide(sBase, s"$statePath/slog"), sD,
+              "__m", opCol, joinKeys, groupCols, sums),
+            groupCols, sums.map(_._1))
+          .write.mode("overwrite").parquet(s"$statePath/view/v=$batchId")
+      }
+
+  /** Committed log batch ids below `before`, ascending; empty when the
+    * log has no such partition (or does not exist yet). Batches below
+    * the in-flight one are complete because Structured Streaming
+    * serializes micro-batches per query.
+    */
+  def listLogBatches(spark: SparkSession, logPath: String,
+      before: Long): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(logPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("__batch_id=") =>
+        n.stripPrefix("__batch_id=").toLong }
+      .filter(_ < before)
+      .sorted
+  }
 }

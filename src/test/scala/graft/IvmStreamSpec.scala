@@ -99,4 +99,98 @@ class IvmStreamSpec extends AnyFunSuite {
       rowSet(mid))
     o.unpersist(); delta.unpersist()
   }
+
+  test("join view maintained from one multi-table CDC stream across restart") {
+    val jGroups = Seq("seg", "o_orderstatus")
+    val c = Tables.customer(spark, SparkTestSession.sfDir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      .cache()
+    val o = Tables.orders(spark, SparkTestSession.sfDir)
+      .select(col("o_custkey").as("k"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")).cache()
+
+    // the q244 delta, tagged with a side column on one superset schema
+    val moved = c.filter(col("k") % 47 === 0)
+    val cDelta = moved.withColumn("op", lit("delete"))
+      .unionByName(moved.withColumn("seg", lit("MOVED"))
+        .withColumn("op", lit("insert")))
+    val repOld = o.filter(col("o_orderkey") % 107 === 0 &&
+        col("o_orderkey") % 109 =!= 0)
+      .withColumn("op", lit("delete"))
+    val oDelta = o.filter(col("o_orderkey") % 109 === 0)
+      .withColumn("op", lit("delete"))
+      .unionByName(repOld)
+      .unionByName(repOld.withColumn("op", lit("insert"))
+        .withColumn("o_totalprice", col("o_totalprice") + 125.0))
+      .unionByName(o.filter(col("o_orderkey") % 113 === 0)
+        .withColumn("op", lit("insert")))
+    def cdcRows(i: Int): DataFrame =
+      cDelta.filter(col("k") % 3 === i)
+        .select(lit("r").as("side"), col("op"), col("k"), col("seg"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+        .unionByName(
+          oDelta.filter(col("o_orderkey") % 3 === i)
+            .select(lit("s").as("side"), col("op"), col("k"),
+              lit(null).cast("string").as("seg"),
+              col("o_orderstatus"), col("o_totalprice")))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_jivm_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jivm_ckpt")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_jivm_state").toString
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jivm_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(
+        java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get,
+        java.nio.file.Paths.get(s"$srcDir/$name"))
+    }
+    def run(): Unit = {
+      val cdc = spark.readStream
+        .schema("side STRING, op STRING, k BIGINT, seg STRING, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = IvmStream.maintainJoinAggStream(cdc, c, o.drop("o_orderkey"),
+        statePath, ckpt.toString, "side", "op", Seq("k"),
+        rCols = Seq("k", "seg"),
+        sCols = Seq("k", "o_orderstatus", "o_totalprice"),
+        jGroups, sums).start()
+      q.processAllAvailable(); q.stop()
+    }
+    stage(cdcRows(0), "0.parquet"); stage(cdcRows(1), "1.parquet")
+    run()
+    stage(cdcRows(2), "2.parquet")
+    run() // restart: logs + view versions continue on the checkpoint
+
+    def jRowSet(df: DataFrame): Set[(String, String, Long, BigDecimal)] =
+      df.select(col("seg"), col("o_orderstatus"), col("n"),
+        col("sum_price").cast("decimal(18,2)"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3)))).toSet
+
+    // final maintained view == from-scratch recompute of post-delta R ⋈ S
+    val cAfter = c.filter(col("k") % 47 =!= 0)
+      .unionByName(moved.withColumn("seg", lit("MOVED")))
+    val oAfter = o.filter(col("o_orderkey") % 109 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 107 === 0, col("o_totalprice") + 125.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 113 === 0))
+    val truth = IncrementalAgg.state(
+      cAfter.join(oAfter.drop("o_orderkey"), Seq("k")), jGroups, sums)
+    assert(jRowSet(IvmStream.latestState(spark, s"$statePath/view").get) ==
+      jRowSet(truth),
+      "maintained join view diverged from full recompute")
+
+    // both logs hold one committed partition per micro-batch
+    assert(IvmStream.listLogBatches(spark, s"$statePath/rlog",
+      Long.MaxValue).length == 3)
+    assert(IvmStream.listLogBatches(spark, s"$statePath/slog",
+      Long.MaxValue).length == 3)
+    c.unpersist(); o.unpersist()
+  }
 }
