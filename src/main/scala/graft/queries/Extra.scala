@@ -297,6 +297,56 @@ object Extra {
       |LEFT JOIN views v ON v.user_id = p.user_id AND v.ts = b.view_ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** q245: POINT-IN-TIME enrichment — the feature-store training join:
+    * each order picks up the customer-balance attribute from the SCD2
+    * version VALID AT o_orderdate, never a later one (using today's
+    * value for yesterday's label is the classic leakage bug this
+    * operator exists to prevent). Because SCD2 versions tile time, "the
+    * version whose interval contains t" IS "the latest version with
+    * valid_from ≤ t", so the whole interval-membership join rides the
+    * native as-of exec (one exchange per side, O(left+right) merge —
+    * q219's plan) instead of a range join. The dimension history is a
+    * deterministic three-version synthesis (base balance from
+    * 1992-01-01; +1000 from 1994-06-15 for every 7th customer; +3000
+    * from 1996-03-01 for every 21st), and the oracle is DuckDB's own
+    * ASOF JOIN over the identically synthesized history — row-level
+    * hash equality across every order.
+    */
+  private val pitEnrich = QueryDef(
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+      def version(flt: org.apache.spark.sql.Column, from: String,
+          bump: Double) =
+        c.filter(flt).select(col("c_custkey").as("d_key"),
+          to_timestamp(lit(from)).as("d_from"),
+          (col("c_acctbal") + bump).as("d_bal"))
+      val hist = version(lit(true), "1992-01-01", 0.0)
+        .unionByName(version(col("c_custkey") % 7 === 0, "1994-06-15", 1000.0))
+        .unionByName(version(col("c_custkey") % 21 === 0, "1996-03-01", 3000.0))
+      val facts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_timestamp(col("o_orderdate")).as("ots"))
+      AsOfJoin.joinAsOfNative(facts, hist, key = "o_custkey",
+          leftTs = "ots", rightKey = "d_key", rightTs = "d_from")
+        .select(col("o_orderkey"), col("d_from").as("pit_from"),
+          col("d_bal").as("pit_bal"))
+        .orderBy("o_orderkey")
+    },
+    """WITH hist AS (
+      |  SELECT c_custkey, TIMESTAMP '1992-01-01' AS vts, c_acctbal AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, TIMESTAMP '1994-06-15', c_acctbal + 1000.0
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, TIMESTAMP '1996-03-01', c_acctbal + 3000.0
+      |  FROM customer WHERE c_custkey % 21 = 0)
+      |SELECT o_orderkey, h.vts AS pit_from, h.bal AS pit_bal
+      |FROM orders o ASOF LEFT JOIN hist h
+      |  ON o.o_custkey = h.c_custkey
+      |     AND h.vts <= CAST(o.o_orderdate AS TIMESTAMP)
+      |ORDER BY o_orderkey""".stripMargin)
+
   /** CUBE aggregation (SURVEY §2.4 A9's second half): all grouping-set
     * combinations of status × priority. SQL path for the same
     * ambiguity-check reason as q11_rollup.
@@ -1781,6 +1831,7 @@ object Extra {
     "q219_asof_native" -> asofNative,
     "q221_asof_forward" -> asofForward,
     "q222_asof_tolerance" -> asofTolerance,
+    "q245_pit_enrich" -> pitEnrich,
     "q27_cube" -> cubeAgg,
     "q28_percentiles" -> percentiles,
     "q44_lang_id" -> langId)

@@ -283,6 +283,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("q245 point-in-time enrichment rides the native as-of exec") {
+    // the SCD2 interval-membership join must plan as the as-of merge —
+    // no Window fallback, and above all no range/nested-loop join over
+    // the (order, version) pairs
+    val p = plan("q245_pit_enrich")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("nDCG eval reads PERSISTED KNN frames — the searches run once") {
     // the broadcast-wrapped eval joins must consume InMemoryTableScans,
     // not re-evaluate the projection + brute-force subtrees inside each
