@@ -1174,7 +1174,60 @@ object Stream {
       |FROM o2 JOIN c2 USING (k)
       |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
 
+  /** q246: signed-log compaction (IvmStream.compactSigned) — the step
+    * that bounds a maintained view's log growth: base(+1) ∪ CDC log(±1)
+    * collapses to net multiplicities, rows with net > 0 replicated net
+    * times, so (base', empty log) denotes the SAME multiset and
+    * maintenance continues unchanged. The gate compacts orders under
+    * the q243 delta (deletes cancel bit-identical base rows, a reprice
+    * nets −old +new, a duplicate insert nets 2 and must appear TWICE)
+    * and aggregates the compacted relation per priority with a
+    * key-checksum that counts multiplicity — DuckDB recomputes the
+    * survivor multiset from scratch.
+    */
+  private val logCompaction = QueryDef(
+    (s, dir) => {
+      import graft.core.OracleArith
+      import graft.streaming.IvmStream
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val repOld = o.filter(col("o_orderkey") % 83 === 0 &&
+          col("o_orderkey") % 89 =!= 0)
+        .withColumn("op", lit("delete"))
+      val log = o.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(repOld)
+        .unionByName(repOld.withColumn("op", lit("insert"))
+          .withColumn("o_totalprice", col("o_totalprice") + 250.0))
+        .unionByName(o.filter(col("o_orderkey") % 79 === 0)
+          .withColumn("op", lit("insert")))
+        .withColumn("__m",
+          when(col("op") === "insert", 1).otherwise(-1))
+        .drop("op")
+      IvmStream.compactSigned(
+          o.withColumn("__m", lit(1)).unionByName(log), "__m")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(OracleArith.dec2(col("o_totalprice")))
+            .cast("double").as("sum_price"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("o_orderpriority")
+    },
+    """WITH survivors AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 250.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 89 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 79 = 0)
+      |SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM survivors GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q246_log_compaction" -> logCompaction,
     "q244_stream_join_ivm" -> streamJoinIvm,
     "q243_stream_ivm" -> streamIvm,
     "q241_video_near_dup" -> videoNearDup,

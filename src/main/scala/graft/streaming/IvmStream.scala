@@ -183,6 +183,56 @@ object IvmStream {
           .write.mode("overwrite").parquet(s"$statePath/view/v=$batchId")
       }
 
+  /** Collapse a signed multiset (base +1 ∪ log ±1, the storage
+    * [[maintainJoinAggStream]] keeps its relations in) back into a plain
+    * relation: net multiplicity per distinct row, rows with net > 0
+    * replicated net times. This is the COMPACTION step that bounds log
+    * growth — the algebra is indifferent to when it runs because
+    * base ∪ log and its compaction denote the same multiset, so a
+    * maintenance stream can swap (base', empty log) for (base, log)
+    * between batches and every later ΔV is unchanged. Cost: one
+    * group-level shuffle over base+log; the explode is a Generate over
+    * net counts (net is a tiny int for CDC workloads — a row's history
+    * length, not a corpus dimension).
+    *
+    * `signCol` is consumed; a net < 0 row (a delete of a row the base
+    * never had) is a malformed feed and surfaces as a thrown error from
+    * the negative sequence length rather than being silently dropped.
+    */
+  def compactSigned(signed: DataFrame, signCol: String): DataFrame = {
+    val dataCols = signed.columns.filter(_ != signCol).toSeq
+    signed.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(signCol).cast("long")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      // explicit +1 step: sequence(1, net) with net < 0 would silently
+      // count DOWN; with the step pinned it throws on a malformed feed
+      .withColumn("__i", explode(sequence(lit(1L), col("__net"), lit(1L))))
+      .select(dataCols.map(col): _*)
+  }
+
+  /** Drop all but the newest `keepLast` committed view versions — the
+    * retention sweep for [[maintainAggStream]]'s state chain (q194's
+    * vacuum applied to maintained state). Never touches the newest
+    * version or any uncommitted directory. Returns the dropped ids.
+    */
+  def vacuumView(spark: SparkSession, statePath: String,
+      keepLast: Int): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 1, "must keep at least the newest version")
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val committed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .sorted
+    val drop = committed.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(s"$statePath/v=$v"), true))
+    drop
+  }
+
   /** Committed log batch ids below `before`, ascending; empty when the
     * log has no such partition (or does not exist yet). Batches below
     * the in-flight one are complete because Structured Streaming

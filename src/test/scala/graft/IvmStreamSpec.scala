@@ -193,4 +193,48 @@ class IvmStreamSpec extends AnyFunSuite {
       Long.MaxValue).length == 3)
     c.unpersist(); o.unpersist()
   }
+
+  test("compaction preserves the multiset and later deltas are unchanged") {
+    import spark.implicits._
+    import graft.operators.IncrementalJoin
+    val rBase = Seq((1L, "A"), (2L, "B"), (2L, "B"), (3L, "C"))
+      .toDF("k", "seg")
+    val rLog = Seq( // delete one of the duplicate 2s, delete 3 (both rows
+      // bit-identical to base), insert a second 1 (net 2) and a new 4
+      (-1, 2L, "B"), (-1, 3L, "C"), (1, 1L, "A"), (1, 4L, "D"))
+      .toDF("__m", "k", "seg")
+    val signed = rBase.withColumn("__m", lit(1)).unionByName(rLog)
+    val compacted = IvmStream.compactSigned(signed, "__m")
+    val got = compacted.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map((1L, "A") -> 2, (2L, "B") -> 1, (4L, "D") -> 1))
+
+    // the algebra cannot tell (base', empty) from (base, log): the next
+    // chunk's ΔV is identical against either representation
+    val sOld = Seq((1L, "O", 10.0), (2L, "O", 5.0), (4L, "O", 7.0))
+      .toDF("k", "status", "price").withColumn("__m", lit(1))
+    val rD = Seq(("delete", 4L, "D")).toDF("op", "k", "seg")
+    val sD = Seq(("insert", 1L, "F", 3.0)).toDF("op", "k", "status", "price")
+    def dv(rOld: org.apache.spark.sql.DataFrame) =
+      IncrementalJoin.deltaJoinStateSigned(rOld, rD, sOld, sD, "__m",
+        "op", Seq("k"), Seq("seg", "status"), Seq("total" -> "price"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).toPlainString)).toSet
+    assert(dv(signed) == dv(compacted.withColumn("__m", lit(1))))
+  }
+
+  test("vacuum drops old committed view versions, never the newest") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_vacuum").toString
+    import spark.implicits._
+    (0L to 3L).foreach(v => Seq((v, 1L)).toDF("ver", "n")
+      .write.parquet(s"$statePath/v=$v"))
+    val dropped = IvmStream.vacuumView(spark, statePath, keepLast = 2)
+    assert(dropped == Seq(0L, 1L))
+    assert(IvmStream.latestState(spark, statePath).get
+      .select("ver").head.getLong(0) == 3L)
+    // idempotent: nothing more to drop
+    assert(IvmStream.vacuumView(spark, statePath, keepLast = 2).isEmpty)
+  }
 }
