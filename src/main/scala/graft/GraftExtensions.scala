@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine-level guard against stats-blind broadcasts of exploded
     // subtrees (see the rule's scaladoc for the failure mode)
     ext.injectOptimizerRule(_ => graft.plans.NoBroadcastOverExpansion)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 

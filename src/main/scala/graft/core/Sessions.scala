@@ -56,6 +56,11 @@ object Sessions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.NoBroadcastOverExpansion
+    // maintained-view rewrite (no-op until a view is registered)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
     // gate hermeticity: this JVM removes its own on-disk gate artifacts at
     // exit, crashed runs included (idempotent; see Housekeeping)
     Housekeeping.installExitSweep(spark)

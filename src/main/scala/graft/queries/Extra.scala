@@ -1233,6 +1233,40 @@ object Extra {
       |FROM o2 JOIN c2 USING (k)
       |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
 
+  /** q247: transparent materialized-view rewrite (MvRewrite, the read
+    * half of the IVM family) — the gate materializes the
+    * (status, priority) count/sum view, registers it for the orders
+    * path, and then runs a PLAIN aggregate over the BASE table at a
+    * COARSER grouping (status only): the optimizer answers it by
+    * re-aggregating the group-sized view — counts sum, DECIMAL sums
+    * reassociate exactly — and the plan never scans orders
+    * (PlanShapeSpec pins that), while the oracle aggregates the base
+    * table from scratch in DuckDB. Equality proves rewrite + roll-up
+    * are exact, not just plausible.
+    */
+  private val mvRewrite = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val o = Tables.orders(s, dir)
+      val groups = Seq("o_orderstatus", "o_orderpriority")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val viewPath = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_mv_orders_${graft.core.Housekeeping.appTag(s)}"
+      IncrementalAgg.state(o, groups, sums)
+        .write.mode("overwrite").parquet(viewPath)
+      graft.plans.MvRewrite.register(s, s"$dir/orders.parquet", viewPath,
+        groups, Map("o_totalprice" -> "sum_price"))
+      o.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1802,6 +1836,7 @@ object Extra {
     "q238_incremental_agg" -> incrementalAgg,
     "q240_incremental_minmax" -> incrementalMinMax,
     "q242_incremental_join" -> incrementalJoin,
+    "q247_mv_rewrite" -> mvRewrite,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

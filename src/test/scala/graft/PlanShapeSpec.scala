@@ -283,6 +283,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("q247 answers the base-table aggregate FROM THE VIEW, no orders scan") {
+    val p = plan("q247_mv_rewrite")
+    assert(p.contains("graft_mv_orders_"), p.take(2000))
+    assert(!p.contains("orders.parquet"), p.take(2000))
+  }
+
   test("q245 point-in-time enrichment rides the native as-of exec") {
     // the SCD2 interval-membership join must plan as the as-of merge —
     // no Window fallback, and above all no range/nested-loop join over
