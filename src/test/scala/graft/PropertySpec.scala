@@ -488,4 +488,65 @@ class PropertySpec extends AnyFunSuite {
       assert(inBoth === trueBoth.toSet)
     }
   }
+
+  test("join-view IVM law: refresh from ANY random two-sided delta equals recompute") {
+    import graft.operators.{IncrementalAgg, IncrementalJoin}
+    import graft.streaming.IvmStream
+
+    val genR: Gen[List[(Long, String)]] = Gen.listOfN(10,
+      Gen.zip(Gen.choose(1L, 5L), Gen.oneOf("A", "B", "C")))
+    val genS: Gen[List[(Long, String, Double)]] = Gen.listOfN(14, Gen.zip(
+      Gen.choose(1L, 5L), Gen.oneOf("O", "F"),
+      Gen.choose(1, 80).map(_ * 0.25)))
+    val gen = Gen.zip(genR, genR, genS, genS) // (old, new) per side
+
+    // a well-formed CDC delta from old→new: deletes = old∖new,
+    // inserts = new∖old (multiset difference)
+    def diff[A](old: Seq[A], neu: Seq[A]): (Seq[A], Seq[A]) = {
+      val oldCounts = old.groupBy(identity).view.mapValues(_.size)
+      val newCounts = neu.groupBy(identity).view.mapValues(_.size)
+      def expand(m: Iterable[(A, Int)]): Seq[A] =
+        m.flatMap { case (a, n) => Seq.fill(n)(a) }.toSeq
+      (expand(oldCounts.map { case (a, n) =>
+        a -> (n - newCounts.getOrElse(a, 0)) }.filter(_._2 > 0)),
+        expand(newCounts.map { case (a, n) =>
+          a -> (n - oldCounts.getOrElse(a, 0)) }.filter(_._2 > 0)))
+    }
+
+    val groups = Seq("seg", "status")
+    val sums = Seq("total" -> "price")
+    def view(r: org.apache.spark.sql.DataFrame,
+        s: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.state(r.join(s, Seq("k")), groups, sums)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, String)] =
+      df.collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDecimal(3).stripTrailingZeros.toPlainString)).toSet
+
+    forAll(gen, n = 6) { case (rOldL, rNewL, sOldL, sNewL) =>
+      val rOld = rOldL.toDF("k", "seg"); val rNew = rNewL.toDF("k", "seg")
+      val sOld = sOldL.toDF("k", "status", "price")
+      val sNew = sNewL.toDF("k", "status", "price")
+      val (rDel, rIns) = diff(rOldL, rNewL)
+      val (sDel, sIns) = diff(sOldL, sNewL)
+      val rD = (rDel.map(("delete", _)) ++ rIns.map(("insert", _)))
+        .map { case (op, (k, g)) => (op, k, g) }.toDF("op", "k", "seg")
+      val sD = (sDel.map(("delete", _)) ++ sIns.map(("insert", _)))
+        .map { case (op, (k, st, p)) => (op, k, st, p) }
+        .toDF("op", "k", "status", "price")
+      val refreshed = IncrementalAgg.refresh(view(rOld, sOld),
+        IncrementalJoin.deltaJoinState(rOld, rD, sOld, sD, "op",
+          Seq("k"), groups, sums),
+        groups, Seq("total"))
+      assert(rows(refreshed) == rows(view(rNew, sNew)))
+      // compaction law: base ∪ signed delta collapses to exactly the
+      // new relation (as a multiset)
+      val signedR = rOld.withColumn("__m", lit(1)).unionByName(
+        rD.withColumn("__m",
+          when(col("op") === "insert", 1).otherwise(-1)).drop("op"))
+      val compacted = IvmStream.compactSigned(signedR, "__m")
+        .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+      assert(compacted.groupBy(identity).view.mapValues(_.size).toMap ==
+        rNewL.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+  }
 }
