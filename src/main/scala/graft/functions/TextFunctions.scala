@@ -219,6 +219,33 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** The Cyrillic/Greek letters that render identically to Latin ones —
+    * the substitutions dedup-evasion actually uses (Unicode TR39
+    * confusables, restricted to the bijective single-char core so the
+    * mapping is a plain `translate`). Paired with [[zeroWidthClass]],
+    * the two cheapest ways to make a copied document hash differently.
+    */
+  private[graft] val confusables: (String, String) = (
+    "аеорсхуАВЕКМНОРСТХіјѕοΑΒΕΖΗΙΚΜΝΟΡΤΧ",
+    "aeopcxyABEKMHOPCTXijsoABEZHIKMNOPTX")
+
+  /** Zero-width / invisible code points (ZWSP, ZWNJ, ZWJ, BOM) as a
+    * regex class — invisible insertions defeat byte-exact dedup while
+    * leaving the rendered text untouched.
+    */
+  private[graft] val zeroWidthClass = "[\\u200B\\u200C\\u200D\\uFEFF]"
+
+  /** Canonical form for EVASION-RESISTANT exact dedup: strip invisible
+    * code points and fold homoglyph confusables to their Latin
+    * skeletons, so a document copied with Cyrillic о-for-o swaps or
+    * zero-width insertions lands in the same hash bucket as its source.
+    * Pure codegen (`translate` + `regexp_replace`), zero shuffle; both
+    * steps replay verbatim in the oracle.
+    */
+  def canonicalForDedup(text: Column): Column =
+    translate(regexp_replace(text, zeroWidthClass, ""),
+      confusables._1, confusables._2)
+
   /** [[tokenCount]] with the empty/NULL guard every corpus aggregate
     * needs: empty or whitespace-only text counts 0 tokens (not the
     * split artifact's 1) and NULL text counts 0 (a missing document

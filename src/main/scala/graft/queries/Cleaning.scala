@@ -320,6 +320,60 @@ object Cleaning {
     * defined by UAX #15, not the library, so both engines must agree
     * exactly.
     */
+  /** q248: EVASION-RESISTANT dedup canonicalization
+    * (TextFunctions.canonicalForDedup) — the adversarial complement of
+    * q155's NFC story: a copied document with Cyrillic о-for-o homoglyph
+    * swaps (Unicode TR39 confusables) or zero-width insertions renders
+    * identically but hashes differently, so byte-exact dedup silently
+    * keeps the duplicate. The gate plants BOTH evasions (every 7th doc
+    * homoglyph-mutated under an offset id, every 11th with a trailing
+    * ZWSP; every 77th gets both) and reports the histogram of
+    * (normalized-group size × raw-hash variants): the planted copies
+    * MUST collapse into their source's normalized group while their raw
+    * hashes stay distinct — DuckDB replays translate + zero-width strip
+    * + md5 grouping from scratch.
+    */
+  private val confusablesDedup = QueryDef(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val homo = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeopcxy", "аеорсху").as("text"))
+      val zw = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit("\u200B")).as("text"))
+      docs.unionByName(homo).unionByName(zw)
+        .select(md5(col("text")).as("raw_h"),
+          md5(TextFunctions.canonicalForDedup(col("text"))).as("norm_h"))
+        .groupBy("norm_h")
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("raw_h")).as("raw_variants"))
+        .groupBy("sz", "raw_variants")
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy("sz", "raw_variants")
+    },
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, translate(text, 'aeopcxy', 'аеорсху')
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || chr(8203)
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |normed AS (
+      |  SELECT md5(text) AS raw_h,
+      |    md5(translate(
+      |      regexp_replace(text,
+      |        '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+      |        '', 'g'),
+      |      'аеорсхуАВЕКМНОРСТХіјѕοΑΒΕΖΗΙΚΜΝΟΡΤΧ',
+      |      'aeopcxyABEKMHOPCTXijsoABEZHIKMNOPTX')) AS norm_h
+      |  FROM corpus),
+      |g AS (SELECT norm_h, COUNT(*) AS sz, COUNT(DISTINCT raw_h) AS raw_variants
+      |      FROM normed GROUP BY 1)
+      |SELECT sz, raw_variants, COUNT(*) AS n_groups
+      |FROM g GROUP BY 1, 2 ORDER BY sz, raw_variants""".stripMargin)
+
   private val unicodeNfc = QueryDef(
     (s, dir) => {
       // combining marks spelled as escapes: cafe + U+0301, nai + U+0308 + ve
@@ -486,5 +540,6 @@ object Cleaning {
     "q151_source_deciles" -> sourceDeciles,
     "q152_robust_scale" -> robustScale,
     "q153_weighted_by_source" -> weightedBySource,
-    "q155_unicode_nfc" -> unicodeNfc)
+    "q155_unicode_nfc" -> unicodeNfc,
+    "q248_confusables_dedup" -> confusablesDedup)
 }

@@ -194,4 +194,24 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(got === s, s"input: $s")
     }
   }
+
+  test("canonicalForDedup folds homoglyphs and strips invisibles") {
+    import graft.functions.TextFunctions
+    def canon(s: String): String =
+      one[String](TextFunctions.canonicalForDedup(col("t")), s)
+    // Cyrillic-substituted copy collapses onto the Latin original
+    assert(canon("сору of secret dосument") == canon("copy of secret document"))
+    // zero-width insertions disappear (ZWSP, ZWNJ, ZWJ, BOM)
+    assert(canon("pass​word‌‍﻿") == "password")
+    // both evasions together
+    assert(canon("р​ауload") == "payload")
+    // visibly DIFFERENT text must stay distinct — the fold is not a
+    // blunt lowercasing or letter collapse
+    assert(canon("document") != canon("documents"))
+    assert(canon("Document") != canon("document"))
+    // the confusable map is bijective within the class: already-Latin
+    // text is untouched
+    for (s <- Seq("plain ascii", "MIXED Case 123", ""))
+      assert(canon(s) == s, s"input: $s")
+  }
 }
