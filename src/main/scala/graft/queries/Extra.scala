@@ -1247,14 +1247,27 @@ object Extra {
   private val mvRewrite = QueryDef(
     (s, dir) => {
       import graft.operators.IncrementalAgg
-      val o = Tables.orders(s, dir)
       val groups = Seq("o_orderstatus", "o_orderpriority")
       val sums = Seq("sum_price" -> "o_totalprice")
+      val tag = graft.core.Housekeeping.appTag(s)
+      // the gate owns its base table (a copy of orders): registering the
+      // SHARED orders path would also — correctly but opaquely — rewrite
+      // any other gate whose aggregate happens to match the view shape
+      // (q238's base state does); a private path keeps every other plan
+      // untouched and mirrors production, where the registered base is a
+      // specific table location
+      val basePath = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_mv_base_$tag"
       val viewPath = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_mv_orders_${graft.core.Housekeeping.appTag(s)}"
+        s"graft_mv_orders_$tag"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(basePath)
+      val o = s.read.parquet(basePath)
       IncrementalAgg.state(o, groups, sums)
         .write.mode("overwrite").parquet(viewPath)
-      graft.plans.MvRewrite.register(s, s"$dir/orders.parquet", viewPath,
+      graft.plans.MvRewrite.register(s, basePath, viewPath,
         groups, Map("o_totalprice" -> "sum_price"))
       o.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
