@@ -4,9 +4,10 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.IntegerType
@@ -74,14 +75,114 @@ object MvRewrite extends Rule[LogicalPlan] {
       MvDef(spark.read.parquet(viewPath).queryExecution.analyzed,
         groupCols, sums, mins, maxs))
 
+  /** A registered JOIN view (the read half of q242/q244's maintained
+    * join views): (left path, right path) → equi-key column-name pairs,
+    * analyzed view relation, group columns, sums.
+    */
+  final case class JoinMvDef(keys: Set[(String, String)],
+      viewPlan: LogicalPlan, groupCols: Seq[String],
+      sums: Map[String, String])
+
+  private val joinDefs = new TrieMap[(String, String), JoinMvDef]()
+
+  /** Register a maintained view of `leftPath ⋈ rightPath` on the given
+    * (leftCol, rightCol) equi-key pairs. Matching is orientation-exact:
+    * the query's join must have the registered left table on the left.
+    */
+  def registerJoin(spark: SparkSession, leftPath: String, rightPath: String,
+      keys: Seq[(String, String)], viewPath: String,
+      groupCols: Seq[String], sums: Map[String, String]): Unit =
+    joinDefs.put((normalize(leftPath), normalize(rightPath)),
+      JoinMvDef(keys.toSet,
+        spark.read.parquet(viewPath).queryExecution.analyzed,
+        groupCols, sums))
+
   def deregister(basePath: String): Unit = defs.remove(normalize(basePath))
-  def clear(): Unit = defs.clear()
+  def deregisterJoin(leftPath: String, rightPath: String): Unit =
+    joinDefs.remove((normalize(leftPath), normalize(rightPath)))
+  def clear(): Unit = { defs.clear(); joinDefs.clear() }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (defs.isEmpty) plan
+    if (defs.isEmpty && joinDefs.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
-        rewrite(grouping, aggExprs, child).getOrElse(agg)
+        rewrite(grouping, aggExprs, child)
+          .orElse(rewriteJoin(grouping, aggExprs, child))
+          .getOrElse(agg)
+    }
+
+  /** Strip pure column-pruning Projects (the shapes USING-joins and the
+    * column pruner insert).
+    */
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(child)
+    case other => other
+  }
+
+  private def pathOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        Some(normalize(fs.location.rootPaths.head.toString))
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The base relation under pruning Projects and IsNotNull-only
+    * Filters, returning the null-filtered column names. The optimizer
+    * derives `IsNotNull(key)` under every inner equi-join; stripping it
+    * is sound exactly when the filtered columns are the join keys (the
+    * inner-join view never contained null-key rows to begin with).
+    */
+  private def baseUnderNullFilters(
+      p: LogicalPlan): Option[(LogicalRelation, Set[String])] = p match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      baseUnderNullFilters(child)
+    case Filter(cond, child) =>
+      val names = conjuncts(cond).map {
+        case IsNotNull(a: AttributeReference) => a.name
+        case _ => return None
+      }
+      baseUnderNullFilters(child).map { case (lr, n) => (lr, n ++ names) }
+    case lr: LogicalRelation => Some((lr, Set.empty))
+    case _ => None
+  }
+
+  /** Aggregate over an inner equi-join of two registered relations →
+    * aggregate over the maintained join view, when the join keys are
+    * exactly the registered pairs and every output is provable as in
+    * [[rewrite]].
+    */
+  private def rewriteJoin(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] =
+    stripProjects(child) match {
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        for {
+          (lRel, lFiltered) <- baseUnderNullFilters(l)
+          (rRel, rFiltered) <- baseUnderNullFilters(r)
+          lPath <- pathOf(lRel)
+          rPath <- pathOf(rRel)
+          d <- joinDefs.get((lPath, rPath))
+          pairs <- Some(conjuncts(cond).map {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if j.left.outputSet.contains(a) &&
+                  j.right.outputSet.contains(b) => (a.name, b.name)
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+                if j.left.outputSet.contains(a) &&
+                  j.right.outputSet.contains(b) => (a.name, b.name)
+            case _ => return None
+          }.toSet) if pairs == d.keys &&
+            lFiltered.subsetOf(d.keys.map(_._1)) &&
+            rFiltered.subsetOf(d.keys.map(_._2))
+          rewritten <- buildViewAggregate(grouping, aggExprs,
+            MvDef(d.viewPlan, d.groupCols, d.sums))
+        } yield rewritten
+      case _ => None
     }
 
   /** The base relation under an optional column-pruning Project. */
@@ -148,10 +249,19 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
+      child: LogicalPlan): Option[LogicalPlan] =
     for {
       lr <- baseRelation(child)
       d <- registeredFor(lr)
+      rewritten <- buildViewAggregate(grouping, aggExprs, d)
+    } yield rewritten
+
+  /** The shared replacement constructor: grouping ⊆ the view's group
+    * columns, every output provable, exprIds pinned to the original's.
+    */
+  private def buildViewAggregate(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression], d: MvDef): Option[LogicalPlan] = {
+    for {
       groupNames <- Some(grouping.map {
         case a: AttributeReference => a.name
         case _ => return None

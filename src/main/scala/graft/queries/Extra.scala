@@ -1280,6 +1280,51 @@ object Extra {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
 
+  /** q249: JOIN-view rewrite (MvRewrite.registerJoin) — the star-schema
+    * capstone of the MV family: an aggregate over customer ⋈ orders is
+    * answered from the maintained JOIN view (q242/q244's layout) at a
+    * COARSER grouping, so the plan scans neither base table and never
+    * executes the join at all. Matching requires the exact registered
+    * equi-key pairs (orientation included) on an INNER join — anything
+    * else stays on the base plan. Oracle: DuckDB runs the real join +
+    * aggregate from scratch.
+    */
+  private val mvJoinRewrite = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val tag = graft.core.Housekeeping.appTag(s)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val groups = Seq("seg", "o_orderstatus")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val cPath = s"$tmp/graft_mvj_cust_$tag"
+      val oPath = s"$tmp/graft_mvj_ord_$tag"
+      val vPath = s"$tmp/graft_mvj_view_$tag"
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        .write.mode("overwrite").parquet(cPath)
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("ok"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(oPath)
+      val c = s.read.parquet(cPath)
+      val o = s.read.parquet(oPath)
+      IncrementalAgg.state(c.join(o, col("k") === col("ok")), groups, sums)
+        .write.mode("overwrite").parquet(vPath)
+      graft.plans.MvRewrite.registerJoin(s, cPath, oPath,
+        Seq("k" -> "ok"), vPath, groups, Map("o_totalprice" -> "sum_price"))
+      c.join(o, col("k") === col("ok"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("o_totalprice"))).as("sum_dec"))
+        .select(col("seg"), col("n_rows"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("seg")
+    },
+    s"""SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY seg""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1850,6 +1895,7 @@ object Extra {
     "q240_incremental_minmax" -> incrementalMinMax,
     "q242_incremental_join" -> incrementalJoin,
     "q247_mv_rewrite" -> mvRewrite,
+    "q249_mv_join_rewrite" -> mvJoinRewrite,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

@@ -87,6 +87,43 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!planOf(afterwards).contains("graft_mv_spec"))
   }
 
+  test("join-view rewrite fires only on the exact registered equi-join") {
+    import graft.core.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvj").toString
+    val c = Tables.customer(spark, SparkTestSession.sfDir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    val o = Tables.orders(spark, SparkTestSession.sfDir)
+      .select(col("o_custkey").as("ok"), col("o_orderstatus"),
+        col("o_totalprice"))
+    c.write.parquet(s"$dir/c"); o.write.parquet(s"$dir/o")
+    val cP = spark.read.parquet(s"$dir/c")
+    val oP = spark.read.parquet(s"$dir/o")
+    IncrementalAgg.state(cP.join(oP, col("k") === col("ok")),
+        Seq("seg", "o_orderstatus"), sums)
+      .write.parquet(s"$dir/view")
+    MvRewrite.registerJoin(spark, s"$dir/c", s"$dir/o",
+      Seq("k" -> "ok"), s"$dir/view", Seq("seg", "o_orderstatus"),
+      Map("o_totalprice" -> "sum_price"))
+    try {
+      def q(frame: DataFrame) = frame.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleArith.dec2(col("o_totalprice"))).as("s"))
+      val joined = q(cP.join(oP, col("k") === col("ok")))
+      assert(planOf(joined).contains(s"$dir/view"), planOf(joined).take(800))
+      assert(!planOf(joined).contains("Join"), planOf(joined).take(800))
+      // equality against the real join, computed after deregistration
+      val expected = q(cP.join(oP, col("k") === col("ok")))
+      // a DIFFERENT key condition must not fire
+      val wrongKeys = q(cP.join(oP, col("k") === col("ok") + 1))
+      assert(!planOf(wrongKeys).contains(s"$dir/view"))
+      // a LEFT join must not fire
+      val leftJoin = q(cP.join(oP, col("k") === col("ok"), "left"))
+      assert(!planOf(leftJoin).contains(s"$dir/view"))
+      MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")
+      assert(rows(joined) == rows(expected))
+    } finally MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")
+  }
+
   test("registered min/max columns answer min/max roll-ups from the view") {
     val viewPath = java.nio.file.Files
       .createTempDirectory("graft_mv_spec").toString

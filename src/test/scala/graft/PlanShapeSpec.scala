@@ -289,6 +289,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("orders.parquet"), p.take(2000))
   }
 
+  test("q249 answers the join-aggregate FROM THE JOIN VIEW — no join executes") {
+    val p = plan("q249_mv_join_rewrite")
+    assert(p.contains("graft_mvj_view_"), p.take(2000))
+    assert(!p.contains("graft_mvj_cust_"), p.take(2000))
+    assert(!p.contains("graft_mvj_ord_"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q245 point-in-time enrichment rides the native as-of exec") {
     // the SCD2 interval-membership join must plan as the as-of merge —
     // no Window fallback, and above all no range/nested-loop join over
