@@ -190,11 +190,13 @@ object Bench {
         // this bench writes (driver or builder), so a regression list can
         // never again be read without its environment context (the r8
         // working-tree diff lost the note because it lived outside the file)
-        "\"noise_floor\":\"same-code back-to-back full-suite runs measured " +
-        "167.0s vs 145.9s (cpu_steal 3.47% vs 0.71%) with 21 queries past " +
-        "+20% on identical code - sub-second queries swing 1-2s with " +
-        "hypervisor steal; compare regressions against env.cpu_steal_pct " +
-        "before attributing to code\"}"
+        "\"noise_floor\":\"same-code back-to-back full-suite runs (r9, 249 " +
+        "queries): totals 180.0s vs 177.6s (-1.3%, steal 2.25%/1.98%) yet " +
+        "54 queries past +20% and 46 past -20% on identical code - " +
+        "sub-second queries swing up to +-130% run to run while the " +
+        "total is stable; judge the TOTAL and multi-second queries, and " +
+        "compare sub-second deltas against env.cpu_steal_pct before " +
+        "attributing to code\"}"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out.toString.stripSuffix(".json") + "_prev_diff.json"),
         diffJson.getBytes("UTF-8"))
