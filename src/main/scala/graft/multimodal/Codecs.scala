@@ -33,7 +33,7 @@ object Codecs {
     def rms: Double = math.sqrt(sumSq.toDouble / nSamples)
   }
 
-  /** Canonical 44-byte-header mono/stereo 16-bit PCM WAV. */
+  /** Canonical 44-byte-header mono 16-bit PCM WAV. */
   def wavBytes(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
     val dataSize = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -82,6 +82,12 @@ object Codecs {
           val fmt = bb.getShort(p) & 0xFFFF
           require(fmt == 1, s"only PCM (format 1) supported, got $fmt")
           channels = bb.getShort(p + 2) & 0xFFFF
+          // the decode paths treat the data chunk as one channel of
+          // samples: a stereo file would report doubled counts and
+          // fingerprint across interleaved channels — refuse it here
+          // (the production decoder behind the seam de-interleaves)
+          require(channels == 1,
+            s"only mono PCM supported, got $channels channels")
           rate = bb.getInt(p + 4)
           bits = bb.getShort(p + 14) & 0xFFFF
           require(bits == 16, s"only 16-bit PCM supported, got $bits")

@@ -4,13 +4,13 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.core.OracleArith
 
@@ -22,17 +22,24 @@ import graft.core.OracleArith
   * the group-sized view instead of the base scan, INCLUDING coarser
   * grouping (any subset of the view's group columns re-aggregates the
   * view — counts sum, sums sum), which is what makes one maintained view
-  * serve a whole rollup family. At 100 TB the rewrite turns a
-  * full-fact-scan aggregate into a scan of thousands of rows, and
-  * because [[graft.streaming.IvmStream]] keeps the view bit-identical to
-  * a from-scratch recompute, the rewrite is exact, not approximate —
-  * the q247 gate's oracle aggregates the BASE table in DuckDB while the
-  * Spark plan never touches it (PlanShapeSpec pins the plan shape).
+  * serve a whole rollup family, AND group-column filters (a WHERE over
+  * view group columns selects whole groups, so it pushes onto the view
+  * scan exactly — the SIGMOD'01 "containment by predicate subsumption"
+  * special case that covers the everyday WHERE+GROUP BY report). At
+  * 100 TB the rewrite turns a full-fact-scan aggregate into a scan of
+  * thousands of rows, and because [[graft.streaming.IvmStream]] keeps the
+  * view bit-identical to a from-scratch recompute, the rewrite is exact,
+  * not approximate — the q247 gate's oracle aggregates the BASE table in
+  * DuckDB while the Spark plan never touches it (PlanShapeSpec pins the
+  * plan shape).
   *
   * Matching is deliberately conservative — it fires only when
   * equivalence is provable from the registration:
   *   - the aggregate's child is the registered base relation (bare or
-  *     under a column-pruning Project),
+  *     under a column-pruning Project), optionally under ONE filter whose
+  *     every referenced column is a view GROUP column (any deterministic
+  *     predicate: the view has one row per group carrying the exact group
+  *     values, so predicate-on-group-columns commutes with aggregation),
   *   - every grouping expression is a plain column ⊆ the view's group
   *     columns,
   *   - every aggregate is `count(1)`, `sum(CAST(c AS DECIMAL(18,2)))`
@@ -43,16 +50,57 @@ import graft.core.OracleArith
   *     `min(c)`/`max(c)` for a registered min/max column (min of group
   *     minima is exact under any roll-up; maintenance of those columns
   *     is the q240 dirty-group patch, but READING them is distributive).
-  * Anything else (filters, other functions, non-registered columns)
-  * leaves the plan untouched. Output attribute ids are preserved, so
-  * parent operators are unaffected.
+  * Anything else (non-group-column filters, other functions,
+  * non-registered columns) leaves the plan untouched. Output attribute
+  * ids are preserved, so parent operators are unaffected; the VIEW side
+  * is instantiated fresh per match (a union/join of two rewritten
+  * aggregates over the same base must not share relation exprIds).
+  *
+  * Registration comes in two flavors: [[register]] freezes one parquet
+  * listing (a static view), while [[registerVersioned]] points at an
+  * [[graft.streaming.IvmStream]] state ROOT and resolves the newest
+  * committed `v=N` at match time — a streaming refresh is picked up by
+  * the next query with no re-register, which is what makes continuous
+  * maintenance and transparent reads compose (q253).
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** A registered view: base-table path → (analyzed view relation,
-    * group columns, raw-sum-column → view-sum-column).
+  /** Where a registered view's plan comes from at match time. */
+  sealed trait ViewSource { def plan(): Option[LogicalPlan] }
+
+  /** A fixed parquet listing captured at registration. */
+  private final case class Frozen(p: LogicalPlan) extends ViewSource {
+    def plan(): Option[LogicalPlan] = Some(p)
+  }
+
+  /** Resolves the newest committed `v=N` under an IvmStream state root at
+    * MATCH time (commit = parquet `_SUCCESS`, the exactly-once chain's
+    * marker), caching the analyzed plan per version so steady-state
+    * matching costs one directory listing, not a re-analysis. None while
+    * no version has committed — the rule then leaves the plan on the
+    * base scan rather than failing the query.
     */
-  final case class MvDef(viewPlan: LogicalPlan, groupCols: Seq[String],
+  private final class Versioned(stateRoot: String) extends ViewSource {
+    @volatile private var cached: Option[(Long, LogicalPlan)] = None
+    def plan(): Option[LogicalPlan] = {
+      val spark = SparkSession.active
+      graft.streaming.IvmStream.latestVersion(spark, stateRoot).map { v =>
+        cached match {
+          case Some((cv, p)) if cv == v => p
+          case _ =>
+            val p = spark.read.parquet(s"$stateRoot/v=$v")
+              .queryExecution.analyzed
+            cached = Some((v, p))
+            p
+        }
+      }
+    }
+  }
+
+  /** A registered view: base-table path → (view source, group columns,
+    * raw-sum-column → view-sum-column, ditto min/max).
+    */
+  final case class MvDef(view: ViewSource, groupCols: Seq[String],
       sums: Map[String, String],
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty)
@@ -72,16 +120,34 @@ object MvRewrite extends Rule[LogicalPlan] {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty): Unit =
     defs.put(normalize(basePath),
-      MvDef(spark.read.parquet(viewPath).queryExecution.analyzed,
+      MvDef(Frozen(spark.read.parquet(viewPath).queryExecution.analyzed),
         groupCols, sums, mins, maxs))
+
+  /** Register a CONTINUOUSLY MAINTAINED view for `basePath`: `stateRoot`
+    * is the versioned state directory an
+    * [[graft.streaming.IvmStream.maintainAggStream]] writer advances
+    * (`v=0`, `v=1`, ...); every match resolves the newest committed
+    * version, so a refresh needs no re-register. Until the first version
+    * commits, queries stay on the base scan.
+    */
+  def registerVersioned(basePath: String, stateRoot: String,
+      groupCols: Seq[String], sums: Map[String, String],
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit =
+    defs.put(normalize(basePath),
+      MvDef(new Versioned(stateRoot), groupCols, sums, mins, maxs))
 
   /** A registered JOIN view (the read half of q242/q244's maintained
     * join views): (left path, right path) → equi-key column-name pairs,
-    * analyzed view relation, group columns, sums.
+    * view source, group columns, sums — plus each base side's column
+    * names, so grouping/sum attributes resolve to the side they were
+    * registered from (a same-named column on the OTHER side must refuse
+    * the rewrite, not silently answer from the wrong side's values).
     */
   final case class JoinMvDef(keys: Set[(String, String)],
-      viewPlan: LogicalPlan, groupCols: Seq[String],
-      sums: Map[String, String])
+      view: ViewSource, groupCols: Seq[String],
+      sums: Map[String, String],
+      lCols: Set[String], rCols: Set[String])
 
   private val joinDefs = new TrieMap[(String, String), JoinMvDef]()
 
@@ -94,8 +160,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       groupCols: Seq[String], sums: Map[String, String]): Unit =
     joinDefs.put((normalize(leftPath), normalize(rightPath)),
       JoinMvDef(keys.toSet,
-        spark.read.parquet(viewPath).queryExecution.analyzed,
-        groupCols, sums))
+        Frozen(spark.read.parquet(viewPath).queryExecution.analyzed),
+        groupCols, sums,
+        spark.read.parquet(leftPath).schema.fieldNames.toSet,
+        spark.read.parquet(rightPath).schema.fieldNames.toSet))
 
   def deregister(basePath: String): Unit = defs.remove(normalize(basePath))
   def deregisterJoin(leftPath: String, rightPath: String): Unit =
@@ -154,8 +222,10 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** Aggregate over an inner equi-join of two registered relations →
     * aggregate over the maintained join view, when the join keys are
-    * exactly the registered pairs and every output is provable as in
-    * [[rewrite]].
+    * exactly the registered pairs, every grouping/sum attribute lives on
+    * the side its name was registered from (names ambiguous across the
+    * two sides refuse — conservatism over guessing), and every output is
+    * provable as in [[rewrite]].
     */
   private def rewriteJoin(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
@@ -179,18 +249,19 @@ object MvRewrite extends Rule[LogicalPlan] {
           }.toSet) if pairs == d.keys &&
             lFiltered.subsetOf(d.keys.map(_._1)) &&
             rFiltered.subsetOf(d.keys.map(_._2))
+          // side resolution by exprId, not name: each attribute the
+          // aggregate reads must come from the side that registered its
+          // name, and the name must be unique across the two sides
+          refs = (grouping ++ aggExprs).flatMap(_.references).toSet
+          _ <- if (refs.forall { a =>
+              val fromL = lRel.outputSet.contains(a)
+              val fromR = rRel.outputSet.contains(a)
+              (fromL && d.lCols.contains(a.name) && !d.rCols.contains(a.name)) ||
+              (fromR && d.rCols.contains(a.name) && !d.lCols.contains(a.name))
+            }) Some(()) else None
           rewritten <- buildViewAggregate(grouping, aggExprs,
-            MvDef(d.viewPlan, d.groupCols, d.sums))
+            MvDef(d.view, d.groupCols, d.sums), filt = None)
         } yield rewritten
-      case _ => None
-    }
-
-  /** The base relation under an optional column-pruning Project. */
-  private def baseRelation(plan: LogicalPlan): Option[LogicalRelation] =
-    plan match {
-      case lr: LogicalRelation => Some(lr)
-      case Project(ps, lr: LogicalRelation)
-          if ps.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
       case _ => None
     }
 
@@ -210,11 +281,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Rewrite one aggregate-output expression against the view: a
-    * provable AggregateExpression (count(1) → sum(n); sum(dec2(c)) →
-    * sum(view_sum) cast back to the original type), possibly under a
-    * stack of casts (a final `.cast("double")` projection gets collapsed
-    * INTO the aggregate by CollapseProject — the cast is preserved over
-    * the rewritten aggregate).
+    * provable AggregateExpression (count(1) → sum(n) coalesced to 0 —
+    * over an empty view a global count must stay 0, not NULL;
+    * sum(dec2(c)) → sum(view_sum) cast back to the original type),
+    * possibly under a stack of casts (a final `.cast("double")`
+    * projection gets collapsed INTO the aggregate by CollapseProject —
+    * the cast is preserved over the rewritten aggregate).
     */
   private def rewriteExpr(e: Expression, d: MvDef,
       viewAttr: Map[String, AttributeReference]): Option[Expression] =
@@ -222,8 +294,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(1, IntegerType))) =>
-            Some(AggregateExpression(Sum(viewAttr("n")),
-              Complete, isDistinct = false))
+            Some(Coalesce(Seq(
+              AggregateExpression(Sum(viewAttr("n")),
+                Complete, isDistinct = false),
+              Literal(0L, LongType))))
           case s: Sum =>
             for {
               raw <- dec2Col(s.child)
@@ -249,24 +323,48 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] =
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (filt, basePlan) = stripProjects(child) match {
+      case Filter(cond, c2) => (Some(cond), stripProjects(c2))
+      case other => (None, other)
+    }
     for {
-      lr <- baseRelation(child)
+      lr <- basePlan match {
+        case l: LogicalRelation => Some(l)
+        case _ => None
+      }
       d <- registeredFor(lr)
-      rewritten <- buildViewAggregate(grouping, aggExprs, d)
+      // a filter is pushable exactly when every column it reads is a
+      // view GROUP column (the view carries the group values verbatim,
+      // one row per group, so the predicate selects whole groups)
+      _ <- filt match {
+        case Some(c) if !(c.deterministic && c.references.nonEmpty &&
+            c.references.forall(a => d.groupCols.contains(a.name))) => None
+        case _ => Some(())
+      }
+      rewritten <- buildViewAggregate(grouping, aggExprs, d, filt)
     } yield rewritten
+  }
 
   /** The shared replacement constructor: grouping ⊆ the view's group
     * columns, every output provable, exprIds pinned to the original's.
+    * The view plan is instantiated FRESH per match (new relation
+    * exprIds), so a plan that matches twice — a union or self-join of
+    * two rewritten aggregates — never carries duplicate attribute ids.
     */
   private def buildViewAggregate(grouping: Seq[Expression],
-      aggExprs: Seq[NamedExpression], d: MvDef): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], d: MvDef,
+      filt: Option[Expression]): Option[LogicalPlan] = {
     for {
+      frozen <- d.view.plan()
+      viewPlan = frozen.transform {
+        case lr: LogicalRelation => lr.newInstance()
+      }
       groupNames <- Some(grouping.map {
         case a: AttributeReference => a.name
         case _ => return None
       }) if groupNames.forall(d.groupCols.contains)
-      viewAttr = d.viewPlan.output
+      viewAttr = viewPlan.output
         .collect { case a: AttributeReference => a.name -> a }.toMap
       newAggs <- Some(aggExprs.map {
         case a: AttributeReference if groupNames.contains(a.name) =>
@@ -278,6 +376,12 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
         case _ => return None
       })
-    } yield Aggregate(groupNames.map(viewAttr), newAggs, d.viewPlan, None)
+      viewChild = filt match {
+        case Some(c) => Filter(c.transform {
+          case a: AttributeReference => viewAttr(a.name)
+        }, viewPlan)
+        case None => viewPlan
+      }
+    } yield Aggregate(groupNames.map(viewAttr), newAggs, viewChild, None)
   }
 }

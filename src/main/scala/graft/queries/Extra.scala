@@ -1260,6 +1260,10 @@ object Extra {
         s"graft_mv_base_$tag"
       val viewPath = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_mv_orders_$tag"
+      // a previous bench pass of this gate left its registration live:
+      // deregister BEFORE rewriting base/view parquet, or the rebuild's
+      // own aggregate would be answered from the view it is overwriting
+      graft.plans.MvRewrite.deregister(basePath)
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_totalprice")
@@ -1299,6 +1303,9 @@ object Extra {
       val cPath = s"$tmp/graft_mvj_cust_$tag"
       val oPath = s"$tmp/graft_mvj_ord_$tag"
       val vPath = s"$tmp/graft_mvj_view_$tag"
+      // drop a previous pass's registration before the rebuild (same
+      // overwrite-what-you-read hazard as q247)
+      graft.plans.MvRewrite.deregisterJoin(cPath, oPath)
       Tables.customer(s, dir)
         .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
         .write.mode("overwrite").parquet(cPath)

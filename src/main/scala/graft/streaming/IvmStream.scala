@@ -49,12 +49,15 @@ object IvmStream {
         groupCols, sums.map(_._1))
     }
 
-  /** Newest committed state version strictly below `before` (None = the
-    * view has absorbed no batch yet). Commit = the directory's parquet
-    * `_SUCCESS` marker; a half-written version from a crash is invisible.
+  /** Newest committed state version id strictly below `before` (None =
+    * the view has absorbed no batch yet). Commit = the directory's
+    * parquet `_SUCCESS` marker; a half-written version from a crash is
+    * invisible. This is also what [[graft.plans.MvRewrite]]'s versioned
+    * registry resolves at match time, so a query rewrite always reads
+    * the newest committed refresh.
     */
-  def latestState(spark: SparkSession, statePath: String,
-      before: Long = Long.MaxValue): Option[DataFrame] = {
+  def latestVersion(spark: SparkSession, statePath: String,
+      before: Long = Long.MaxValue): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -66,9 +69,14 @@ object IvmStream {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
         .filter(_ < before)
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(s"$statePath/v=${versions.max}"))
+    if (versions.isEmpty) None else Some(versions.max)
   }
+
+  /** Newest committed state strictly below `before`, as a frame. */
+  def latestState(spark: SparkSession, statePath: String,
+      before: Long = Long.MaxValue): Option[DataFrame] =
+    latestVersion(spark, statePath, before)
+      .map(v => spark.read.parquet(s"$statePath/v=$v"))
 
   /** Maintain the view from a CDC delta stream. `baseState` is the
     * initial materialization ([[IncrementalAgg.state]] of the base
