@@ -54,6 +54,34 @@ object IncrementalJoin {
       sOld.withColumn("__m", lit(1)), sDelta,
       "__m", opCol, joinKeys, groupCols, sums)
 
+  /** The view groups a two-sided CDC delta can touch — the recompute
+    * scope for NON-invertible aggregates (min/max, distinct counts) over
+    * a JOIN view, composing [[IncrementalAgg.dirtyGroups]]'s patch
+    * pattern (q240) with the three-term structure: every joined row that
+    * enters or leaves the view has at least one delta side, so the union
+    * of ΔR⋈S, R⋈ΔS, ΔR⋈ΔS projected to the group columns covers every
+    * group whose extreme can move (over-marking — e.g. a candidate pair
+    * whose other side was concurrently deleted — is harmless: recompute
+    * is idempotent). Same delta-sized join shapes as
+    * [[deltaJoinStateSigned]]; output is the distinct dirty group tuples,
+    * which [[IncrementalAgg.recomputeGroups]] turns into a semi-join-
+    * restricted re-aggregation of the post-apply join and
+    * [[IncrementalAgg.patch]] splices over the untouched state rows.
+    */
+  def dirtyJoinGroups(
+      rOld: DataFrame, rDelta: DataFrame,
+      sOld: DataFrame, sDelta: DataFrame,
+      opCol: String, joinKeys: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val rD = rDelta.drop(opCol)
+    val sD = sDelta.drop(opCol)
+    def grp(df: DataFrame): DataFrame = df.select(groupCols.map(col): _*)
+    grp(rD.join(sOld, joinKeys))
+      .unionByName(grp(rOld.join(sD, joinKeys)))
+      .unionByName(grp(rD.join(sD, joinKeys)))
+      .distinct()
+  }
+
   /** As [[deltaJoinState]], but the base sides are themselves SIGNED
     * multisets: `signCol` (±1) on `rOld`/`sOld`. This is the
     * log-structured form a continuously maintained view keeps its base

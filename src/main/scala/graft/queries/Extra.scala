@@ -1332,6 +1332,178 @@ object Extra {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY seg""".stripMargin)
 
+  /** q250: filtered-aggregate MV rewrite — the everyday BI shape
+    * `WHERE status = 'F' GROUP BY priority` answered from the maintained
+    * view: a predicate whose every column is a view GROUP column selects
+    * whole groups, so it pushes onto the group-sized view scan exactly
+    * (the predicate-subsumption case of Goldstein & Larson SIGMOD'01).
+    * The plan scans only the view under the pushed filter (PlanShapeSpec
+    * pins base absent + filter present) while the oracle filters and
+    * aggregates the base table from scratch in DuckDB; MvRewriteSpec
+    * carries the refusal twin (a non-group-column filter stays on base).
+    */
+  private val mvFilterRewrite = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val groups = Seq("o_orderstatus", "o_orderpriority")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = graft.core.Housekeeping.appTag(s)
+      val basePath = s"$tmp/graft_mvf_base_$tag"
+      val viewPath = s"$tmp/graft_mvf_view_$tag"
+      // deregister before rebuilding base/view parquet (q247's discipline)
+      graft.plans.MvRewrite.deregister(basePath)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+        .write.mode("overwrite").parquet(basePath)
+      val o = s.read.parquet(basePath)
+      IncrementalAgg.state(o, groups, sums)
+        .write.mode("overwrite").parquet(viewPath)
+      graft.plans.MvRewrite.register(s, basePath, viewPath,
+        groups, Map("o_totalprice" -> "sum_price"))
+      o.filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+
+  /** q251: min/max maintenance for a JOIN view — the non-invertible half
+    * (q240's dirty-group patch) composed with two-sided join deltas
+    * (q242's three-term structure): a view group is dirty when ANY of
+    * ΔR⋈S, R⋈ΔS, ΔR⋈ΔS touches it — every joined row that enters or
+    * leaves the view has a delta side, so the union is complete — and
+    * dirty groups re-aggregate from the post-apply join restricted by a
+    * semi-join while clean groups never rescan. The oracle recomputes
+    * every group's min/max from scratch in DuckDB: a group wrongly
+    * marked clean would surface a stale extreme and fail the hash.
+    */
+  private val joinMinMaxIvm = QueryDef(
+    (s, dir) => {
+      import graft.operators.{IncrementalAgg, IncrementalJoin}
+      val groups = Seq("seg", "o_orderstatus")
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val aggs = Seq(min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"))
+      val state = c.join(o, Seq("k")).groupBy(groups.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val moved = c.filter(col("k") % 59 === 0)
+      val cDelta = moved.withColumn("op", lit("delete"))
+        .unionByName(moved.withColumn("seg", lit("MOVED"))
+          .withColumn("op", lit("insert")))
+      val oDel = o.filter(col("o_orderkey") % 111 === 0)
+      val oIns = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 90000.0)
+      val oDelta = oDel.withColumn("op", lit("delete"))
+        .unionByName(oIns.withColumn("op", lit("insert")))
+      val cAfter = moved.withColumn("seg", lit("MOVED"))
+        .unionByName(c.filter(col("k") % 59 =!= 0))
+      val oAfter = o.exceptAll(oDel).unionByName(oIns)
+      val dirty = IncrementalJoin.dirtyJoinGroups(c, cDelta, o, oDelta,
+        "op", Seq("k"), groups)
+      val recomputed = IncrementalAgg.recomputeGroups(
+        cAfter.join(oAfter, Seq("k")), dirty, groups, aggs)
+      IncrementalAgg.patch(state, recomputed, dirty, groups)
+        .orderBy("seg", "o_orderstatus")
+    },
+    """WITH c2 AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 59 = 0 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |o2 AS (
+      |  SELECT o_custkey AS k, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 111 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderstatus, o_totalprice + 90000.0
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT seg, o_orderstatus,
+      |  MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p
+      |FROM o2 JOIN c2 USING (k)
+      |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
+
+  /** q253: the IVM story end to end — continuous maintenance COMPOSED
+    * with transparent reads. The view's versioned state chain
+    * (IvmStream's exactly-once `v=N` layout) is registered ONCE via
+    * MvRewrite.registerVersioned; a CDC batch then advances the chain to
+    * v=1 — exactly the refresh maintainAggStream's foreachBatch commits,
+    * reading newest-below-batch state (before=1) so a stale previous-run
+    * v=1 can never leak in — and the SAME registration answers the next
+    * base aggregate from v=1: no re-register, no base scan, no v=0
+    * (PlanShapeSpec pins all three). The base parquet is compacted to
+    * the post-delta snapshot (the registered logical table advances with
+    * its view), so the gate value is delta-consistent with or without
+    * the rewrite; the oracle recomputes post-delta truth from scratch,
+    * proving refresh + version resolution exact. MvRewriteSpec drives
+    * the same resolution through commit/no-commit edges; IvmStreamSpec
+    * from a real running stream.
+    */
+  private val mvVersionedRead = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      import graft.streaming.IvmStream
+      val groups = Seq("o_orderstatus")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = graft.core.Housekeeping.appTag(s)
+      val basePath = s"$tmp/graft_mvv_base_$tag"
+      val stateRoot = s"$tmp/graft_mvv_state_$tag"
+      graft.plans.MvRewrite.deregister(basePath)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.write.mode("overwrite").parquet(basePath)
+      IncrementalAgg.state(s.read.parquet(basePath), groups, sums)
+        .write.mode("overwrite").parquet(s"$stateRoot/v=0")
+      // register the state ROOT once, BEFORE the refresh lands — the
+      // production reader never re-registers
+      graft.plans.MvRewrite.registerVersioned(basePath, stateRoot,
+        groups, Map("o_totalprice" -> "sum_price"))
+      // CDC batch 1: delete every 107th order, duplicate every 97th at
+      // price+750 — refreshed against newest state BELOW the batch id
+      val delta = o.filter(col("o_orderkey") % 107 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 750.0)
+          .withColumn("op", lit("insert")))
+      IncrementalAgg.refresh(
+          IvmStream.latestState(s, stateRoot, before = 1L).get,
+          IncrementalAgg.deltaState(delta, "op", groups, sums),
+          groups, sums.map(_._1))
+        .write.mode("overwrite").parquet(s"$stateRoot/v=1")
+      // compact the base to the post-delta snapshot (log-compaction
+      // semantics: the registered logical table advanced with its view)
+      o.filter(col("o_orderkey") % 107 =!= 0)
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 750.0))
+        .write.mode("overwrite").parquet(basePath)
+      s.read.parquet(basePath).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    """WITH after AS (
+      |  SELECT o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 107 <> 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice + 750.0 FROM orders
+      |  WHERE o_orderkey % 97 = 0)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM after GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+
   private val snapshotDiff = QueryDef(
     (s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1903,6 +2075,9 @@ object Extra {
     "q242_incremental_join" -> incrementalJoin,
     "q247_mv_rewrite" -> mvRewrite,
     "q249_mv_join_rewrite" -> mvJoinRewrite,
+    "q250_mv_filter_rewrite" -> mvFilterRewrite,
+    "q251_join_minmax_ivm" -> joinMinMaxIvm,
+    "q253_mv_versioned_read" -> mvVersionedRead,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

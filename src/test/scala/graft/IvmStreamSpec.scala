@@ -194,6 +194,71 @@ class IvmStreamSpec extends AnyFunSuite {
     c.unpersist(); o.unpersist()
   }
 
+  test("a versioned MV registration tracks the stream's refreshes, no re-register") {
+    import graft.plans.MvRewrite
+    // the rewrite rule rides the engine's user-rule batch
+    val tuned = graft.core.Sessions.tune(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_mv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivm_mv_ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivm_mv_src")
+    Tables.orders(tuned, SparkTestSession.sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/base")
+    val base = tuned.read.parquet(s"$dir/base")
+    val baseState = IncrementalAgg.state(base, groups, sums)
+    val chunks = Seq(
+      base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("delete")),
+      base.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("op", lit("insert")))
+      .map(_.select("op", "o_orderpriority", "o_totalprice"))
+    // the fold twin's expected rows, computed BEFORE registration: the
+    // twin re-aggregates the registered base, so once the view is ahead
+    // of the base snapshot the rewrite would — correctly under its
+    // logical-table contract, wrongly for this twin — answer baseState
+    // from the refreshed view (the registry is JVM-global by design)
+    val expected = rowSet(
+      IvmStream.foldRefresh(baseState, chunks, "op", groups, sums))
+    // register ONCE, before any version exists
+    MvRewrite.registerVersioned(s"$dir/base", s"$dir/state", groups,
+      Map("o_totalprice" -> "sum_price"))
+    try {
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_mv_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.move(
+          java.nio.file.Files.list(tmp)
+            .filter(_.toString.endsWith(".parquet")).findFirst.get,
+          java.nio.file.Paths.get(s"$srcDir/$name"))
+      }
+      def runStream(): Unit = {
+        val deltas = tuned.readStream
+          .schema("op STRING, o_orderpriority STRING, o_totalprice DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        val q = IvmStream.maintainAggStream(deltas, baseState, s"$dir/state",
+          ckpt.toString, "op", groups, sums).start()
+        q.processAllAvailable(); q.stop()
+      }
+      def query(): DataFrame = base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.OracleArith.dec2(col("o_totalprice"))).as("sum_price"))
+      // before any committed version: the query stays on the base scan
+      assert(!query().queryExecution.executedPlan.toString.contains("/state/v="))
+      stage(chunks(0), "0.parquet"); runStream()
+      val p1 = query().queryExecution.executedPlan.toString
+      assert(p1.contains("state/v=0"), p1.take(800))
+      stage(chunks(1), "1.parquet"); runStream()
+      // the SAME registration now answers from v=1 — the r9 frozen
+      // registry would have kept reading v=0 until a manual re-register
+      val q2 = query()
+      val p2 = q2.queryExecution.executedPlan.toString
+      assert(p2.contains("state/v=1") && !p2.contains("state/v=0"), p2.take(800))
+      assert(rowSet(q2) == expected,
+        "rewritten read diverged from the batch fold twin")
+    } finally MvRewrite.deregister(s"$dir/base")
+  }
+
   test("compaction preserves the multiset and later deltas are unchanged") {
     import spark.implicits._
     import graft.operators.IncrementalJoin

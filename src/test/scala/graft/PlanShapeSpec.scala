@@ -297,6 +297,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("q250 WHERE+GROUP BY answers from the view under a pushed filter") {
+    val p = plan("q250_mv_filter_rewrite")
+    assert(p.contains("graft_mvf_view_"), p.take(2000))
+    assert(!p.contains("graft_mvf_base_"), p.take(2000))
+    // the group-column predicate rides the view scan
+    assert(p.contains("o_orderstatus = F") || p.contains("(o_orderstatus = F)")
+      || p.contains("o_orderstatus#"), p.take(2000))
+  }
+
+  test("q253 reads the NEWEST committed view version — not base, not v=0") {
+    val p = plan("q253_mv_versioned_read")
+    assert(p.contains("v=1"), p.take(2000))
+    assert(!p.contains("v=0"), p.take(2000))
+    assert(!p.contains("graft_mvv_base_"), p.take(2000))
+  }
+
   test("q245 point-in-time enrichment rides the native as-of exec") {
     // the SCD2 interval-membership join must plan as the as-of merge —
     // no Window fallback, and above all no range/nested-loop join over
