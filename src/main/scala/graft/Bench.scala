@@ -134,8 +134,23 @@ object Bench {
         (s1, t1) <- cpuTicks()
         if t1 > t0
       } yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
+      // self-describing contamination flag: the r9 driver file (load_avg
+      // 2.88 at start, totals +26.6% over same-code baselines, every
+      // "regression" vanishing under isolation) had all the evidence in
+      // its env header but nothing SAYING it — a reader shouldn't need a
+      // judge re-bench to know the totals are inflated
+      val contaminated =
+        if (loadAtStart > 1.0)
+          jq(f"load_avg_at_start $loadAtStart%.2f > 1.0: ambient load was " +
+            "competing for CPUs the whole run - treat totals as inflated " +
+            "and re-bench on an idle box before attributing regressions")
+        else if (stealPct > 3.0)
+          jq(f"cpu_steal_pct $stealPct%.2f > 3: hypervisor contention " +
+            "inflated wall times - treat totals as inflated")
+        else "null"
       s"""{"jvm_flags":${jq(jvmFlags)},"max_heap_mb":$maxHeapMb,""" +
         s""""processors":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""contaminated_hint":$contaminated,""" +
         s""""load_avg_at_start":$loadAtStart,"load_avg_at_end":$loadAtEnd,""" +
         s""""cpu_steal_pct":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))},"cpus":"$cpus",""" +
         s""""stall_retried":[${suspects.toSeq.sorted.map(jq).mkString(",")}],""" +

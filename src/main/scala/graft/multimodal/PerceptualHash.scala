@@ -85,6 +85,61 @@ object PerceptualHash {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Band rows `(id, band_key)` of a hash frame — `band_key` packs the
+    * LSH bucket `(band_idx, band_val)` into one int
+    * (band_idx·2^16 + band_val), the storage key of a persisted band
+    * index: sorted by band_key at ingest, parquet row-group stats make a
+    * pushed key filter skip everything outside the probed buckets.
+    */
+  def bandKeys(hashes: DataFrame, idCol: String): DataFrame =
+    hashes.select(
+      col(idCol).as("id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("id", "band_idx", "band_val")
+      .select(col("id"),
+        (col("band_idx") * lit(1 << BitsPerBand) + col("band_val"))
+          .as("band_key"))
+
+  /** Near-duplicates of a NEW batch against an INGESTED corpus — the
+    * incremental shape a 100 TB multimodal pipeline actually runs (new
+    * shards dedup against the corpus index, never batch-all-pairs, the
+    * q123/q127 text discipline applied to q232's dHash bands):
+    * candidates come from the PERSISTED band index (`index` =
+    * [[bandKeys]] rows written at ingest, sorted by band_key) probed
+    * with the batch's distinct band keys — bounded driver state
+    * (≤ [[Bands]]·|batch| ints, the batch is small by contract: it is
+    * the incremental arrival) pushed as an In filter that reaches the
+    * parquet scan's row-group stats — then exact Hamming ≤ `maxHamming`
+    * verified against `corpusHashes` restricted to the candidates.
+    * Output: (id_new, id_corpus, hamming). Batch-derived frames ride
+    * explicit broadcasts (bounded 4 rows/image — the expansion is
+    * constant, unlike the corpus-growing shapes
+    * NoBroadcastOverExpansion exists for), so the corpus side is never
+    * shuffled.
+    */
+  def incrementalNearDupPairs(index: DataFrame, corpusHashes: DataFrame,
+      batchHashes: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val bBands = bandKeys(batchHashes, idCol).toDF("id_new", "band_key")
+    val keys = bBands.select("band_key").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val cand = index.filter(col("band_key").isin(keys: _*))
+      .join(broadcast(bBands), Seq("band_key"))
+      .select(col("id_new"), col("id").as("id_corpus"))
+      .distinct()
+    val a = batchHashes.select(col(idCol).as("id_new"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val b = corpusHashes.select(col(idCol).as("id_corpus"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    b.join(broadcast(cand.join(broadcast(a), "id_new")), Seq("id_corpus"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_corpus", "hamming")
+  }
+
   /** Near-duplicate pairs from a hash frame `(idCol, b0, b1, b2, b3)`:
     * candidates = images sharing ≥1 identical 16-bit band (LSH bucket
     * join — Hamming ≤ 3 is GUARANTEED to share a band by pigeonhole;

@@ -733,6 +733,162 @@ object Stream {
       |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 10
       |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q252: INCREMENTAL perceptual near-dup — new media shards dedup
+    * against the ingested corpus's PERSISTED band index (the q123/q127
+    * incremental-text shape applied to q232's dHash bands): at ingest
+    * the corpus hashes and a band_key-sorted index are written once; a
+    * new batch (near-dup copies of every 3rd base image perturbed +2 on
+    * ~1/9 of pixels, plus novel images from a different closed form that
+    * match nothing) hashes per-row, probes ONLY the index buckets its
+    * own band keys name — pushed as an In filter to the index scan — and
+    * Hamming-verifies candidates against the corpus hashes. Cost follows
+    * the batch, not the corpus: no corpus shuffle, no batch-all-pairs
+    * rehash of ingested media. The oracle replays the ENTIRE chain for
+    * both generations in DuckDB — pixel closed forms, cell sums,
+    * gradient bits, band packing, batch-vs-corpus bucket join, bit_count
+    * Hamming — so a drift anywhere in either generation's hash or in the
+    * index probe fails the hash.
+    */
+  private val incrementalPerceptual = QueryDef(
+    (s, dir) => {
+      import graft.multimodal.{Codecs, PerceptualHash}
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int")).as[Int]
+      val W = 36; val H = 32
+      val corpus = keys.flatMap { k =>
+        def img(pert: Int): Array[Byte] = {
+          val gray = new Array[Byte](W * H)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              var v = 16 + ((x * y + k * (x + 2 * y) + k * k * 7) * 37) % 224
+              if (pert == 1 && (x + y + k) % 7 == 0) v += 3
+              gray(y * W + x) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.pgmBytes(W, H, gray)
+        }
+        Seq((k.toLong, img(0)), (2000L + k, img(1)))
+      }
+      val batch = keys.flatMap { k =>
+        def near(): Array[Byte] = { // base formula, pert-2 perturbation
+          val gray = new Array[Byte](W * H)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              var v = 16 + ((x * y + k * (x + 2 * y) + k * k * 7) * 37) % 224
+              if ((x + 2 * y + k) % 9 == 0) v += 2
+              gray(y * W + x) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.pgmBytes(W, H, gray)
+        }
+        def novel(): Array[Byte] = { // unrelated closed form: no match
+          val gray = new Array[Byte](W * H)
+          var y = 0
+          while (y < H) {
+            var x = 0
+            while (x < W) {
+              gray(y * W + x) =
+                (16 + ((x * x + 3 * y + k * (x + y) + 11 * k) * 53) % 224).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.pgmBytes(W, H, gray)
+        }
+        (if (k % 3 == 0) Seq((4000L + k, near())) else Seq.empty) :+
+          ((5000L + k, novel()))
+      }
+      def hash(media: org.apache.spark.sql.Dataset[(Long, Array[Byte])]) =
+        media.map { case (id, bytes) =>
+          val (w, h, px) = Codecs.decodePgm(bytes)
+          val b = PerceptualHash.dHashBands(px, w, h)
+          (id, b(0), b(1), b(2), b(3))
+        }.toDF("id", "b0", "b1", "b2", "b3")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = graft.core.Housekeeping.appTag(s)
+      val hashPath = s"$tmp/graft_ipd_hashes_$tag"
+      val idxPath = s"$tmp/graft_ipd_index_$tag"
+      // ingest once: corpus hashes + band index sorted by band_key (range
+      // partition + in-file sort = row-group stats prune the probe scan)
+      val cH = hash(corpus)
+      cH.write.mode("overwrite").parquet(hashPath)
+      PerceptualHash.bandKeys(cH, "id")
+        .repartitionByRange(col("band_key"))
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite").parquet(idxPath)
+      PerceptualHash.incrementalNearDupPairs(
+          s.read.parquet(idxPath), s.read.parquet(hashPath),
+          hash(batch), "id", maxHamming = 10)
+        .orderBy("id_new", "id_corpus")
+    },
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+      |imgs AS (
+      |  SELECT CAST(k AS BIGINT) AS id, k AS seed, 0 AS pert, 0 AS kind FROM k
+      |  UNION ALL
+      |  SELECT CAST(2000 + k AS BIGINT), k, 1, 0 FROM k
+      |  UNION ALL
+      |  SELECT CAST(4000 + k AS BIGINT), k, 2, 0 FROM k WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(5000 + k AS BIGINT), k, 0, 1 FROM k),
+      |px AS (
+      |  SELECT i.id, xs.x, ys.y,
+      |    CASE WHEN i.kind = 1
+      |      THEN 16 + ((xs.x*xs.x + 3*ys.y + i.seed*(xs.x + ys.y)
+      |                  + 11*i.seed) * 53) % 224
+      |      ELSE 16 + ((xs.x*ys.y + i.seed*(xs.x + 2*ys.y)
+      |                  + i.seed*i.seed*7) * 37) % 224
+      |        + CASE WHEN i.pert = 1 AND (xs.x + ys.y + i.seed) % 7 = 0 THEN 3
+      |               WHEN i.pert = 2 AND (xs.x + 2*ys.y + i.seed) % 9 = 0 THEN 2
+      |               ELSE 0 END
+      |    END AS v
+      |  FROM imgs i,
+      |    LATERAL (SELECT unnest(range(0, 36)) AS x) xs,
+      |    LATERAL (SELECT unnest(range(0, 32)) AS y) ys),
+      |cells AS (
+      |  SELECT id, x // 4 AS cx, y // 4 AS cy, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS bitidx,
+      |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.id = b.id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |bands AS (
+      |  SELECT id, bitidx // 16 AS band_idx,
+      |    CAST(SUM(bit << (bitidx % 16)) AS INTEGER) AS band_val
+      |  FROM bits GROUP BY 1, 2),
+      |hashes AS (
+      |  SELECT id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+      |  FROM bands c JOIN bands n
+      |    ON c.band_idx = n.band_idx AND c.band_val = n.band_val
+      |  WHERE c.id < 4000 AND n.id >= 4000)
+      |SELECT p.id_new, p.id_corpus,
+      |  CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+      |     + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+      |    AS INTEGER) AS hamming
+      |FROM cand p JOIN hashes hn ON hn.id = p.id_new
+      |            JOIN hashes hc ON hc.id = p.id_corpus
+      |WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+      |    + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3)) <= 10
+      |ORDER BY id_new, id_corpus""".stripMargin)
+
   /** q241: VIDEO near-dup via per-frame perceptual hashes — the
     * shot-level dedup that closes the multimodal family (bytes → image
     * q232 → audio q235 → video): each video is its SET of frame dHashes,
@@ -1235,6 +1391,7 @@ object Stream {
     "q235_audio_near_dup" -> audioNearDup,
     "q233_stream_kmv" -> streamKmv,
     "q232_perceptual_dedup" -> perceptualDedup,
+    "q252_incremental_perceptual" -> incrementalPerceptual,
     "q231_media_codecs" -> mediaCodecs,
     "q225_stream_distinct" -> streamDistinct,
     "q230_rolling_distinct" -> rollingDistinct,

@@ -62,4 +62,40 @@ class PerceptualHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0 until 25).map(s => (s.toLong, 2000L + s)).toSet)
   }
+
+  test("incremental near-dup probes the persisted index: batch vs corpus only") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def hashRow(id: Long, f: (Int, Int) => Int): (Long, Int, Int, Int, Int) = {
+      val b = PerceptualHash.dHashBands(img(f), W, H)
+      (id, b(0), b(1), b(2), b(3))
+    }
+    // corpus: 25 distinct-seed bases, ingested once
+    val corpus = (0 until 25).map(s => hashRow(s.toLong, base(s)))
+      .toDF("id", "b0", "b1", "b2", "b3")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipd_spec").toString
+    corpus.write.parquet(s"$dir/hashes")
+    PerceptualHash.bandKeys(corpus, "id")
+      .sortWithinPartitions("band_key")
+      .write.parquet(s"$dir/index")
+    // batch: a near-dup of seed 3, and a far image (seed 99 base — the
+    // cross-image distance floor is >= 15, above maxHamming)
+    val batch = Seq(
+      hashRow(4003L, (x, y) => base(3)(x, y) + (if ((x + y) % 9 == 0) 2 else 0)),
+      hashRow(4099L, base(99)))
+      .toDF("id", "b0", "b1", "b2", "b3")
+    val out = PerceptualHash.incrementalNearDupPairs(
+      spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/hashes"),
+      batch, "id", maxHamming = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4003L, 3L)), got)
+    // the probe rides a pushed In filter on the index scan: the batch's
+    // band keys reach the parquet reader, so a sorted index is read
+    // proportionally to the batch's buckets, not the corpus
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(band_key"), p.take(2000))
+    // and the corpus-hash side is never shuffled: the batch-derived
+    // candidate frame broadcasts
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
