@@ -72,7 +72,7 @@ object Bench {
       "q194_time_travel", "q210_metastore_scan", "q220_schema_drift",
       "q226_sketch_persist", "q247_mv_rewrite", "q249_mv_join_rewrite",
       "q250_mv_filter_rewrite", "q252_incremental_perceptual",
-      "q253_mv_versioned_read")
+      "q253_mv_versioned_read", "q254_mv_join_filter")
     val firstPass = selected.map { case (name, fn) =>
       val passes = if (writeLifecycle(name)) 3 else 2
       val times = Seq.fill(passes)(once(name, fn))

@@ -200,23 +200,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The base relation under pruning Projects and IsNotNull-only
-    * Filters, returning the null-filtered column names. The optimizer
-    * derives `IsNotNull(key)` under every inner equi-join; stripping it
-    * is sound exactly when the filtered columns are the join keys (the
-    * inner-join view never contained null-key rows to begin with).
+  /** The base relation under pruning Projects and Filters, the filter
+    * conjuncts collected raw — [[rewriteJoin]] classifies each conjunct
+    * against the registration (droppable join-key IsNotNull, pushable
+    * group-column predicate, or refusal).
     */
-  private def baseUnderNullFilters(
-      p: LogicalPlan): Option[(LogicalRelation, Set[String])] = p match {
+  private def baseUnderFilters(
+      p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = p match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      baseUnderNullFilters(child)
+      baseUnderFilters(child)
     case Filter(cond, child) =>
-      val names = conjuncts(cond).map {
-        case IsNotNull(a: AttributeReference) => a.name
-        case _ => return None
-      }
-      baseUnderNullFilters(child).map { case (lr, n) => (lr, n ++ names) }
-    case lr: LogicalRelation => Some((lr, Set.empty))
+      baseUnderFilters(child).map { case (lr, cs) => (lr, cs ++ conjuncts(cond)) }
+    case lr: LogicalRelation => Some((lr, Seq.empty))
     case _ => None
   }
 
@@ -224,17 +219,26 @@ object MvRewrite extends Rule[LogicalPlan] {
     * aggregate over the maintained join view, when the join keys are
     * exactly the registered pairs, every grouping/sum attribute lives on
     * the side its name was registered from (names ambiguous across the
-    * two sides refuse — conservatism over guessing), and every output is
-    * provable as in [[rewrite]].
+    * two sides refuse — conservatism over guessing), every output is
+    * provable as in [[rewrite]], and every filter conjunct — above the
+    * join or pushed onto a side by the optimizer — is either a join-key
+    * IsNotNull (implied by the inner join: the view never held null-key
+    * rows) or a deterministic predicate over view GROUP columns, which
+    * pushes onto the view exactly as in the single-table case (the view
+    * carries the group values verbatim, one row per group).
     */
   private def rewriteJoin(grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] =
-    stripProjects(child) match {
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (topConjuncts, joinPlan) = stripProjects(child) match {
+      case Filter(cond, ch) => (conjuncts(cond), stripProjects(ch))
+      case other => (Seq.empty[Expression], other)
+    }
+    joinPlan match {
       case j @ Join(l, r, Inner, Some(cond), _) =>
         for {
-          (lRel, lFiltered) <- baseUnderNullFilters(l)
-          (rRel, rFiltered) <- baseUnderNullFilters(r)
+          (lRel, lConjuncts) <- baseUnderFilters(l)
+          (rRel, rConjuncts) <- baseUnderFilters(r)
           lPath <- pathOf(lRel)
           rPath <- pathOf(rRel)
           d <- joinDefs.get((lPath, rPath))
@@ -246,13 +250,29 @@ object MvRewrite extends Rule[LogicalPlan] {
                 if j.left.outputSet.contains(a) &&
                   j.right.outputSet.contains(b) => (a.name, b.name)
             case _ => return None
-          }.toSet) if pairs == d.keys &&
-            lFiltered.subsetOf(d.keys.map(_._1)) &&
-            rFiltered.subsetOf(d.keys.map(_._2))
+          }.toSet) if pairs == d.keys
+          // classify every conjunct: drop an inner-join-implied key
+          // IsNotNull (side-exact: a left conjunct only against left key
+          // names), keep a group-column predicate for the view push,
+          // refuse anything else
+          classify = (cs: Seq[Expression], keyNames: Set[String]) =>
+            cs.flatMap {
+              case IsNotNull(a: AttributeReference)
+                  if keyNames.contains(a.name) => None
+              case e if e.deterministic && e.references.nonEmpty &&
+                  e.references.forall(a => d.groupCols.contains(a.name)) =>
+                Some(e)
+              case _ => return None
+            }
+          pushable = classify(lConjuncts, d.keys.map(_._1)) ++
+            classify(rConjuncts, d.keys.map(_._2)) ++
+            classify(topConjuncts, d.keys.map(_._1) ++ d.keys.map(_._2))
           // side resolution by exprId, not name: each attribute the
-          // aggregate reads must come from the side that registered its
-          // name, and the name must be unique across the two sides
-          refs = (grouping ++ aggExprs).flatMap(_.references).toSet
+          // aggregate (or a pushed filter) reads must come from the side
+          // that registered its name, and the name must be unique across
+          // the two sides
+          refs = ((grouping ++ aggExprs ++ pushable)
+            .flatMap(_.references)).toSet
           _ <- if (refs.forall { a =>
               val fromL = lRel.outputSet.contains(a)
               val fromR = rRel.outputSet.contains(a)
@@ -260,10 +280,12 @@ object MvRewrite extends Rule[LogicalPlan] {
               (fromR && d.rCols.contains(a.name) && !d.lCols.contains(a.name))
             }) Some(()) else None
           rewritten <- buildViewAggregate(grouping, aggExprs,
-            MvDef(d.view, d.groupCols, d.sums), filt = None)
+            MvDef(d.view, d.groupCols, d.sums),
+            filt = pushable.reduceOption(And))
         } yield rewritten
       case _ => None
     }
+  }
 
   private def registeredFor(lr: LogicalRelation): Option[MvDef] =
     lr.relation match {

@@ -1433,6 +1433,57 @@ object Extra {
       |FROM o2 JOIN c2 USING (k)
       |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
 
+  /** q254: group-column filter over a registered JOIN view — the
+    * star-schema dashboard shape `WHERE dim_attr = x GROUP BY fact_attr`
+    * over customer ⋈ orders: the optimizer pushes the predicate below
+    * the join onto the customer side, and the rewrite classifies every
+    * side/top conjunct (inner-join-implied key IsNotNull → dropped,
+    * group-column predicate → pushed onto the view, anything else →
+    * refuse) so the plan scans only the group-sized view under the
+    * pushed filter — no join, no base tables (PlanShapeSpec). Oracle:
+    * DuckDB runs the real filtered join + aggregate from scratch.
+    */
+  private val mvJoinFilterRewrite = QueryDef(
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val tag = graft.core.Housekeeping.appTag(s)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val groups = Seq("seg", "o_orderstatus")
+      val sums = Seq("sum_price" -> "o_totalprice")
+      val cPath = s"$tmp/graft_mvjf_cust_$tag"
+      val oPath = s"$tmp/graft_mvjf_ord_$tag"
+      val vPath = s"$tmp/graft_mvjf_view_$tag"
+      graft.plans.MvRewrite.deregisterJoin(cPath, oPath)
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        .write.mode("overwrite").parquet(cPath)
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("ok"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(oPath)
+      val c = s.read.parquet(cPath)
+      val o = s.read.parquet(oPath)
+      IncrementalAgg.state(c.join(o, col("k") === col("ok")), groups, sums)
+        .write.mode("overwrite").parquet(vPath)
+      graft.plans.MvRewrite.registerJoin(s, cPath, oPath,
+        Seq("k" -> "ok"), vPath, groups, Map("o_totalprice" -> "sum_price"))
+      c.join(o, col("k") === col("ok"))
+        .filter(col("seg").isin("BUILDING", "MACHINERY") &&
+          col("o_orderstatus") =!= "P")
+        .groupBy("seg", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2(col("o_totalprice"))).as("sum_dec"))
+        .select(col("seg"), col("o_orderstatus"), col("n_rows"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("seg", "o_orderstatus")
+    },
+    """SELECT c_mktsegment AS seg, o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  AND o_orderstatus <> 'P'
+      |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
+
   /** q253: the IVM story end to end — continuous maintenance COMPOSED
     * with transparent reads. The view's versioned state chain
     * (IvmStream's exactly-once `v=N` layout) is registered ONCE via
@@ -2078,6 +2129,7 @@ object Extra {
     "q250_mv_filter_rewrite" -> mvFilterRewrite,
     "q251_join_minmax_ivm" -> joinMinMaxIvm,
     "q253_mv_versioned_read" -> mvVersionedRead,
+    "q254_mv_join_filter" -> mvJoinFilterRewrite,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,

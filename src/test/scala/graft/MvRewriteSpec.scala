@@ -169,6 +169,29 @@ class MvRewriteSpec extends AnyFunSuite {
       // a LEFT join must not fire
       val leftJoin = q(cP.join(oP, col("k") === col("ok"), "left"))
       assert(!planOf(leftJoin).contains(s"$dir/view"))
+      // a GROUP-column filter pushes onto the join view and fires
+      val grpFiltered = q(cP.join(oP, col("k") === col("ok"))
+        .filter(col("seg") === "BUILDING"))
+      assert(planOf(grpFiltered).contains(s"$dir/view"),
+        planOf(grpFiltered).take(800))
+      // equality vs the real filtered join, computed after deregistration
+      val grpExpected = q(cP.join(oP, col("k") === col("ok"))
+        .filter(col("seg") === "BUILDING"))
+      // a NON-group-column filter (fact measure) must refuse
+      val measureFiltered = q(cP.join(oP, col("k") === col("ok"))
+        .filter(col("o_totalprice") > 1000.0))
+      assert(!planOf(measureFiltered).contains(s"$dir/view"),
+        planOf(measureFiltered).take(800))
+      // a join-KEY filter must refuse too (keys are not view columns)
+      val keyFiltered = q(cP.join(oP, col("k") === col("ok"))
+        .filter(col("k") > 100L))
+      assert(!planOf(keyFiltered).contains(s"$dir/view"),
+        planOf(keyFiltered).take(800))
+      MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")
+      assert(rows(grpFiltered) == rows(grpExpected))
+      MvRewrite.registerJoin(spark, s"$dir/c", s"$dir/o",
+        Seq("k" -> "ok"), s"$dir/view", Seq("seg", "o_orderstatus"),
+        Map("o_totalprice" -> "sum_price"))
       MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")
       assert(rows(joined) == rows(expected))
     } finally MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")

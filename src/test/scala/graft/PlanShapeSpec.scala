@@ -306,6 +306,14 @@ class PlanShapeSpec extends AnyFunSuite {
       || p.contains("o_orderstatus#"), p.take(2000))
   }
 
+  test("q254 filtered join-aggregate: view scan only, filter pushed, no join") {
+    val p = plan("q254_mv_join_filter")
+    assert(p.contains("graft_mvjf_view_"), p.take(2000))
+    assert(!p.contains("graft_mvjf_cust_"), p.take(2000))
+    assert(!p.contains("graft_mvjf_ord_"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q253 reads the NEWEST committed view version — not base, not v=0") {
     val p = plan("q253_mv_versioned_read")
     assert(p.contains("v=1"), p.take(2000))
