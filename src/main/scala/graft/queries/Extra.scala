@@ -1484,6 +1484,63 @@ object Extra {
       |  AND o_orderstatus <> 'P'
       |GROUP BY 1, 2 ORDER BY seg, o_orderstatus""".stripMargin)
 
+  /** q255: incrementally maintained DISTINCT-COUNT view columns
+    * (IncrementalDistinct) — COUNT(DISTINCT) is not distributive, but
+    * its KMV synopsis is MERGEABLE under inserts (Beyer et al. SIGMOD
+    * 2007), so the distinct-customers-per-priority view refreshes from
+    * an insert batch by a sketch-sized array merge while delete-touched
+    * groups (every 3rd 1-URGENT order) take the q240 dirty-group
+    * recompute. Four groups ride the merge path, one the recompute path,
+    * and the oracle recomputes EVERY group's bottom-256 sketch from the
+    * post-delta base in DuckDB — the estimates are md5-family
+    * bit-replayable, so hash equality proves both maintenance paths land
+    * exactly where a full rebuild would.
+    */
+  private val ivmDistinct: QueryDef = {
+    val k = 256
+    val kmvC = (k - 1).toDouble * graft.operators.KmvSketch.HashSpace
+    QueryDef(
+      (s, dir) => {
+        import graft.operators.IncrementalDistinct
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_custkey")
+        val view = IncrementalDistinct.state(o, "o_custkey",
+          "o_orderpriority", k)
+        val deletes = o.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 3 === 0)
+        val inserts = o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        val after = o.exceptAll(deletes).unionByName(inserts)
+        IncrementalDistinct.estimates(
+            IncrementalDistinct.refresh(view, after, inserts, deletes,
+              "o_custkey", "o_orderpriority", k),
+            "o_orderpriority", k)
+          .orderBy("o_orderpriority")
+      },
+      s"""WITH after AS (
+        |  SELECT o_orderpriority, o_custkey FROM orders
+        |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_custkey + 1000000 FROM orders
+        |  WHERE o_orderkey % 5 = 0),
+        |dh AS (
+        |  SELECT DISTINCT o_orderpriority AS g,
+        |    CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM after WHERE o_custkey IS NOT NULL),
+        |sk AS (
+        |  SELECT g, h FROM (
+        |    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        |    FROM dh)
+        |  WHERE rk <= $k),
+        |agg AS (SELECT g, COUNT(*) AS n_mins, MAX(h) AS h_k FROM sk GROUP BY 1)
+        |SELECT g AS o_orderpriority, n_mins,
+        |  CASE WHEN n_mins < $k THEN CAST(n_mins AS DOUBLE)
+        |       ELSE CAST('$kmvC' AS DOUBLE) / CAST(h_k AS DOUBLE)
+        |       END AS kmv_estimate
+        |FROM agg ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** q253: the IVM story end to end — continuous maintenance COMPOSED
     * with transparent reads. The view's versioned state chain
     * (IvmStream's exactly-once `v=N` layout) is registered ONCE via
@@ -2130,6 +2187,7 @@ object Extra {
     "q251_join_minmax_ivm" -> joinMinMaxIvm,
     "q253_mv_versioned_read" -> mvVersionedRead,
     "q254_mv_join_filter" -> mvJoinFilterRewrite,
+    "q255_ivm_distinct" -> ivmDistinct,
     "q101_hll_shard_merge" -> hllShardMerge,
     "q185_hist_quantiles" -> histQuantiles,
     "q92_gap_fill" -> gapFill,
