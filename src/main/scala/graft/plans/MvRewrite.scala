@@ -165,6 +165,21 @@ object MvRewrite extends Rule[LogicalPlan] {
         spark.read.parquet(leftPath).schema.fieldNames.toSet,
         spark.read.parquet(rightPath).schema.fieldNames.toSet))
 
+  /** The versioned flavor of [[registerJoin]]: `stateRoot` is the
+    * join view's versioned directory (for
+    * [[graft.streaming.IvmStream.maintainJoinAggStream]] that is
+    * `statePath/view`); every match resolves the newest committed
+    * version, so the continuously maintained star-schema view serves
+    * fresh reads with no re-register.
+    */
+  def registerJoinVersioned(spark: SparkSession, leftPath: String,
+      rightPath: String, keys: Seq[(String, String)], stateRoot: String,
+      groupCols: Seq[String], sums: Map[String, String]): Unit =
+    joinDefs.put((normalize(leftPath), normalize(rightPath)),
+      JoinMvDef(keys.toSet, new Versioned(stateRoot), groupCols, sums,
+        spark.read.parquet(leftPath).schema.fieldNames.toSet,
+        spark.read.parquet(rightPath).schema.fieldNames.toSet))
+
   def deregister(basePath: String): Unit = defs.remove(normalize(basePath))
   def deregisterJoin(leftPath: String, rightPath: String): Unit =
     joinDefs.remove((normalize(leftPath), normalize(rightPath)))

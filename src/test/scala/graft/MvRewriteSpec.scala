@@ -237,6 +237,43 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.deregister(s"$dir/base")
   }
 
+  test("versioned JOIN registration flips to the stream's newest view version") {
+    import graft.core.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvj_ver").toString
+    val c = Tables.customer(spark, SparkTestSession.sfDir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    val o = Tables.orders(spark, SparkTestSession.sfDir)
+      .select(col("o_custkey").as("ok"), col("o_orderstatus"),
+        col("o_totalprice"))
+    c.write.parquet(s"$dir/c"); o.write.parquet(s"$dir/o")
+    val cP = spark.read.parquet(s"$dir/c")
+    val oP = spark.read.parquet(s"$dir/o")
+    MvRewrite.registerJoinVersioned(spark, s"$dir/c", s"$dir/o",
+      Seq("k" -> "ok"), s"$dir/state", Seq("seg", "o_orderstatus"),
+      Map("o_totalprice" -> "sum_price"))
+    try {
+      def q() = cP.join(oP, col("k") === col("ok"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleArith.dec2(col("o_totalprice"))).as("s"))
+      // no committed version yet: the join executes on base
+      assert(!planOf(q()).contains(s"$dir/state"))
+      IncrementalAgg.state(cP.join(oP, col("k") === col("ok")),
+          Seq("seg", "o_orderstatus"), sums)
+        .write.parquet(s"$dir/state/v=0")
+      assert(planOf(q()).contains(s"$dir/state/v=0"), planOf(q()).take(800))
+      // a refresh lands v=1 (drop one segment): same registration flips
+      IncrementalAgg.state(cP.filter(col("seg") =!= "BUILDING")
+          .join(oP, col("k") === col("ok")),
+          Seq("seg", "o_orderstatus"), sums)
+        .write.parquet(s"$dir/state/v=1")
+      val p = planOf(q())
+      assert(p.contains(s"$dir/state/v=1") && !p.contains(s"$dir/state/v=0"),
+        p.take(800))
+      assert(!rows(q()).exists(_.head == "BUILDING"))
+    } finally MvRewrite.deregisterJoin(s"$dir/c", s"$dir/o")
+  }
+
   test("join rewrite refuses a group column whose name exists on BOTH sides") {
     import graft.core.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft_mvj_amb").toString
