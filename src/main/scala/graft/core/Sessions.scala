@@ -25,6 +25,14 @@ object Sessions {
       // pins a 100 TB join on one straggler task — AQE splits oversized
       // partitions at runtime, complementing the explicit salting in q29
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOTE (r10, measured): canChangeCachedPlanOutputPartitioning=true was
+      // tried here to let AQE coalesce cached frames' 32-partition layouts
+      // (they show up as shuffle.partitions-many near-empty tasks on every
+      // cache read). Full-bench result: -2.4 s on the LM queries but +30 s
+      // across the minhash/dedup families — the cached signature frames are
+      // tiny in BYTES but feed CPU-dense band-join/verify stages, and
+      // byte-based coalescing serialized that compute onto 1-2 cores. AQE
+      // cannot see CPU density; left OFF deliberately.
       // runtime bloom pruning: a selective dimension filter reaches the
       // fact scan as a bloom probe, cutting shuffle input before it exists
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -13,8 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer schemas of the (immutable, driver-generated) star
+    * tables, cached per absolute path for the life of the JVM. Without the
+    * declared schema every `spark.read.parquet` call runs a footer-
+    * inference job before the query proper — one extra driver round-trip
+    * per table reference per execution (measured 0.03-0.3 s each across
+    * the 255-query bench). A production deployment gets the same effect
+    * from catalog/metastore-declared schemas (the reference's tables are
+    * metastore-backed); this caches METADATA only — every query still
+    * computes from the parquet bytes.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

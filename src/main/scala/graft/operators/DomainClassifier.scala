@@ -76,11 +76,16 @@ object DomainClassifier {
   def tag(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     require(model.labels.nonEmpty, "model must have at least one label")
+    // ONE broadcast lexicon table shared by every label's kernel (slot i =
+    // label i's log-probs): executors materialize the map once instead of
+    // each task deserializing |labels| vocabulary-sized closures
+    val table = graft.expressions.TokenWeightSum
+      .broadcastTable(docs.sparkSession, model.terms, model.logps)
     val scoreCols: Seq[Column] = model.labels.indices.map { i =>
       (lit(model.logPriors(i)) +
         ColumnBridge.column(graft.expressions.TokenWeightSum(
           ColumnBridge.expression(col(textCol)),
-          model.terms, model.logps(i), model.oovLogps(i))))
+          table, i, model.oovLogps(i))))
         .as(s"__s$i")
     }
     val scored = docs.select(

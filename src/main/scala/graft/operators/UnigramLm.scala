@@ -88,15 +88,20 @@ object UnigramLm {
     * a perfect nll = 0 (and the head perplexity bucket).
     */
   def scoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], logps: Seq[Double], oovLogP: Double): DataFrame =
+      terms: Seq[String], logps: Seq[Double], oovLogP: Double): DataFrame = {
+    // one broadcast per trained model: executors materialize the lexicon
+    // map once; tasks carry a handle instead of a vocabulary-sized closure
+    val table = graft.expressions.TokenWeightSum
+      .broadcastTable(docs.sparkSession, terms, Seq(logps))
     docs.select(col(idCol),
         TextFunctions.hashAlignedTokenCount(col(textCol)).cast("long").as("n_tokens"),
         ColumnBridge.column(graft.expressions.TokenWeightSum(
-          ColumnBridge.expression(col(textCol)), terms, logps, oovLogP))
+          ColumnBridge.expression(col(textCol)), table, 0, oovLogP))
           .as("__lpsum"))
       .filter(col("n_tokens") > 0)
       .select(col(idCol), col("n_tokens"),
         (-col("__lpsum") / col("n_tokens")).as("nll"))
+  }
 
   /** Join-path scoring for beyond-broadcast vocabularies: explode tokens,
     * hash-join the LM table, re-aggregate per document. OOV tokens take
