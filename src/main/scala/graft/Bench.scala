@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, must be set on the first session of the JVM: the
+      // 100-entry default generated-class cache thrashes across 255
+      // queries x ~10 codegen fragments (see Sessions.local)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ambient machine load BEFORE the bench touches anything — the end-of-run

@@ -38,6 +38,11 @@ object Sessions {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf (first-session-wins): the default 100-entry generated-
+      // class cache thrashes across a 255-query suite (~10 codegen
+      // fragments per query); a long-lived driver serving many query
+      // shapes wants the same headroom (code cache is already 1g)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,30 +143,35 @@ object CorpusAudit {
     * is unique; its phrases are not). Long-format output so a recipe gate
     * thresholds any n.
     *
-    * One corpus scan: every n builds its shingles inside one projection
-    * (array of (n, gram) structs, concatenated, ONE explode), then a
-    * map-side-combined count + exact distinct per (group, n). The
-    * n-gram space, not the corpus, is what shuffles — the same shape as
-    * the collocation and shingle operators.
+    * One corpus scan: every n builds its shingle OCCURRENCE HASHES inside
+    * one projection (one compiled ShingleHashes pass per n — no gram
+    * string ever materializes), concatenated as (n, hash64) structs, ONE
+    * explode, then a map-side-combined count + exact distinct per
+    * (group, n). The 8-byte hash space, not the corpus text, is what
+    * shuffles — the same key discipline (and the same 2^-64 collision
+    * noise floor) as the dedup/overlap shingle operators.
     */
   def ngramDiversity(docs: DataFrame, groupCols: Seq[String],
       textCol: String, maxN: Int = 3, minN: Int = 1): DataFrame = {
     require(minN >= 1 && maxN >= minN,
       s"need 1 <= minN <= maxN, got minN=$minN maxN=$maxN")
-    val t = col("__t")
-    val gramStructType = "array<struct<n:int,gram:string>>"
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // only the REQUESTED sizes are shingled: a caller wanting bigrams
-    // alone must not pay for building and exploding every unigram struct
+    // alone must not pay for building and exploding every unigram struct.
+    // Grams ride as the one-pass kernel's 64-bit OCCURRENCE hashes
+    // (ShingleHashes distinct=false — same hashAlignedTokens stream), not
+    // materialized strings: the distinct-count exchange then carries 8
+    // bytes per gram instead of the gram text and the partial-aggregate
+    // distinct sets hold longs (guide §2.3 "narrower types", §5 spill) —
+    // identical counts up to the 2^-64 collision noise floor every
+    // shingle-hash operator in this package already accepts.
     val perN = (minN to maxN).map { n =>
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(t, i, lit(n))).as("gram"))))
-        .otherwise(array().cast(gramStructType))
+      transform(
+        ColumnBridge.column(graft.expressions.ShingleHashes(
+          ColumnBridge.expression(col(textCol)), n, distinct = false)),
+        h => struct(lit(n).as("n"), h.as("gram")))
     }
     docs
-      .select(groupCols.map(col) :+
-        TextFunctions.hashAlignedTokens(col(textCol)).as("__t"): _*)
       .select(groupCols.map(col) :+
         explode(concat(perN: _*)).as("__g"): _*)
       .groupBy(groupCols.map(col) :+ col("__g.n").as("n"): _*)

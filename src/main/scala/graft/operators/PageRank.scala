@@ -42,24 +42,30 @@ object PageRank {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     // the raw edge list feeds THREE consumers before the loop (the degree
-    // aggregate, the degree join, and the dangling-node stats) — persist
-    // it, or an expensive upstream edge derivation (join + distinct +
-    // symmetrize) re-runs once per consumer
+    // aggregate, the degree join, and the dangling-node stats), and the
+    // symmetrize shape upstream references its input TWICE (p ∪ swap(p)) —
+    // an eager localCheckpoint materializes the derivation once and
+    // TRUNCATES the plan to a LogicalRDD. persist+count did the same work
+    // but left the full lineage in the plan: every downstream reference
+    // re-inlined the edge derivation (the q161 gate's physical plan held
+    // ~450 scan nodes — analysis alone was a per-action driver tax, guide
+    // §3.3 "enormous plans: planning time itself becomes the bottleneck"),
+    // and profiled iteration stages re-read the base parquet (12-14
+    // CPU-s/stage at sf0.1) where checkpoint blocks are reused
+    // unconditionally. Blocks are reclaimed by the ContextCleaner when the
+    // frames drop out of scope — the DupGroups.distributedComponents trade.
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .repartition(col("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
-    // degree-annotated edges persist ONCE; every iteration's join + the
-    // node derivation run off this frame (persisting only the raw edges
+    // degree-annotated edges materialize ONCE; every iteration's join + the
+    // node derivation run off this frame (truncating only the raw edges
     // would re-run the degree aggregate per iteration)
-    val withDeg = e.join(deg, "__s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var nodesCache: Option[DataFrame] = None
-    try {
+    val withDeg: DataFrame = e.join(deg, "__s").localCheckpoint(true)
+    locally {
       val nodes = withDeg.select(col("__s").as("node"))
         .union(withDeg.select(col("__d").as("node"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nodesCache = Some(nodes)
+        .localCheckpoint(true)
       // one driver action for BOTH the node count and the dangling check
       // (separate count() + anti-join count() jobs doubled the fixed cost)
       val stats = nodes
@@ -77,16 +83,9 @@ object PageRank {
       // is pure scheduling overhead at low iteration counts — barriers are
       // spaced `checkpointEvery` apart (bounding plan depth for long runs,
       // the DupGroupsSpec failure mode), and the FINAL frame is always
-      // materialized so the result survives the cache teardown below
+      // materialized so the result survives edge-frame reclamation
       var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      var lastMat: Option[DataFrame] = None
-      def materialize(df: DataFrame): DataFrame = {
-        val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        m.count()
-        lastMat.foreach(_.unpersist())
-        lastMat = Some(m)
-        m
-      }
+      def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
       var it = 0
       while (it < iters) {
         val contrib = withDeg.join(pr, withDeg("__s") === pr("node"))
@@ -109,7 +108,7 @@ object PageRank {
       }
       if (iters == 0) pr = materialize(pr)
       pr
-    } finally { withDeg.unpersist(); e.unpersist(); nodesCache.foreach(_.unpersist()) }
+    }
   }
 
   /** Undirected (symmetrized) edge set from a possibly-directed pair list:

@@ -44,9 +44,16 @@ object IvmStream {
       opCol: String, groupCols: Seq[String],
       sums: Seq[(String, String)]): DataFrame =
     deltaChunks.foldLeft(base) { (state, d) =>
+      // eager checkpoint per chunk — the batch twin of what the streaming
+      // path does by WRITING each refresh to parquet: state is group-sized
+      // (cheap to materialize) while its lineage compounds chunk over chunk
+      // (each refresh inlines the previous state's whole plan — the q244
+      // fold reached 124 scan nodes and re-analysis per action became the
+      // cost, guide §3.3). Exact-DECIMAL sums make the cut value-neutral.
       IncrementalAgg.refresh(state,
         IncrementalAgg.deltaState(d, opCol, groupCols, sums),
         groupCols, sums.map(_._1))
+        .localCheckpoint(true)
     }
 
   /** Newest committed state version id strictly below `before` (None =
@@ -116,11 +123,17 @@ object IvmStream {
       sBase.withColumn("__m", lit(1)),
       IncrementalAgg.state(rBase.join(sBase, joinKeys), groupCols, sums))
     chunks.foldLeft(init) { case ((rOld, sOld, state), (rD, sD)) =>
+      // state is checkpointed per chunk (group-sized; its lineage otherwise
+      // compounds — see foldRefresh). rOld/sOld stay LAZY unions on purpose:
+      // materializing base ∪ deltas would rewrite the full relation per
+      // chunk — exactly what the signed-log design exists to avoid — while
+      // the lazy union costs one base scan in whichever chunk consumes it.
       (rOld.unionByName(signed(rD)), sOld.unionByName(signed(sD)),
         IncrementalAgg.refresh(state,
           IncrementalJoin.deltaJoinStateSigned(rOld, rD, sOld, sD,
             "__m", opCol, joinKeys, groupCols, sums),
-          groupCols, sums.map(_._1)))
+          groupCols, sums.map(_._1))
+          .localCheckpoint(true))
     }._3
   }
 
