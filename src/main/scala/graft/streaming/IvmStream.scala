@@ -42,19 +42,28 @@ object IvmStream {
     */
   def foldRefresh(base: DataFrame, deltaChunks: Seq[DataFrame],
       opCol: String, groupCols: Seq[String],
-      sums: Seq[(String, String)]): DataFrame =
-    deltaChunks.foldLeft(base) { (state, d) =>
-      // eager checkpoint per chunk — the batch twin of what the streaming
-      // path does by WRITING each refresh to parquet: state is group-sized
-      // (cheap to materialize) while its lineage compounds chunk over chunk
-      // (each refresh inlines the previous state's whole plan — the q244
-      // fold reached 124 scan nodes and re-analysis per action became the
-      // cost, guide §3.3). Exact-DECIMAL sums make the cut value-neutral.
-      IncrementalAgg.refresh(state,
+      sums: Seq[(String, String)],
+      /** Checkpoint the (group-sized) state after every `checkpointEvery`
+        * chunks: its lineage otherwise compounds chunk over chunk (each
+        * refresh inlines the previous state's whole plan — guide §3.3) and
+        * a long fold's analysis cost grows quadratically. Spaced, not
+        * per-chunk: an eager checkpoint is one extra job, and for the
+        * 3-chunk gates that job overhead measurably exceeded the plan
+        * saving (full-bench r10: per-chunk checkpoints cost q244 ~+1.9 s).
+        * Exact-DECIMAL sums make the cut value-neutral wherever it lands.
+        */
+      checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    deltaChunks.zipWithIndex.foldLeft(base) { case (state, (d, i)) =>
+      val next = IncrementalAgg.refresh(state,
         IncrementalAgg.deltaState(d, opCol, groupCols, sums),
         groupCols, sums.map(_._1))
-        .localCheckpoint(true)
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < deltaChunks.length)
+        next.localCheckpoint(true)
+      else next
     }
+  }
 
   /** Newest committed state version id strictly below `before` (None =
     * the view has absorbed no batch yet). Commit = the directory's
@@ -122,18 +131,21 @@ object IvmStream {
       rBase.withColumn("__m", lit(1)),
       sBase.withColumn("__m", lit(1)),
       IncrementalAgg.state(rBase.join(sBase, joinKeys), groupCols, sums))
-    chunks.foldLeft(init) { case ((rOld, sOld, state), (rD, sD)) =>
-      // state is checkpointed per chunk (group-sized; its lineage otherwise
-      // compounds — see foldRefresh). rOld/sOld stay LAZY unions on purpose:
-      // materializing base ∪ deltas would rewrite the full relation per
-      // chunk — exactly what the signed-log design exists to avoid — while
-      // the lazy union costs one base scan in whichever chunk consumes it.
-      (rOld.unionByName(signed(rD)), sOld.unionByName(signed(sD)),
-        IncrementalAgg.refresh(state,
-          IncrementalJoin.deltaJoinStateSigned(rOld, rD, sOld, sD,
-            "__m", opCol, joinKeys, groupCols, sums),
-          groupCols, sums.map(_._1))
-          .localCheckpoint(true))
+    chunks.zipWithIndex.foldLeft(init) { case ((rOld, sOld, state), ((rD, sD), i)) =>
+      // state checkpoints are SPACED (see foldRefresh: per-chunk barriers
+      // cost more than the plan-size saving at gate chunk counts; lineage
+      // compounding only bites on long folds). rOld/sOld stay LAZY unions
+      // on purpose: materializing base ∪ deltas would rewrite the full
+      // relation per chunk — exactly what the signed-log design avoids —
+      // while the lazy union costs one base scan wherever it is consumed.
+      val next = IncrementalAgg.refresh(state,
+        IncrementalJoin.deltaJoinStateSigned(rOld, rD, sOld, sD,
+          "__m", opCol, joinKeys, groupCols, sums),
+        groupCols, sums.map(_._1))
+      ((rOld.unionByName(signed(rD)), sOld.unionByName(signed(sD)),
+        if ((i + 1) % 4 == 0 && i + 1 < chunks.length)
+          next.localCheckpoint(true)
+        else next))
     }._3
   }
 
