@@ -54,9 +54,17 @@ object Sessions {
     * sessions in Verify/Bench): timezone must be UTC for oracle parity, and
     * the engine's SQL functions registered (idempotent).
     */
+  /** AQE default, env-overridable (`SPARK_GRAFT_AQE=false`) — a measurement
+    * knob for attributing per-stage adaptive-replan overhead in A/B runs,
+    * NOT a tuned default: adaptive execution stays ON (skew splitting +
+    * partition coalescing are load-bearing at production scale).
+    */
+  private[graft] val aqeEnabled: String =
+    if (sys.env.get("SPARK_GRAFT_AQE").contains("false")) "false" else "true"
+
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", aqeEnabled)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
