@@ -37,10 +37,16 @@ object Collocations {
     val toks = df.select(TextFunctions.tokens(col(textCol)).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ShardCaches.register(toks)
+    // eager fill: the unigram tally, bigram tally and bigram total are
+    // independent map stages AQE submits concurrently — each would
+    // re-tokenize the corpus against a lazily-persisted frame
+    toks.count()
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ShardCaches.register(uni)
+    // same race: the total aggregate and both lift join sides read uni
+    uni.count()
     val totalT = uni.agg(sum(col("c")).as("__T"))
     val bi = toks
       .select(explode(TextFunctions.shinglesOfTokens(col("t"), 2)).as("s"))

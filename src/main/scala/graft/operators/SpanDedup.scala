@@ -59,6 +59,12 @@ object SpanDedup {
     // TextDedup.ngramJaccardPairs' shingle expansion
     val wins = positionalWindows(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the doc-frequency aggregate and the hits join are
+    // independent map stages AQE submits concurrently — each would
+    // recompute the shingle explode against a lazily-persisted frame
+    // (measured on q110/q111 as two concurrent full expansion passes).
+    // One count() runs the expansion once; both consumers read blocks.
+    wins.count()
     // duplicated-window set: map-side partial agg on the 64-bit hash; only
     // hashes clearing the doc-frequency bar survive to the join
     val dup = wins.groupBy("h")
@@ -187,6 +193,9 @@ object SpanDedup {
       minCount: Int = 2): DataFrame = {
     val wins = positionalWindows(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill — see duplicatedWindows (concurrent consumer stages
+    // recompute a lazily-persisted expansion)
+    wins.count()
     val rep = wins.groupBy(col(idCol), col("h"))
       .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"))
       .filter(col("n") >= minCount)

@@ -121,6 +121,10 @@ object TextDedup {
         explode(ColumnBridge.column(graft.expressions.ShingleHashes(
           ColumnBridge.expression(col(textCol)), n))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the doc-frequency aggregate and the semi-join probe are
+    // independent map stages AQE submits concurrently — each would re-run
+    // the corpus-sized shingle explode against a lazily-persisted frame.
+    docShingles.count()
     // SHUFFLE_HASH hints on every expansion-derived join side: Catalyst's
     // size estimate for the post-explode frame inherits the (tiny,
     // compressed) pre-explode scan stats, so it would BROADCAST the
@@ -205,6 +209,10 @@ object TextDedup {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ShardCaches.register(g)
+      // eager fill: each side's own-count aggregate and the shared
+      // semi-join are independent stages of one action — a lazy persist
+      // is recomputed per stage (see minHashSignatures)
+      g.count()
       g
     }
     val ga = gramSet(a, textColA)
@@ -257,6 +265,9 @@ object TextDedup {
         ColumnBridge.expression(col(textCol)), n))).as("h"))
     val docGrams = grams(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill — the per-doc tally and the hit join consume this frame
+    // as independent concurrent stages (see minHashSignatures)
+    docGrams.count()
     // the reference is corpus-sized in the stated use (per-increment
     // admission against everything already ingested): its distinct-gram
     // set and the per-doc tallies must SHUFFLE, not broadcast — Catalyst's
@@ -296,7 +307,7 @@ object TextDedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    df.select(col(idCol).as("doc"),
+    val sigs = df.select(col(idCol).as("doc"),
       ColumnBridge.column(graft.expressions.MinHashSig(
         ColumnBridge.expression(col(textCol)), n, k)).as("signature"))
       .filter(col("signature").isNotNull)
@@ -304,6 +315,14 @@ object TextDedup {
       // persist — at cluster scale this would be a checkpoint to shuffle-safe
       // storage instead
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the consumers are INDEPENDENT map stages of one action,
+    // which AQE submits concurrently — against a lazily-persisted frame
+    // each stage recomputes the signature kernel over the whole corpus
+    // before one of them wins the cache write (measured on q42: four
+    // concurrent 0.63 s kernel passes for one 5 MB corpus). One count()
+    // fills the cache in a single pass; every consumer then reads blocks.
+    sigs.count()
+    sigs
   }
 
   /** Modulus of the md5-affine MinHash family: 2³¹ − 1 (Mersenne prime).
@@ -344,12 +363,16 @@ object TextDedup {
       n: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val (a, b) = md5AffineParams(k)
-    df.select(col(idCol).as("doc"),
+    val sigs = df.select(col(idCol).as("doc"),
       ColumnBridge.column(graft.expressions.MinHashSigMd5(
         ColumnBridge.expression(col(textCol)), n, k, a, b, MinHashMd5P))
         .as("signature"))
       .filter(col("signature").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill — see minHashSignatures (AQE submits the banding/verify
+    // map stages concurrently; a lazy persist is recomputed per stage)
+    sigs.count()
+    sigs
   }
 
   /** LSH banding over MinHash signatures: split the k-length signature into
