@@ -66,6 +66,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.values.forall(_ == 5))
   }
 
+  test("ivfCentroids vector-sum aggregate matches per-dimension SUM columns " +
+      "bitwise, including NULL and short-array edges") {
+    // mixed shapes: full rows, a NULL array, a NULL element, a short array —
+    // the exact cases where ArraySumAgg must reproduce element_at + SUM
+    val rows: Seq[(Int, Seq[java.lang.Float])] = Seq(
+      (0, Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (0, Seq[java.lang.Float](0.5f, null, 4.5f)),
+      (0, null),
+      (1, Seq[java.lang.Float](2.0f, 8.0f)), // short: dim 2 of 3
+      (2, Seq[java.lang.Float](null, null, null)))
+    val df = rows.toDF("cell", "embedding")
+      .select(col("cell"), col("embedding").cast("array<float>"))
+    val got = Similarity.ivfCentroids(df, "cell", dimHint = 3)
+      .orderBy("cell")
+      .as[(Int, Seq[java.lang.Float])].collect()
+    // reference: the per-dimension formulation this replaced
+    val ref = df.groupBy(col("cell"))
+      .agg(sum(try_element_at(col("embedding"), lit(1))).as("s0"),
+        sum(try_element_at(col("embedding"), lit(2))).as("s1"),
+        sum(try_element_at(col("embedding"), lit(3))).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), array(
+        (col("s0") / col("n")).cast("float"),
+        (col("s1") / col("n")).cast("float"),
+        (col("s2") / col("n")).cast("float")).as("centroid"))
+      .orderBy("cell")
+      .as[(Int, Seq[java.lang.Float])].collect()
+    assert(got.toSeq == ref.toSeq)
+    // all-NULL dimension surfaces as a NULL element, not 0.0
+    assert(got.find(_._1 == 2).get._2.forall(_ == null))
+  }
+
   test("k-means IVF: k cells, deterministic assignment, sane recall") {
     val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
     assert(cents.count() == 8)
