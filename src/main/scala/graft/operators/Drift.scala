@@ -43,7 +43,7 @@ object Drift {
       .select(col("term"),
         coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
-      .localCheckpoint(true)
+      .transform(graft.core.Barriers.cut)
     val stats = joined
       .agg(sum(col("cnt_old")).as("t_old"), sum(col("cnt_new")).as("t_new"),
         count(lit(1)).as("v"))

@@ -102,8 +102,8 @@ object DupGroups {
     // round frames' checkpoint blocks are reclaimed by the ContextCleaner
     // once unreferenced (Dataset.unpersist cannot free checkpoint blocks) —
     // bounded by rounds × label-frame size, label frames being vertex-sized.
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val sym = graft.core.Barriers.cut(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
 
     // null-safe: an empty edge list yields a null SUM — treat as zero so the
     // clean-corpus case (no near-duplicate pairs at all) converges instead
@@ -112,9 +112,9 @@ object DupGroups {
       Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
 
-    var cur = sym.groupBy(col("u").as("vertex"))
-      .agg(min(least(col("u"), col("v"))).as("label"))
-      .localCheckpoint(true)
+    var cur = graft.core.Barriers.cut(
+      sym.groupBy(col("u").as("vertex"))
+        .agg(min(least(col("u"), col("v"))).as("label")))
     var curSum = labelSum(cur)
     var converged = cur.isEmpty // no edges → no vertices → already a fixpoint
     var round = 0
@@ -123,11 +123,11 @@ object DupGroups {
       // corpus never appears; the eager localCheckpoint truncates lineage so
       // each round reads the previous labels' materialized partitions, not
       // the whole chain of prior rounds
-      val next = sym.join(cur, sym("u") === cur("vertex"))
-        .select(sym("v").as("vertex"), col("label"))
-        .union(cur)
-        .groupBy("vertex").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = graft.core.Barriers.cut(
+        sym.join(cur, sym("u") === cur("vertex"))
+          .select(sym("v").as("vertex"), col("label"))
+          .union(cur)
+          .groupBy("vertex").agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       cur.unpersist()
@@ -311,14 +311,14 @@ object DupGroups {
         TextDedup.lshCandidatePairsAgainst(bs, cs, bands, md5Parity),
         bs, cs, minJaccard)
         .select(col("doc_a").as("doc")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.core.Barriers.cut)
       // survivor signatures feed FOUR plan branches (both sides of the
       // in-batch band self-join + both probe sides of the verify) and the
       // closure executes after bs is unpersisted — checkpoint like flagged,
       // or the batch-vs-flagged anti-join re-runs once per branch over
       // by-then-cold signatures
-      val freshSigs = bs.join(flagged, Seq("doc"), "left_anti")
-        .localCheckpoint(true)
+      val freshSigs = graft.core.Barriers.cut(
+        bs.join(flagged, Seq("doc"), "left_anti"))
       val verified = TextDedup.minHashVerify(
         if (md5Parity) TextDedup.lshCandidatePairsIdentity(freshSigs, bands)
         else TextDedup.lshCandidatePairs(freshSigs, bands),

@@ -54,18 +54,18 @@ object PageRank {
     // CPU-s/stage at sf0.1) where checkpoint blocks are reused
     // unconditionally. Blocks are reclaimed by the ContextCleaner when the
     // frames drop out of scope — the DupGroups.distributedComponents trade.
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .repartition(col("__s"))
-      .localCheckpoint(true)
+    val e = graft.core.Barriers.cut(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+        .repartition(col("__s")))
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
     // degree-annotated edges materialize ONCE; every iteration's join + the
     // node derivation run off this frame (truncating only the raw edges
     // would re-run the degree aggregate per iteration)
-    val withDeg: DataFrame = e.join(deg, "__s").localCheckpoint(true)
+    val withDeg: DataFrame = graft.core.Barriers.cut(e.join(deg, "__s"))
     locally {
-      val nodes = withDeg.select(col("__s").as("node"))
-        .union(withDeg.select(col("__d").as("node"))).distinct()
-        .localCheckpoint(true)
+      val nodes = graft.core.Barriers.cut(
+        withDeg.select(col("__s").as("node"))
+          .union(withDeg.select(col("__d").as("node"))).distinct())
       // one driver action for BOTH the node count and the dangling check
       // (separate count() + anti-join count() jobs doubled the fixed cost)
       val stats = nodes
@@ -85,7 +85,7 @@ object PageRank {
       // the DupGroupsSpec failure mode), and the FINAL frame is always
       // materialized so the result survives edge-frame reclamation
       var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      def materialize(df: DataFrame): DataFrame = graft.core.Barriers.cut(df)
       var it = 0
       while (it < iters) {
         val contrib = withDeg.join(pr, withDeg("__s") === pr("node"))

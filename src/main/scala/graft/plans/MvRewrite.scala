@@ -82,14 +82,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private final class Versioned(stateRoot: String) extends ViewSource {
     @volatile private var cached: Option[(Long, LogicalPlan)] = None
+    // the state layout is version-invariant (IncrementalAgg.state columns),
+    // so the footer-inference job runs once per root, not once per refresh
+    // — every later version advance reads with the declared schema
+    @volatile private var schema: Option[org.apache.spark.sql.types.StructType] =
+      None
     def plan(): Option[LogicalPlan] = {
       val spark = SparkSession.active
       graft.streaming.IvmStream.latestVersion(spark, stateRoot).map { v =>
         cached match {
           case Some((cv, p)) if cv == v => p
           case _ =>
-            val p = spark.read.parquet(s"$stateRoot/v=$v")
-              .queryExecution.analyzed
+            val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+            val df = reader.parquet(s"$stateRoot/v=$v")
+            if (schema.isEmpty) schema = Some(df.schema)
+            val p = df.queryExecution.analyzed
             cached = Some((v, p))
             p
         }
