@@ -36,6 +36,13 @@ object Sessions {
       // runtime bloom pruning: a selective dimension filter reaches the
       // fact scan as a bloom probe, cutting shuffle input before it exists
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // runtime SMJ -> shuffled-hash conversion, gated on ACTUAL post-
+      // shuffle partition size (guide §3.1): when every map output for a
+      // join is under the advisory partition size, hashing the small side
+      // beats sorting both. Size-gated at runtime = scale-safe (a 100 TB
+      // partition never converts); Spark's docs recommend aligning it
+      // with advisoryPartitionSizeInBytes (64 MB default).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // static conf (first-session-wins): the default 100-entry generated-
@@ -68,6 +75,9 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // see Sessions.local: runtime size-gated SMJ -> SHJ conversion
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
     graft.GraftExtensions.register(spark)
     // expansion-broadcast safety net (see NoBroadcastOverExpansion): a
     // post-construction session can't take injectOptimizerRule, but the

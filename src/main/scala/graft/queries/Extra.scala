@@ -378,11 +378,21 @@ object Extra {
     (s, dir) =>
       Tables.orders(s, dir)
         .groupBy("o_orderstatus")
+        // ONE percentile aggregate with an array of fractions instead of
+        // three scalar percentile() calls: the exact-percentile aggregate
+        // buffers EVERY value's count, so the scalar form built (and
+        // shuffled) three identical per-group value histograms — the array
+        // form builds one and reads three interpolation points off the
+        // same sorted counts, bit-identical values (guide §2.3: shuffle
+        // fewer bytes; the partial-agg exchange carries a third the state)
         .agg(
-          expr("percentile(o_totalprice, 0.25)").as("p25"),
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("__ps"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"),
+          col("n"))
         .orderBy("o_orderstatus"),
     """SELECT o_orderstatus,
       |  quantile_cont(o_totalprice, 0.25) AS p25,
