@@ -54,24 +54,29 @@ object PageRank {
     // CPU-s/stage at sf0.1) where checkpoint blocks are reused
     // unconditionally. Blocks are reclaimed by the ContextCleaner when the
     // frames drop out of scope — the DupGroups.distributedComponents trade.
-    val e = graft.core.Barriers.cut(
+    // degree-annotated edges materialize ONCE, in ONE barrier: the
+    // out-degree rides along as a window count over the source-partitioned
+    // edges, so the degree aggregate + degree join (and their own edge-
+    // sized checkpoint) disappear — at scale that is one edge-list
+    // materialization instead of two, and locally it removes a barrier
+    // job plus the join stages (the r10 shape checkpointed `e`, derived
+    // `deg` by groupBy, joined, and checkpointed AGAIN)
+    val withDeg: DataFrame = graft.core.Barriers.cut(
       edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-        .repartition(col("__s")))
-    val deg = e.groupBy("__s").agg(count(lit(1)).as("__od"))
-    // degree-annotated edges materialize ONCE; every iteration's join + the
-    // node derivation run off this frame (truncating only the raw edges
-    // would re-run the degree aggregate per iteration)
-    val withDeg: DataFrame = graft.core.Barriers.cut(e.join(deg, "__s"))
+        .repartition(col("__s"))
+        .withColumn("__od", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__s"))))
     locally {
       val nodes = graft.core.Barriers.cut(
         withDeg.select(col("__s").as("node"))
           .union(withDeg.select(col("__d").as("node"))).distinct())
       // one driver action for BOTH the node count and the dangling check
       // (separate count() + anti-join count() jobs doubled the fixed cost)
+      val srcs = withDeg.select(col("__s")).distinct()
       val stats = nodes
-        .join(deg, nodes("node") === deg("__s"), "left")
+        .join(srcs, nodes("node") === srcs("__s"), "left")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("__od").isNull, 1L).otherwise(0L)).as("dangling"))
+          sum(when(col("__s").isNull, 1L).otherwise(0L)).as("dangling"))
         .collect().head
       val n = stats.getLong(0)
       val dangling = stats.getLong(1)

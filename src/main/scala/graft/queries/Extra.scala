@@ -51,7 +51,7 @@ object Extra {
       Scd2.applyUpdates(snap1, late, Seq("user_id"), "ts", Seq("event_id"))
         .select("user_id", "event_id", "version", "valid_from", "valid_to",
           "is_current")
-        .orderBy("user_id", "version")
+        .transform(d => graft.core.QueryDef.orderedOut(d, "user_id", "version"))
     },
     """SELECT user_id, event_id,
       |  ROW_NUMBER() OVER w AS version,
@@ -534,7 +534,7 @@ object Extra {
         .agg(sumDec(col("l_extendedprice")).as("revenue"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .orderBy("p_brand", "rk")
+        .transform(d => graft.core.QueryDef.orderedOut(d, "p_brand", "rk"))
     },
     s"""SELECT p_brand, l_partkey, revenue, rk FROM (
        |  SELECT p_brand, l_partkey, revenue,
@@ -646,7 +646,8 @@ object Extra {
         .withColumn("trailing_30d_total",
           sum(dec2(col("o_totalprice"))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "o_orderdate", "trailing_30d_total")
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .transform(d => graft.core.QueryDef.orderedOut(
+          d, "o_custkey", "o_orderdate", "o_orderkey"))
     },
     s"""SELECT o_custkey, o_orderkey, o_orderdate,
        |  CAST(SUM(${sqlDec2("o_totalprice")}) OVER (
@@ -1994,7 +1995,10 @@ object Extra {
           first_value(col("o_totalprice")).over(w).as("first_price"),
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
           lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
-        .orderBy("o_custkey", "o_orderkey")
+        // materialize-before-global-sort (QueryDef.orderedOut): the range
+        // sampler otherwise re-runs the window pipeline
+        .transform(d => graft.core.QueryDef.orderedOut(
+          d, "o_custkey", "o_orderkey"))
     },
     """WITH o AS (
       |  SELECT *, COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders

@@ -200,7 +200,8 @@ object Relational {
           sum(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("rn"),
           col("prev_price"), col("running_total"))
-        .orderBy("o_custkey", "rn")
+        // materialize-before-global-sort (QueryDef.orderedOut)
+        .transform(d => graft.core.QueryDef.orderedOut(d, "o_custkey", "rn"))
     },
     s"""SELECT o_custkey, o_orderkey,
        |  ROW_NUMBER() OVER w AS rn,

@@ -17,8 +17,10 @@ object Stream {
     */
   private val sessions = QueryDef(
     (s, dir) =>
-      EventStreams.sessionizeBatch(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
-        .orderBy("user_id", "session_start"),
+      graft.core.QueryDef.orderedOut(
+        EventStreams.sessionizeBatch(Tables.events(s, dir),
+          gapMs = 30 * 60 * 1000L),
+        "user_id", "session_start"),
     """WITH t AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
@@ -354,7 +356,10 @@ object Stream {
             .otherwise("assistant"),
           content = col("event_type"),
           gapMs = 30 * 60 * 1000L)
-        .orderBy("user_id", "session_no"),
+        // materialize-before-global-sort: the range sampler otherwise
+        // re-runs the whole window pipeline (QueryDef.orderedOut)
+        .transform(d => graft.core.QueryDef.orderedOut(
+          d, "user_id", "session_no")),
     """WITH t AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
@@ -403,7 +408,8 @@ object Stream {
             .otherwise("assistant"),
           content = concat(col("event_type"), lit(" "), col("props")),
           gapMs = 30 * 60 * 1000L)
-        .orderBy("user_id", "session_no", "turn_idx"),
+        .transform(d => graft.core.QueryDef.orderedOut(
+          d, "user_id", "session_no", "turn_idx")),
     """WITH e AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN event_type IN ('view', 'click') THEN 'user'

@@ -665,7 +665,7 @@ object Text {
           sum(col("pos") * col("vid")).as("checksum"),
           min(col("vid")).as("min_vid"),
           max(col("vid")).as("max_vid"))
-        .orderBy("doc_id")
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id"))
     },
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |pos AS (
@@ -855,7 +855,7 @@ object Text {
     (s, dir) =>
       graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .filter(col("doc_id") < 50)
-        .orderBy("doc_id", "term"),
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id", "term")),
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -1065,7 +1065,9 @@ object Text {
     (s, dir) =>
       graft.operators.SpanDedup
         .dupSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 8)
-        .orderBy("doc_id"),
+        // materialize-before-global-sort (QueryDef.orderedOut): the range
+        // sampler otherwise re-runs the final rebuild/join stage
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id")),
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
       |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
       |                              for i in range(1, len(t) - 6)]) AS u
@@ -1098,7 +1100,7 @@ object Text {
       graft.operators.SpanDedup
         .stripSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
         .select(col("doc_id"), col("text").as("clean_text"), col("kept_tokens"))
-        .orderBy("doc_id"),
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id")),
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
       |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
       |                              for i in range(1, len(t) - 6)]) AS u
@@ -2501,7 +2503,7 @@ object Text {
         .tokenBudgetFill(scored, Seq("nll", "doc_id"), "n_tokens", budget = 10000L)
         .select(col("doc_id"), col("n_tokens"), col("nll"),
           col("offset").as("cum_before"))
-        .orderBy("doc_id")
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id"))
     },
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
       |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+7], ' '))
@@ -2604,7 +2606,7 @@ object Text {
       graft.operators.SpanDedup
         .stripSelfRepeats(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("text").as("clean_text"), col("kept_tokens"))
-        .orderBy("doc_id"),
+        .transform(d => graft.core.QueryDef.orderedOut(d, "doc_id")),
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') t FROM documents),
       |sh AS (SELECT doc_id, unnest([struct_pack(pos := i - 1, w := array_to_string(t[i:i+2], ' '))
       |                              for i in range(1, len(t) - 1)]) AS u

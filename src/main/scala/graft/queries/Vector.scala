@@ -719,8 +719,9 @@ object Vector {
         .knnBruteForce(emb, emb.filter(col("vec_id") < 3), k = 20)
         .select(col("query_id").cast("string").as("query_id"),
           col("neighbor_id").as("item_id"), col("rank"))
-      graft.operators.RankFusion.rrf(Seq(sparse, dense), k = 60, topK = 10)
-        .orderBy("query_id", "rank")
+      graft.core.QueryDef.orderedOut(
+        graft.operators.RankFusion.rrf(Seq(sparse, dense), k = 60, topK = 10),
+        "query_id", "rank")
     },
     s"""WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
        |  FROM documents),
@@ -799,8 +800,9 @@ object Vector {
     QueryDef(
       (s, dir) => {
         val (truth, approx) = evalRankings(s, dir)
-        graft.operators.RetrievalEval.rbo(truth, approx, k = 5, p = 0.9)
-          .orderBy("query_id")
+        graft.core.QueryDef.orderedOut(
+          graft.operators.RetrievalEval.rbo(truth, approx, k = 5, p = 0.9),
+          "query_id")
       },
       s"""WITH $rpKnnCtes,
          |cm AS (SELECT e.query_id, greatest(e.rank, a.rank) AS m
