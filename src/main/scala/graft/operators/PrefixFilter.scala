@@ -56,6 +56,12 @@ object PrefixFilter {
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(ColumnBridge.column(ShingleHashesMd5(
           ColumnBridge.expression(col(textCol)), n)))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(toks)
+    // eager fill: the df aggregate, the rank join side and the set
+    // aggregate consume this expansion as independent concurrent stages —
+    // lazily persisted, each re-ran the md5 shingle kernel over the corpus
+    toks.count()
     // EVERY join side below grows with the corpus (the df aggregate's
     // group domain is the shingle vocabulary, the set frame is
     // doc-count-sized with |d|-long arrays, candidates are pair-sized) —

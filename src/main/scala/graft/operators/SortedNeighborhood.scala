@@ -42,6 +42,13 @@ object SortedNeighborhood {
       .select(col("__id"), col("rank"),
         ColumnBridge.column(ShingleHashes(
           ColumnBridge.expression(col("__text")), n)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShardCaches.register(ranked)
+    // eager fill: both join sides consume the ranked+shingled frame as
+    // independent concurrent map stages — lazily persisted, each re-ran
+    // the shingle kernel over the whole corpus (measured on q97 as two
+    // concurrent ~1.2 CPU-s passes)
+    ranked.count()
     val lhs = ranked
       .select(col("__id").as("id_a"), col("__sh").as("sh_a"),
         explode(sequence(col("rank") + 1, col("rank") + window)).as("rank"))
