@@ -82,21 +82,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private final class Versioned(stateRoot: String) extends ViewSource {
     @volatile private var cached: Option[(Long, LogicalPlan)] = None
-    // the state layout is version-invariant (IncrementalAgg.state columns),
-    // so the footer-inference job runs once per root, not once per refresh
-    // — every later version advance reads with the declared schema
-    @volatile private var schema: Option[org.apache.spark.sql.types.StructType] =
-      None
+    // NOTE (r11, measured): caching the parquet schema per state root to
+    // skip the footer job on version advance was tried and REVERTED — the
+    // layout is NOT version-invariant (IncrementalAgg.refresh widens the
+    // sum's DECIMAL precision, so v=1 can carry a wider type than v=0;
+    // reading v=1 with v=0's schema fails with a Parquet type mismatch —
+    // IvmStreamSpec's versioned-registration case caught it). The footer
+    // read per refresh is the price of layout flexibility.
     def plan(): Option[LogicalPlan] = {
       val spark = SparkSession.active
       graft.streaming.IvmStream.latestVersion(spark, stateRoot).map { v =>
         cached match {
           case Some((cv, p)) if cv == v => p
           case _ =>
-            val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-            val df = reader.parquet(s"$stateRoot/v=$v")
-            if (schema.isEmpty) schema = Some(df.schema)
-            val p = df.queryExecution.analyzed
+            val p = spark.read.parquet(s"$stateRoot/v=$v")
+              .queryExecution.analyzed
             cached = Some((v, p))
             p
         }
